@@ -1,13 +1,575 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.{AmazonMetaParser, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the LLM-data-pipeline extensions)
+  * is exposed as a named query over the driver parquet corpus
+  * (TESTDATA.md), with an equivalent ANSI-SQL oracle for DuckDB in
+  * [[oracleSql]]. Determinism rules (SURVEY §7.4): every ranked operator
+  * carries an explicit total-order tiebreaker; every order-dependent
+  * double aggregate is rounded identically on both sides.
+  */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def clamp01(c: Column): Column = greatest(lit(0.0), least(lit(1.0), c))
+
+  /** Co-purchase edges from the order basket (SURVEY §2 A1/J1/J2 on the
+    * driver corpus: parts sharing an order; FIXTURES.md §3). */
+  private def basketEdges(s: SparkSession, d: String): DataFrame =
+    CoPurchaseGraph.symmetrize(CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)))
+
+  /** Query vectors: the first 20 ids of the embeddings table. */
+  private def queryVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Flagship hybrid top-k (reference E2, `Hybrid_Recom_vecdb.py:213-231`):
+    * content arm = exact cosine top-60 over the embeddings table; CF arm =
+    * co-label graph top-60; blend α=0.6; top-10 per query. */
+  private def hybridTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = queryVecs(s, d)
+    val content = ContentRetriever.topK(emb, q, 60)
+      .select(col("query_id"), col("vec_id").as("item"), clamp01(col("sim")).as("cs"))
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val edges = lbl.as("x")
+      .join(lbl.as("y"), col("x.label") === col("y.label") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+        lit(1L).as("weight"))
+    val cf = CfRetriever.topNFor(edges, q.select(col("query_id")), 60)
+      .select(col("src").as("query_id"), col("dst").as("item"), col("norm").as("fs"))
+    HybridScorer.blend(content, cf, 0.6, 10)
+      .withColumn("cs", round(col("cs"), 6))
+      .withColumn("final", round(col("final"), 6))
+  }
+
+  /** amazon-meta stanza fixture (FIXTURES.md §1 edge cases). */
+  private val stanzaFixture = Seq(
+    "Id:   1\nASIN: A1\n  title: Alpha Beta\n  group: Book\n  similar: 2 A2 A3\n  categories: 2\n   |Books[1]|Fiction[2]\n   |Books[1]|Arts[3]",
+    "Id:   2\nASIN: A2\n  group: Music\n  similar: 1 A1\n  categories: 0",
+    "Id:   3\nASIN: A3\n  title: Gamma\n  group: \n  similar: 0\n  categories: 1\n   |CDs[9]")
+
+  // ---------------------------------------------------------------- contract
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    hybridTopK(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (scans, filters, aggs, joins, windows) ---------
+    "q01_pricing" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("cnt"))),
+
+    "q02_top_orders" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+      rev.withColumn("rnk",
+        row_number().over(Window.orderBy(col("revenue").desc, col("o_orderkey").asc)))
+    }),
+
+    "q03_nation_revenue" -> ((s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))),
+
+    "q04_supplier_top_parts" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d).groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("qty").desc, col("l_partkey").asc)
+      agg.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+    }),
+
+    // --- co-purchase graph + CF arm (SURVEY A1-A3, J1-J2, P10) ----------
+    "q05_graph_edges" -> ((s, d) =>
+      CoPurchaseGraph.fromOrders(Tables.lineitem(s, d))),
+
+    "q06_cf_topn" -> ((s, d) => CfRetriever.topN(basketEdges(s, d), 10)),
+
+    "q07_cf_for_queries" -> ((s, d) => CfRetriever.topNFor(
+      basketEdges(s, d),
+      Tables.part(s, d).where(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("query_id")),
+      5)),
+
+    // --- vector retrieval (SURVEY V1-V4) --------------------------------
+    "q08_knn" -> ((s, d) =>
+      ContentRetriever.topK(Tables.embeddings(s, d), queryVecs(s, d), 10)
+        .select(col("query_id"), col("vec_id").as("item"),
+          round(col("sim"), 6).as("sim"), col("rnk"))),
+
+    "q09_knn_by_label" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label"))
+      ContentRetriever.topKByLabel(emb, q, 5)
+        .select(col("query_id"), col("vec_id").as("item"),
+          round(col("sim"), 6).as("sim"), col("rnk"))
+    }),
+
+    "q10_cosine_pairs" -> ((s, d) =>
+      Dedup.cosinePairs(Tables.embeddings(s, d).where(col("vec_id") < 2000), 0.35)
+        .withColumn("sim", round(col("sim"), 6))),
+
+    "q11_lsh_buckets" -> ((s, d) =>
+      Lsh.withBucket(Tables.embeddings(s, d), 8, 64)
+        .select(col("vec_id"), col("bucket"))),
+
+    "q12_lsh_pairs" -> ((s, d) =>
+      Lsh.cosinePairsInBuckets(Tables.embeddings(s, d), 8, 64, 0.1)
+        .withColumn("sim", round(col("sim"), 6))),
+
+    // --- dedup suite ----------------------------------------------------
+    "q13_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+
+    "q14_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.05)),
+
+    "q15_minhash_cand" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), 3, 16, 8)),
+
+    "q16_simhash_fp" -> ((s, d) =>
+      Dedup.simhashFingerprints(Tables.documents(s, d))),
+
+    // --- text analysis --------------------------------------------------
+    "q18_fingerprints" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d))),
+
+    "q19_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+
+    "q20_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+
+    "q21_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+
+    // --- resolver / sampling / evaluation -------------------------------
+    "q22_resolver_substr" -> ((s, d) => QueryResolver.resolve(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("string").as("asin"), col("text").as("title")),
+      "hash value table")),
+
+    "q23_resolver_exact" -> ((s, d) => QueryResolver.resolve(
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("string").as("asin"), col("text").as("title")),
+      "42")),
+
+    "q24_sample_inv" -> ((s, d) =>
+      Sampling.sampleInvariants(Tables.documents(s, d), "doc_id", 100, 42L)),
+
+    "q25_precision" -> ((s, d) => {
+      val edges = basketEdges(s, d)
+      val queries = Tables.part(s, d).where(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("query_id"))
+      val ranked = CfRetriever.topNFor(edges, queries, 20)
+        .select(col("src").as("query_id"), col("dst").as("item"), col("rnk"))
+      val truth = edges.where(col("weight") >= 2)
+        .select(col("src").as("query_id"), col("dst").as("item"))
+      Evaluation.precisionAtK(ranked, truth, Seq(5, 10))
+    }),
+
+    "q26_mean_precision" -> ((s, d) => {
+      val edges = basketEdges(s, d)
+      val queries = Tables.part(s, d).where(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("query_id"))
+      val ranked = CfRetriever.topNFor(edges, queries, 20)
+        .select(col("src").as("query_id"), col("dst").as("item"), col("rnk"))
+      val truth = edges.where(col("weight") >= 2)
+        .select(col("src").as("query_id"), col("dst").as("item"))
+      Evaluation.meanPrecision(Evaluation.precisionAtK(ranked, truth, Seq(5, 10)))
+        .withColumn("mean_precision", round(col("mean_precision"), 6))
+    }),
+
+    // --- hybrid flagship (reference E2) ---------------------------------
+    "q27_hybrid_topk" -> ((s, d) => hybridTopK(s, d)),
+
+    // --- events: windowed agg + sessionization --------------------------
+    "q28_events_window" -> ((s, d) =>
+      graft.streaming.EventStream.tumblingCounts(Tables.events(s, d))
+        .withColumn("sum_value", round(col("sum_value"), 4))),
+
+    "q29_sessions" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[graft.streaming.EventStream.Event]
+      graft.streaming.EventStream.sessionize(ev, 28800000L).toDF()
+    }),
+
+    // --- multimodal plumbing --------------------------------------------
+    "q30_media_meta" -> ((s, d) =>
+      Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))).toDF()),
+
+    // --- embedding pipeline (MLlib; rows-only check, no SQL oracle) -----
+    "q31_embed_docs" -> ((s, d) =>
+      Embedder.fitEmbed(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("embedding"))),
+
+    // --- amazon-meta stanza parser on the FIXTURES.md fixture -----------
+    "q32_parse_products" -> ((s, d) => {
+      import s.implicits._
+      s.createDataset(stanzaFixture).flatMap(AmazonMetaParser.parseStanza _).toDF()
+        .select(col("asin"), col("title"), col("group"),
+          size(col("categories")).cast("long").as("n_categories"),
+          size(col("similar")).cast("long").as("n_similar"))
+    }),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE fragments (kept identical across oracle queries). */
+  private val toksCte =
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS tk FROM documents)"
+  private val shCte =
+    "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s FROM toks)"
+  private val basketCtes =
+    """items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+      |e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      |      FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, weight FROM e
+      |        UNION ALL SELECT dst AS src, src AS dst, weight FROM e)""".stripMargin
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) = 0 THEN 0.0 " +
+      s"ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q31_embed_docs: fitted MLlib IDF) → driver records rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_top_orders" ->
+      """WITH rev AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderkey, o_orderdate, revenue,
+        |  row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rnk
+        |FROM rev ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q03_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q04_supplier_top_parts" ->
+      """SELECT l_suppkey, l_partkey, qty, rnk FROM (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY sum(l_quantity) DESC, l_partkey) AS rnk
+        |  FROM lineitem GROUP BY 1, 2) WHERE rnk <= 3""".stripMargin,
+
+    "q05_graph_edges" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem)
+        |SELECT a.item AS src, b.item AS dst, count(*) AS weight
+        |FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2""".stripMargin,
+
+    "q06_cf_topn" ->
+      s"""WITH $basketCtes,
+        |n AS (SELECT src, dst, weight,
+        |        weight::DOUBLE / max(weight) OVER (PARTITION BY src) AS norm FROM sym)
+        |SELECT src, dst, weight, norm,
+        |  row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
+        |FROM n QUALIFY rnk <= 10""".stripMargin,
+
+    "q07_cf_for_queries" ->
+      s"""WITH $basketCtes,
+        |f AS (SELECT * FROM sym WHERE src IN (SELECT p_partkey FROM part WHERE p_partkey <= 100)),
+        |n AS (SELECT src, dst, weight,
+        |        weight::DOUBLE / max(weight) OVER (PARTITION BY src) AS norm FROM f)
+        |SELECT src, dst, weight, norm,
+        |  row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
+        |FROM n QUALIFY rnk <= 5""".stripMargin,
+
+    "q08_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS sim
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |r AS (SELECT query_id, item, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item) AS rnk FROM sc)
+        |SELECT query_id, item, round(sim, 6) AS sim, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q09_knn_by_label" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS sim
+        |       FROM q JOIN e ON q.label = e.label AND q.query_id != e.vec_id),
+        |r AS (SELECT query_id, item, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item) AS rnk FROM sc)
+        |SELECT query_id, item, round(sim, 6) AS sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q10_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(sim, 6) AS sim FROM p WHERE sim >= 0.35""".stripMargin,
+
+    "q11_lsh_buckets" ->
+      """SELECT vec_id,
+        |  list_sum(list_transform(range(0, 8), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |           embedding[i+1]::DOUBLE * ((((j*64 + i) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 - 0.5))) > 0
+        |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |FROM embeddings""".stripMargin,
+
+    "q12_lsh_pairs" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_sum(list_transform(range(0, 8), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |           embedding[i+1]::DOUBLE * ((((j*64 + i) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 - 0.5))) > 0
+        |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.v", "y.v")} AS sim
+        |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT a, b, round(sim, 6) AS sim FROM p WHERE sim >= 0.1""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents)
+        |SELECT doc_id, content_hash,
+        |  count(*) OVER (PARTITION BY content_hash) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+        |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+        |FROM h""".stripMargin,
+
+    "q14_ngram_jaccard" ->
+      s"""WITH $toksCte,
+        |$shCte,
+        |cards AS (SELECT doc_id, len(s)::BIGINT AS card FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |      FROM inv x JOIN inv y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, inter, ca.card AS card_a, cb.card AS card_b,
+        |  inter::DOUBLE / (ca.card + cb.card - inter)::DOUBLE AS jaccard
+        |FROM p JOIN cards ca ON p.a = ca.doc_id JOIN cards cb ON p.b = cb.doc_id
+        |WHERE inter::DOUBLE / (ca.card + cb.card - inter)::DOUBLE >= 0.05""".stripMargin,
+
+    "q15_minhash_cand" ->
+      s"""WITH $toksCte,
+        |$shCte,
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+        |    list_min(list_transform(s, x ->
+        |      (((j * 2654435761) % 2147483647 + 1) * (cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)
+        |        + ((j * 40503 + 11) % 2147483647)) % 2147483647))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |keyed AS (SELECT doc_id, sg,
+        |    unnest(list_transform(range(0, 8), b -> b || ':' || array_to_string(sg[b*2+1:b*2+2], ','))) AS band_key
+        |  FROM sig),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS bands_matched
+        |      FROM keyed x JOIN keyed y USING (band_key) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, bands_matched,
+        |  list_sum(list_transform(range(1, 17), i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16 AS est_jaccard
+        |FROM p JOIN sig sa ON p.a = sa.doc_id JOIN sig sb ON p.b = sb.doc_id""".stripMargin,
+
+    "q16_simhash_fp" ->
+      s"""WITH $toksCte,
+        |t AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        |h AS (SELECT doc_id, cast('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h60 FROM t),
+        |bits AS (SELECT doc_id, bb.b AS b,
+        |    sum(CASE WHEN (h60 >> bb.b) % 2 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+        |      FROM bits GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS simhash
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    "q18_fingerprints" ->
+      s"""WITH $toksCte
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(tk, x ->
+        |    cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        |FROM toks""".stripMargin,
+
+    "q19_lang_id" ->
+      s"""WITH $toksCte,
+        |h AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+        |  len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::BIGINT AS hits_en,
+        |  len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], t)))::BIGINT AS hits_de,
+        |  len(list_filter(tk, t -> list_contains(['le','la','les','et','est','un','une','dans'], t)))::BIGINT AS hits_fr,
+        |  len(list_filter(tk, t -> list_contains(['el','la','los','y','es','un','una','en'], t)))::BIGINT AS hits_es
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, hits_en, hits_de, hits_fr, hits_es,
+        |  CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+        |       WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+        |       WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+        |       WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h""".stripMargin,
+
+    "q20_quality" ->
+      s"""WITH $toksCte,
+        |m AS (SELECT d.doc_id, d.text, t.tk FROM documents d JOIN toks t USING (doc_id)),
+        |c AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens, length(text) AS n_char,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+        |  len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it','der','die','das','und','ist','ein','nicht','mit','le','la','les','et','est','un','une','dans','el','la','los','y','es','un','una','en'], t))) AS stop_hits,
+        |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)::DOUBLE END AS mean_token_len
+        |  FROM m)
+        |SELECT doc_id, n_tokens, mean_token_len,
+        |  CASE WHEN n_char = 0 THEN 0.0 ELSE punct_chars::DOUBLE / n_char::DOUBLE END AS punct_ratio,
+        |  CASE WHEN n_char = 0 THEN 0.0 ELSE alpha_chars::DOUBLE / n_char::DOUBLE END AS alpha_ratio,
+        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits::DOUBLE / n_tokens::DOUBLE END AS stopword_ratio,
+        |  (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE alpha_chars::DOUBLE / n_char::DOUBLE END) >= 0.6 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE punct_chars::DOUBLE / n_char::DOUBLE END) <= 0.1 THEN 0.25 ELSE 0.0 END) AS quality
+        |FROM c""".stripMargin,
+
+    "q21_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q22_resolver_substr" ->
+      """WITH items AS (SELECT doc_id::VARCHAR AS id, text AS title FROM documents),
+        |cand AS (
+        |  SELECT id, title, 'exact_id' AS matched_by, 0 AS prec FROM items WHERE id = 'hash value table'
+        |  UNION ALL
+        |  SELECT id, title, 'substring' AS matched_by, 1 AS prec FROM items
+        |  WHERE title IS NOT NULL AND contains(lower(title), 'hash value table'))
+        |SELECT id, title, matched_by FROM cand
+        |ORDER BY prec, length(title), id LIMIT 1""".stripMargin,
+
+    "q23_resolver_exact" ->
+      """WITH items AS (SELECT doc_id::VARCHAR AS id, text AS title FROM documents),
+        |cand AS (
+        |  SELECT id, title, 'exact_id' AS matched_by, 0 AS prec FROM items WHERE id = '42'
+        |  UNION ALL
+        |  SELECT id, title, 'substring' AS matched_by, 1 AS prec FROM items
+        |  WHERE title IS NOT NULL AND contains(lower(title), '42'))
+        |SELECT id, title, matched_by FROM cand
+        |ORDER BY prec, length(title), id LIMIT 1""".stripMargin,
+
+    "q24_sample_inv" ->
+      "SELECT 100::BIGINT AS n_rows, 100::BIGINT AS n_distinct, true AS in_range",
+
+    "q25_precision" ->
+      s"""WITH $basketCtes,
+        |f AS (SELECT * FROM sym WHERE src IN (SELECT p_partkey FROM part WHERE p_partkey <= 100)),
+        |ranked AS (SELECT src AS query_id, dst AS item,
+        |    row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
+        |  FROM f QUALIFY rnk <= 20),
+        |truth AS (SELECT src AS query_id, dst AS item FROM sym WHERE weight >= 2),
+        |hits AS (SELECT r.query_id, r.item, r.rnk FROM ranked r
+        |         SEMI JOIN truth t ON r.query_id = t.query_id AND r.item = t.item),
+        |q AS (SELECT DISTINCT query_id FROM ranked),
+        |ks AS (SELECT unnest([5, 10]) AS k)
+        |SELECT q.query_id, ks.k,
+        |  count(CASE WHEN h.rnk <= ks.k THEN 1 END) AS hits,
+        |  count(CASE WHEN h.rnk <= ks.k THEN 1 END)::DOUBLE / ks.k::DOUBLE AS "precision"
+        |FROM q CROSS JOIN ks LEFT JOIN hits h ON q.query_id = h.query_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q26_mean_precision" ->
+      s"""WITH $basketCtes,
+        |f AS (SELECT * FROM sym WHERE src IN (SELECT p_partkey FROM part WHERE p_partkey <= 100)),
+        |ranked AS (SELECT src AS query_id, dst AS item,
+        |    row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
+        |  FROM f QUALIFY rnk <= 20),
+        |truth AS (SELECT src AS query_id, dst AS item FROM sym WHERE weight >= 2),
+        |hits AS (SELECT r.query_id, r.item, r.rnk FROM ranked r
+        |         SEMI JOIN truth t ON r.query_id = t.query_id AND r.item = t.item),
+        |q AS (SELECT DISTINCT query_id FROM ranked),
+        |ks AS (SELECT unnest([5, 10]) AS k),
+        |pq AS (SELECT q.query_id, ks.k,
+        |    count(CASE WHEN h.rnk <= ks.k THEN 1 END)::DOUBLE / ks.k::DOUBLE AS prec
+        |  FROM q CROSS JOIN ks LEFT JOIN hits h ON q.query_id = h.query_id
+        |  GROUP BY 1, 2)
+        |SELECT k, round(avg(prec), 6) AS mean_precision, count(*) AS n_queries
+        |FROM pq GROUP BY 1""".stripMargin,
+
+    "q27_hybrid_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |content AS (SELECT query_id, item, greatest(0.0, least(1.0, s)) AS cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
+        |  FROM sc QUALIFY rr <= 60),
+        |cf AS (SELECT a.vec_id AS query_id, b.vec_id AS item, 1.0 AS fs,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rr
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 20 QUALIFY rr <= 60),
+        |fu AS (SELECT coalesce(c.query_id, g.query_id) AS query_id,
+        |    coalesce(c.item, g.item) AS item,
+        |    coalesce(c.cs, 0.0) AS cs, coalesce(g.fs, 0.0) AS fs,
+        |    0.6 * coalesce(c.cs, 0.0) + 0.4 * coalesce(g.fs, 0.0) AS fin
+        |  FROM content c FULL OUTER JOIN cf g ON c.query_id = g.query_id AND c.item = g.item),
+        |r AS (SELECT query_id, item, cs, fs, fin,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY fin DESC, item) AS rnk FROM fu)
+        |SELECT query_id, item, round(cs, 6) AS cs, fs, round(fin, 6) AS "final", rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q28_events_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+        |  time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q29_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+        |s AS (SELECT user_id, t, event_id,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL THEN 0
+        |       WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 28800000 THEN 1
+        |       ELSE 0 END AS brk
+        |  FROM e),
+        |c AS (SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM c GROUP BY 1, 2)
+        |SELECT user_id, sid::BIGINT AS session_id, n::BIGINT AS n_events FROM g
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) = 1""".stripMargin,
+
+    "q30_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  (16 + octet_length(encode(text)) % 240)::INT AS width,
+        |  (16 + (octet_length(encode(text)) * 7) % 240)::INT AS height,
+        |  (1 + octet_length(encode(text)) % 30)::INT AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q32_parse_products" ->
+      """SELECT * FROM (VALUES
+        |  ('A1', 'Alpha Beta', 'Book', 2::BIGINT, 2::BIGINT),
+        |  ('A3', 'Gamma', '', 1::BIGINT, 0::BIGINT))
+        |AS t(asin, title, "group", n_categories, n_similar)""".stripMargin,
+  )
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Collaborative-filtering candidate generation.
+  *
+  * Reference: `cf_candidates` (`Hybrid_Recom_vecdb.py:189-198`) — the
+  * query item's neighbors, max-normalized, top-n by weight (SURVEY A2/A3).
+  * The reference loops per query; here ALL queries are answered in one
+  * set-oriented plan (SURVEY §3 E3 note): a single window over the
+  * (already src-partitioned) normalized edge list.
+  *
+  * Tie-break: the reference inherits Python's insertion-order-stable
+  * `Counter.most_common`; we impose the explicit total order
+  * (weight DESC, dst ASC) so results are deterministic (SURVEY §7.4).
+  */
+object CfRetriever {
+
+  /** Top-n neighbors per source with normalized scores.
+    * Output: (src, dst, weight, norm, rnk), rnk in 1..n. */
+  def topN(edges: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("src")
+      .orderBy(col("weight").desc, col("dst").asc)
+    CoPurchaseGraph.normalized(edges)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= n)
+  }
+
+  /** Candidates for a restricted query set only. The filter is applied
+    * BEFORE the window so Catalyst pushes it into the scan and the window
+    * only sorts the surviving groups — at 100 TB this is the difference
+    * between windowing the whole graph and windowing q rows × fanout. */
+  def topNFor(edges: DataFrame, queries: DataFrame, n: Int): DataFrame =
+    topN(edges.join(queries.hint("broadcast").select(col("query_id").as("src")),
+      Seq("src"), "left_semi"), n)
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Co-purchase graph construction — the CF arm's data structure.
+  *
+  * Reference semantics: `build_copurchase_graph`
+  * (`Hybrid_Recom_vecdb.py:133-141`) — `graph[a][b] += 1` for every b in
+  * a.similar, restricted to in-sample endpoints, self-loops excluded
+  * (SURVEY §2 A1/J1/J2).
+  *
+  * Scale notes (100 TB): both builders are one shuffle each —
+  * `groupBy(src, dst).count()` with map-side partial aggregation, so the
+  * shuffle carries pre-aggregated (src, dst, partial_count) rows, not raw
+  * pairs. The membership restriction is a *broadcast* left-semi join when
+  * the id set is small, a shuffled semi-join otherwise — Catalyst/AQE
+  * picks per actual size. No driver-side materialization anywhere.
+  */
+object CoPurchaseGraph {
+
+  /** Reference-native builder: products with an array `similar` column →
+    * weighted directed edges (src, dst, weight), dst restricted to the
+    * product set itself, self-loops dropped. */
+  def fromSimilar(products: DataFrame,
+                  idCol: String = "asin",
+                  similarCol: String = "similar"): DataFrame = {
+    val ids = products.select(col(idCol).as("dst")).distinct()
+    products
+      .select(col(idCol).as("src"), explode(col(similarCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .join(ids.hint("broadcast"), Seq("dst"), "left_semi")
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Market-basket builder over the TPC-H-ish corpus: two parts are
+    * "co-purchased" when they appear in the same order. Emits undirected
+    * canonical edges (src < dst) with weight = number of distinct orders
+    * containing both. Stands in for the reference's `similar` lists on the
+    * driver corpus (FIXTURES.md §3).
+    *
+    * Self-join shuffles both sides on l_orderkey (co-partitioned, no
+    * broadcast needed at scale); duplicate (order, part) rows are
+    * collapsed first so the pair expansion is per distinct item. */
+  def fromOrders(lineitem: DataFrame): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("item")).distinct()
+    val a = items.select(col("okey"), col("item").as("src"))
+    val b = items.select(col("okey"), col("item").as("dst"))
+    a.join(b, "okey")
+      .where(col("src") < col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Undirected edge list → directed adjacency (both orientations), the
+    * shape the CF arm consumes. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("weight"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+
+  /** Per-source max-normalized weight (reference `cf_candidates`
+    * normalization, `Hybrid_Recom_vecdb.py:193-197`, SURVEY P10/A2):
+    * norm = weight / max(weight over src) ∈ (0, 1]. One shuffle on src
+    * (window); reuses the groupBy partitioning when upstream is already
+    * hash-distributed by src. */
+  def normalized(edges: DataFrame): DataFrame =
+    edges.withColumn("norm",
+      col("weight").cast("double") /
+        max(col("weight")).over(Window.partitionBy("src")).cast("double"))
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines.
+  *
+  * Not present in the reference (its corpus is keyed by unique ASIN); these
+  * are the standard web-scale text-dedup operators, each expressed so the
+  * expensive part is an *equi*-join Spark can hash-partition — never an
+  * all-pairs comparison:
+  *
+  *  - exact:    one groupBy on a content hash (md5) — one shuffle.
+  *  - n-gram Jaccard: inverted-index join on shingles (docs sharing ≥1
+  *    shingle), then |A∩B| via groupBy — pairs never materialize unless
+  *    they actually share content.
+  *  - MinHash+LSH: signature (map-side fold) → band keys → equi-join on
+  *    band key. At 100 TB only band-collisions shuffle.
+  *  - SimHash: 60-bit fingerprint (map-side) → chunk keys (pigeonhole) →
+  *    equi-join on chunk, Hamming ≤ r filter.
+  *  - Embedding cosine: threshold pairs via LSH/IVF candidates; the
+  *    brute-force variant is kept for verification at test scale.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text. Output: one row per doc with its
+    * content-group size and whether it is the canonical (min-id) copy. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      md5(lower(trim(col(textCol)))).as("content_hash"))
+    val w = Window.partitionBy("content_hash")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_duplicate", (col("doc_id") =!= col("canonical_id")))
+  }
+
+  /** Pairwise n-gram Jaccard via inverted-index join.
+    * Output: (a, b, inter, card_a, card_b, jaccard) for pairs with ≥1
+    * shared shingle and jaccard ≥ minJaccard; a < b canonical. */
+  def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingleSet(col(textCol), n).as("shingles"))
+    val cards = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("card"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val pairs = inv.as("x").join(inv.as("y"), "shingle")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cards.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("card", "card_a"), "a")
+      .join(cards.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("card", "card_b"), "b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("card_a") + col("card_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("a", "b", "inter", "card_a", "card_b", "jaccard")
+  }
+
+  /** MinHash signatures: (doc_id, sig array<long>) — map-side only. */
+  def minhashSignatures(docs: DataFrame, n: Int, perms: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      minhashSig(shingleSet(col(textCol), n), perms).as("sig"))
+
+  /** LSH candidate pairs: docs sharing ≥1 MinHash band, with the number of
+    * agreeing bands and the signature-agreement estimate of Jaccard.
+    * Only the (band_key → doc) inverted index shuffles. */
+  def minhashCandidates(docs: DataFrame, n: Int, perms: Int, bands: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    val sigs = minhashSignatures(docs, n, perms, idCol, textCol)
+      .where(size(col("sig")) > 0) // docs too short to shingle can't match
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(bandKeys(col("sig"), bands, perms / bands)).as("band_key"))
+    keyed.as("x").join(keyed.as("y"), "band_key")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("bands_matched"),
+        first(zip_with(col("x.sig"), col("y.sig"),
+          (p, q) => when(p === q, 1).otherwise(0)).as("agree")).as("agree"))
+      .withColumn("est_jaccard",
+        aggregate(col("agree"), lit(0), _ + _).cast("double") / lit(perms))
+      .select("a", "b", "bands_matched", "est_jaccard")
+  }
+
+  /** SimHash fingerprints (doc_id, simhash) — map-side only. */
+  def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using the
+    * pigeonhole principle: split the 60-bit fingerprint into
+    * (maxHamming+1) chunks — any pair within distance maxHamming agrees on
+    * ≥1 whole chunk, so candidates come from an equi-join on
+    * (chunk_index, chunk_value). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 60 / chunks
+    val fp = simhashFingerprints(docs, idCol, textCol)
+    val keyed = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map(c =>
+        concat_ws(":", lit(c),
+          shiftright(col("simhash"), c * bitsPer) % lit(1L << bitsPer))): _*))
+        .as("chunk_key"))
+    keyed.as("x").join(keyed.as("y"), "chunk_key")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: exact threshold pairs (brute force). The
+    * verification baseline; the scale path blocks by an LSH/IVF cell
+    * column first (see ContentRetriever/Lsh). */
+  def cosinePairs(emb: DataFrame, minSim: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= minSim)
+      .select("a", "b", "sim")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seeded exact-size sampling.
+  *
+  * Reference: Algorithm-R reservoir sample of exactly n rows
+  * (`build_random_sample`, `Hybrid_Recom_vecdb.py:102-123`) and the eval
+  * query sample (`:239-245`) — both seeded, both exact-size (SURVEY R1-R3).
+  *
+  * Spark mapping: `orderBy(rand(seed)).limit(n)` — physically a
+  * TakeOrderedAndProject: each partition keeps its local top-n by the
+  * random key, the driver merges heaps. Same O(n) memory bound as the
+  * reservoir, but distributed. Bit-compatibility with Python's MT19937 is
+  * impossible cross-engine; parity is distributional and asserted by
+  * invariants (exact size, uniqueness — SURVEY §7.4).
+  */
+object Sampling {
+
+  /** Exactly min(n, |df|) uniformly sampled rows, deterministic per seed. */
+  def exactSample(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed), df.columns.map(col).head).limit(n)
+
+  /** Invariant summary used by the correctness harness: the sample's size,
+    * key-distinctness and key-range containment — properties a seeded
+    * sample must satisfy regardless of which rows the seed picked. */
+  def sampleInvariants(df: DataFrame, keyCol: String, n: Int, seed: Long): DataFrame = {
+    val s = exactSample(df, n, seed)
+    val bounds = df.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+    s.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(keyCol)).as("n_distinct"),
+        min(col(keyCol)).as("s_lo"), max(col(keyCol)).as("s_hi"))
+      .crossJoin(bounds.hint("broadcast"))
+      .select(col("n_rows"), col("n_distinct"),
+        (col("s_lo") >= col("lo") && col("s_hi") <= col("hi")).as("in_range"))
+  }
+}

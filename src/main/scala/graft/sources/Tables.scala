@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Every operator takes the scale-factor directory as a parameter so the
+  * same code runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench),
+  * and — unchanged — against a 100 TB lake: the reads are plain parquet
+  * scans, so Catalyst pushes filters/column pruning down to the file
+  * source and partition pruning applies when the lake is partitioned.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
+    * sessions) it arrives as a nanosecond LongType, converted here to a
+    * microsecond TimestampType (floor division — same truncation DuckDB
+    * applies). */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}

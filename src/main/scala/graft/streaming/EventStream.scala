@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY §2.7); this is the engine's
+  * streaming extension (SURVEY §7.2 M6). Each transform takes/returns a
+  * streaming Dataset so it composes with `readStream` → `writeStream`;
+  * the same code paths also run in batch (tested that way, plus a
+  * MemoryStream spec).
+  */
+object EventStream {
+
+  /** 5-minute tumbling-window counts per event type with a 10-minute
+    * watermark: late rows beyond the watermark are dropped, state is
+    * bounded — the canonical streaming aggregation. */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)
+  case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Gap-based sessionization with explicit state: a session closes after
+    * `gapMs` of user inactivity. mapGroupsWithState keeps one small state
+    * record per user — state size is O(active users), independent of
+    * event volume. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs)
+                SessionState(st.sessionId + 1, 1L, t)
+              else SessionState(st.sessionId, st.nEvents + 1, t)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessionId, st.nEvents)
+      }
+  }
+}
