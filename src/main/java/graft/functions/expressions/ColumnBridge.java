@@ -1,0 +1,25 @@
+package graft.functions.expressions;
+
+import org.apache.spark.sql.Column;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+
+/**
+ * Bridge between Catalyst {@link Expression}s and public {@link Column}s.
+ *
+ * Spark 4 moved Expression-backed Column construction behind
+ * {@code org.apache.spark.sql.classic.ExpressionUtils}, whose methods are
+ * {@code private[sql]} at the Scala level but public in bytecode; calling
+ * through Java sidesteps the Scala access check without touching any
+ * internal state. (Same technique Spark's own Java tests use.)
+ */
+public final class ColumnBridge {
+  private ColumnBridge() {}
+
+  public static Column column(Expression e) {
+    return org.apache.spark.sql.classic.ExpressionUtils.column(e);
+  }
+
+  public static Expression expression(Column c) {
+    return org.apache.spark.sql.classic.ExpressionUtils.expression(c);
+  }
+}

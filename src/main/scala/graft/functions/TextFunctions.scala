@@ -43,15 +43,22 @@ object TextFunctions {
     when(size(toks) < n, array().cast("array<string>")).otherwise(windows)
   }
 
-  /** Distinct shingle set (dedup within document before Jaccard/MinHash). */
+  /** Distinct shingle set (dedup within document before Jaccard/MinHash).
+    * Backed by the single-pass [[expressions.WordShingles]] expression;
+    * equals `array_distinct(shingles(tokens(text), n))`. */
   def shingleSet(text: Column, n: Int): Column =
-    array_distinct(shingles(tokens(text), n))
+    expressions.TextHashExpressions.wordShingles(tokens(text), n)
 
   /** Polynomial rolling-hash document fingerprint over the token stream:
     * fold((acc, t) => (acc*31 + hash31(t)) mod (2^31−1), 0).
     * Order-sensitive, so re-ordered documents fingerprint differently
-    * (unlike a shingle set). */
+    * (unlike a shingle set). Single-pass expression; tests assert
+    * equivalence with [[fingerprintHof]]. */
   def fingerprint(text: Column): Column =
+    expressions.TextHashExpressions.rollingFingerprint(tokens(text))
+
+  /** HOF reference implementation of [[fingerprint]]. */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + hash31(t)) % HashMod)
 
@@ -60,7 +67,11 @@ object TextFunctions {
     * Token multiplicity counts (standard Charikar weighting by frequency).
     * 60 bits (not 64) so the value stays a non-negative bigint in both
     * engines. */
-  def simhash(text: Column, bits: Int = 60): Column = {
+  def simhash(text: Column): Column =
+    expressions.TextHashExpressions.simhash60(tokens(text))
+
+  /** HOF reference implementation of [[simhash]] (fixed 60 bits). */
+  def simhashHof(text: Column, bits: Int = 60): Column = {
     val toks = tokens(text)
     // acc is an array of `bits` counters folded over the token stream in a
     // single pass; codegen subexpression-eliminates the repeated hash60(t).
@@ -84,8 +95,16 @@ object TextFunctions {
   /** MinHash signature of a shingle *set*: for permutation j (0-based),
     * sig[j] = min over shingles s of (A(j)·hash31(s) + B(j)) mod (2^31−1),
     * with A/B fixed odd/even linear-congruential-style constants derived
-    * from j by pure integer arithmetic (identical in the oracle). */
+    * from j by pure integer arithmetic (identical in the oracle).
+    * Single-pass expression hashing each shingle once (the HOF version
+    * below re-hashes per permutation); empty set → empty signature. */
   def minhashSig(shingleSet: Column, perms: Int): Column =
+    expressions.TextHashExpressions.minhashSig(shingleSet, perms)
+
+  /** HOF reference implementation of [[minhashSig]] (empty set → array of
+    * `perms` nulls rather than an empty array — callers filter empties
+    * first). */
+  def minhashSigHof(shingleSet: Column, perms: Int): Column =
     transform(sequence(lit(0), lit(perms - 1)), j => {
       val a = (j * 2654435761L) % HashMod + 1L // never 0
       val b = (j * 40503L + 11L) % HashMod

@@ -42,8 +42,15 @@ object VectorFunctions {
 
   /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero
     * (matches the "no signal" reading of the reference's clamp at
-    * `Hybrid_Recom_vecdb.py:184-185`). */
-  def cosine(a: Column, b: Column): Column = {
+    * `Hybrid_Recom_vecdb.py:184-185`). Backed by the codegen'd
+    * [[graft.functions.expressions.CosineSim]] expression; bit-identical
+    * to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosineSim(a, b)
+
+  /** Higher-order-function rendering of [[cosine]] — kept as the
+    * pure-built-in reference implementation (tests assert equivalence). */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
