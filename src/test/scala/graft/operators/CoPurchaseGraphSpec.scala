@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Graph-builder semantics from the reference
+  * (/root/reference/Hybrid_Recom_vecdb.py:133-141): weight counts,
+  * in-sample restriction, self-loop exclusion, max-normalization. */
+class CoPurchaseGraphSpec extends SparkTestBase {
+
+  private def products = spark.createDataFrame(Seq(
+    ("a", Seq("b", "c", "b", "zz")), // zz is out-of-sample, b twice
+    ("b", Seq("a", "b")),            // self-loop b->b must drop
+    ("c", Seq.empty[String])))
+    .toDF("asin", "similar")
+
+  test("fromSimilar: weights count duplicates, excludes self-loops and out-of-sample") {
+    val e = CoPurchaseGraph.fromSimilar(products).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "a") -> 1L))
+  }
+
+  test("fromOrders: co-occurrence within order, canonical src<dst, distinct items") {
+    val li = spark.createDataFrame(Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L), // dup (1,20) collapses
+      (2L, 10L), (2L, 20L)))
+      .toDF("l_orderkey", "l_partkey")
+    val e = CoPurchaseGraph.fromOrders(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(e == Map((10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+  }
+
+  test("symmetrize doubles the edge list with swapped endpoints") {
+    val e = spark.createDataFrame(Seq((1L, 2L, 3L))).toDF("src", "dst", "weight")
+    val sym = CoPurchaseGraph.symmetrize(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sym == Set((1L, 2L, 3L), (2L, 1L, 3L)))
+  }
+
+  test("normalized: per-src max-normalization lands in (0,1] with max exactly 1") {
+    val e = spark.createDataFrame(Seq(
+      ("a", "x", 4L), ("a", "y", 2L), ("b", "x", 7L)))
+      .toDF("src", "dst", "weight")
+    val n = CoPurchaseGraph.normalized(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(n(("a", "x")) == 1.0 && n(("a", "y")) == 0.5 && n(("b", "x")) == 1.0)
+  }
+
+  test("cf topN: deterministic (weight DESC, dst ASC) rank, n enforced") {
+    val e = spark.createDataFrame(Seq(
+      ("a", "x", 2L), ("a", "y", 2L), ("a", "z", 5L), ("a", "w", 1L)))
+      .toDF("src", "dst", "weight")
+    val top = CfRetriever.topN(e, 2).orderBy(col("rnk"))
+      .select(col("dst")).collect().map(_.getString(0)).toSeq
+    assert(top == Seq("z", "x")) // z wins on weight; x beats y on dst asc
+  }
+}

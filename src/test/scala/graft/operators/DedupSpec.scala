@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Dedup-suite semantics on crafted near/exact duplicates. */
+class DedupSpec extends SparkTestBase {
+
+  private def docs = spark.createDataFrame(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog  "), // exact dup modulo case/trim
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup (1 word)
+    (4L, "completely different text about spark and parquet files"),
+    (5L, "xy"))) // too short to 3-shingle
+    .toDF("doc_id", "text")
+
+  test("exact: case/whitespace-normalized dup groups, canonical = min id") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == (2L, 1L, false))
+    assert(out(2L) == (2L, 1L, true)) // duplicate of 1
+    assert(out(3L) == (1L, 3L, false))
+  }
+
+  test("ngramJaccard: identical docs have jaccard 1.0; near dups in between") {
+    val pairs = Dedup.ngramJaccard(docs, 3, 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashCandidates: identical docs match on all bands with est 1.0") {
+    val cand = Dedup.minhashCandidates(docs, 3, 16, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(cand((1L, 2L)) == (8L, 1.0))
+    // doc 5 (unshingleable) must never appear as a candidate
+    assert(!cand.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhashPairs: identical docs at hamming 0; near dups close") {
+    val pairs = Dedup.simhashPairs(docs, 14).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("cosinePairs: threshold keeps only similar vectors") {
+    val emb = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.streaming.EventStream._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming surface: tumbling-window agg actually running as a stream
+  * (MemoryStream + watermark) and gap-sessionization semantics. */
+class EventStreamSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingCounts as a real stream: windowed counts, late row dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.tumblingCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(4), "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first window…
+      mem.addData((ts(30), "click", 1.0))
+      q.processAllAvailable()
+      // …then a too-late row for the closed window: must be dropped
+      mem.addData((ts(2), "click", 100.0))
+      q.processAllAvailable()
+      val out = s.sql("SELECT event_type, cnt, sum_value FROM tumbling WHERE win_start = '2024-01-01 10:00:00'")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(out("click") == (2L, 3.0)) // late 100.0 not counted
+      assert(out("view") == (1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("tumblingCounts batch mode matches hand counts") {
+    val df = spark.createDataFrame(Seq(
+      (ts(0), "a", 1.0), (ts(4), "a", 2.0), (ts(5), "a", 4.0)))
+      .toDF("ts", "event_type", "value")
+    val out = EventStream.tumblingCounts(df).collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out("2024-01-01 10:00:00.0") == (2L, 3.0))
+    assert(out("2024-01-01 10:05:00.0") == (1L, 4.0))
+  }
+
+  test("sessionize: gap splits sessions; final state = last session") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      Event(1L, ts(0), 7L, "c", 1.0),
+      Event(2L, ts(1), 7L, "c", 1.0),
+      Event(3L, ts(30), 7L, "c", 1.0), // 29-min gap > 10-min session gap
+      Event(4L, ts(31), 7L, "c", 1.0),
+      Event(5L, ts(33), 7L, "c", 1.0),
+      Event(6L, ts(0), 8L, "c", 1.0)).toDS()
+    val out = EventStream.sessionize(events, 600000L).collect()
+      .map(u => u.user_id -> (u.session_id, u.n_events)).toMap
+    assert(out(7L) == (1L, 3L)) // second session (id 1) has events 3,4,5
+    assert(out(8L) == (0L, 1L))
+  }
+
+  test("sessionize processes events in (ts, event_id) order regardless of input order") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      Event(2L, ts(30), 7L, "c", 1.0),
+      Event(1L, ts(0), 7L, "c", 1.0)).toDS().repartition(4)
+    val out = EventStream.sessionize(events, 600000L).collect()
+      .map(u => u.user_id -> (u.session_id, u.n_events)).toMap
+    assert(out(7L) == (1L, 1L)) // two sessions; last has one event
+  }
+}
