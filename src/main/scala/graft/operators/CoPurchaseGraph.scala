@@ -56,11 +56,17 @@ object CoPurchaseGraph {
   }
 
   /** Undirected edge list → directed adjacency (both orientations), the
-    * shape the CF arm consumes. */
+    * shape the CF arm consumes. Emitted by exploding both orientations of
+    * each row rather than a self-union: a union duplicates the whole
+    * upstream subtree in the physical plan (the graph build would run
+    * twice — 2× scan + 2× shuffle at any scale); the explode is one
+    * map-side pass over a single build. */
   def symmetrize(edges: DataFrame): DataFrame =
-    edges.select(col("src"), col("dst"), col("weight"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
-        col("weight")))
+    edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"),
+      col("weight"))
+      .select(col("e.src"), col("e.dst"), col("weight"))
 
   /** Per-source max-normalized weight (reference `cf_candidates`
     * normalization, `Hybrid_Recom_vecdb.py:193-197`, SURVEY P10/A2):
