@@ -156,6 +156,14 @@ object SparkEntry {
     "q16_simhash_fp" -> ((s, d) =>
       Dedup.simhashFingerprints(Tables.documents(s, d))),
 
+    // --- document-text projection (reference P2) on the parser fixture --
+    "q17_product_text" -> ((s, d) => {
+      import s.implicits._
+      s.createDataset(stanzaFixture).flatMap(AmazonMetaParser.parseStanza _).toDF()
+        .select(col("asin"), OfflineIndexBuild.productText(
+          col("title"), col("group"), col("categories")).as("document"))
+    }),
+
     // --- text analysis --------------------------------------------------
     "q18_fingerprints" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d))),
@@ -408,6 +416,12 @@ object SparkEntry {
         |      FROM bits GROUP BY 1)
         |SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS simhash
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    "q17_product_text" ->
+      """SELECT * FROM (VALUES
+        |  ('A1', 'Alpha Beta | Group: Book | Category: |Books[1]|Fiction[2]'),
+        |  ('A3', 'Gamma | Category: |CDs[9]'))
+        |AS t(asin, document)""".stripMargin,
 
     "q18_fingerprints" ->
       s"""WITH $toksCte
