@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet-footer paths so the first timed query
+    // doesn't absorb session cold-start (it would at any scale factor).
+    try SparkEntry.queries("q01_pricing")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

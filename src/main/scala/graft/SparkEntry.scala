@@ -237,6 +237,13 @@ object SparkEntry {
       Embedder.fitEmbed(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("embedding"))),
 
+    // --- MLlib BRP-LSH ANN scale path (seeded model; rows-only check) ---
+    "q33_brp_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      BrpLsh.cosinePairs(BrpLsh.fit(emb, 2.0, 4), emb, 0.3)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
+
     // --- amazon-meta stanza parser on the FIXTURES.md fixture -----------
     "q32_parse_products" -> ((s, d) => {
       import s.implicits._
