@@ -240,7 +240,9 @@ object SparkEntry {
     // --- MLlib BRP-LSH ANN scale path (seeded model; rows-only check) ---
     "q33_brp_pairs" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      BrpLsh.cosinePairs(BrpLsh.fit(emb, 2.0, 4), emb, 0.3)
+      // bucketLength 0.5 ≈ half a unit-vector projection sigma: fine
+      // enough that a hash table holds ~buckets, not an all-pairs join
+      BrpLsh.cosinePairs(BrpLsh.fit(emb, 0.5, 4), emb, 0.3)
         .withColumn("sim", round(col("sim"), 6))
     }),
 
