@@ -26,6 +26,18 @@ object SparkEntry {
   private def basketEdges(s: SparkSession, d: String): DataFrame =
     CoPurchaseGraph.symmetrize(CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)))
 
+  /** Basket edges pruned to orders touching the query set — same result
+    * for any edge with an endpoint in `queries`, a fraction of the cost
+    * (see CoPurchaseGraph.fromOrdersFor). */
+  private def basketEdgesFor(s: SparkSession, d: String, queries: DataFrame): DataFrame =
+    CoPurchaseGraph.symmetrize(
+      CoPurchaseGraph.fromOrdersFor(Tables.lineitem(s, d), queries))
+
+  /** The restricted query set used by q07/q25/q26. */
+  private def partQueries(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).where(col("p_partkey") <= 100)
+      .select(col("p_partkey").as("query_id"))
+
   /** Query vectors: the first 20 ids of the embeddings table. */
   private def queryVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).where(col("vec_id") < 20)
@@ -77,24 +89,40 @@ object SparkEntry {
         count(lit(1)).as("cnt"))),
 
     "q02_top_orders" -> ((s, d) => {
-      val rev = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
+      // Pre-aggregate lineitem on its own key BEFORE the join: the join
+      // then moves one row per order, not one per line item (o_orderkey
+      // is unique in orders, so group-then-join ≡ join-then-group).
+      val lrev = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      val rev = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        .join(lrev, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
       rev.withColumn("rnk",
         row_number().over(Window.orderBy(col("revenue").desc, col("o_orderkey").asc)))
     }),
 
-    "q03_nation_revenue" -> ((s, d) => Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))),
+    "q03_nation_revenue" -> ((s, d) => {
+      // Partial-aggregate lineitem per order first: the fact-side shuffle
+      // carries one row per order, and countDistinct(o_orderkey) becomes
+      // a plain count (each surviving row IS one distinct order) — no
+      // distinct expansion in the final aggregate.
+      val lrev = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("orev"))
+      lrev
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("orev")), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
 
     "q04_supplier_top_parts" -> ((s, d) => {
       val agg = Tables.lineitem(s, d).groupBy(col("l_suppkey"), col("l_partkey"))
@@ -110,11 +138,10 @@ object SparkEntry {
 
     "q06_cf_topn" -> ((s, d) => CfRetriever.topN(basketEdges(s, d), 10)),
 
-    "q07_cf_for_queries" -> ((s, d) => CfRetriever.topNFor(
-      basketEdges(s, d),
-      Tables.part(s, d).where(col("p_partkey") <= 100)
-        .select(col("p_partkey").as("query_id")),
-      5)),
+    "q07_cf_for_queries" -> ((s, d) => {
+      val q = partQueries(s, d)
+      CfRetriever.topNFor(basketEdgesFor(s, d, q), q, 5)
+    }),
 
     // --- vector retrieval (SURVEY V1-V4) --------------------------------
     "q08_knn" -> ((s, d) =>
@@ -189,9 +216,8 @@ object SparkEntry {
       Sampling.sampleInvariants(Tables.documents(s, d), "doc_id", 100, 42L)),
 
     "q25_precision" -> ((s, d) => {
-      val edges = basketEdges(s, d)
-      val queries = Tables.part(s, d).where(col("p_partkey") <= 100)
-        .select(col("p_partkey").as("query_id"))
+      val queries = partQueries(s, d)
+      val edges = basketEdgesFor(s, d, queries)
       val ranked = CfRetriever.topNFor(edges, queries, 20)
         .select(col("src").as("query_id"), col("dst").as("item"), col("rnk"))
       val truth = edges.where(col("weight") >= 2)
@@ -200,9 +226,8 @@ object SparkEntry {
     }),
 
     "q26_mean_precision" -> ((s, d) => {
-      val edges = basketEdges(s, d)
-      val queries = Tables.part(s, d).where(col("p_partkey") <= 100)
-        .select(col("p_partkey").as("query_id"))
+      val queries = partQueries(s, d)
+      val edges = basketEdgesFor(s, d, queries)
       val ranked = CfRetriever.topNFor(edges, queries, 20)
         .select(col("src").as("query_id"), col("dst").as("item"), col("rnk"))
       val truth = edges.where(col("weight") >= 2)
@@ -240,9 +265,19 @@ object SparkEntry {
     // --- MLlib BRP-LSH ANN scale path (seeded model; rows-only check) ---
     "q33_brp_pairs" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      // bucketLength 0.5 ≈ half a unit-vector projection sigma: fine
-      // enough that a hash table holds ~buckets, not an all-pairs join
-      BrpLsh.cosinePairs(BrpLsh.fit(emb, 0.5, 4), emb, 0.3)
+      // Unit-vector projections onto a random unit direction in 64-d have
+      // sigma ≈ 1/sqrt(64) = 0.125; bucketLength must sit at ~1 sigma or
+      // the whole table collapses into a couple of buckets per hash table
+      // and the "LSH" join degenerates to all-pairs.
+      BrpLsh.cosinePairs(BrpLsh.fit(emb, 0.125, 4), emb, 0.3)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
+
+    // --- IVF ANN (KMeans cells + nProbe probing; rows-only check) -------
+    "q34_ivf_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Ivf.fit(emb, 16)
+      Ivf.topK(Ivf.assign(model, emb), model, queryVecs(s, d), 10, 4)
         .withColumn("sim", round(col("sim"), 6))
     }),
 

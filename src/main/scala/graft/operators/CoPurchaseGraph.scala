@@ -55,6 +55,31 @@ object CoPurchaseGraph {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** [[fromOrders]] restricted to edges touching a query-id set: the
+    * basket self-join is pruned to orders that contain at least one query
+    * item BEFORE the pair expansion. For any pair with an endpoint in the
+    * query set, every order containing both items also contains the query
+    * item, so the surviving weights are identical to the unrestricted
+    * build — but the quadratic pair expansion and its shuffle now run
+    * over |orders touching Q| instead of |all orders|. At 100 TB with a
+    * small query set this is the difference between a full-corpus
+    * self-join and a few thousand baskets. */
+  def fromOrdersFor(lineitem: DataFrame, queryIds: DataFrame): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("item")).distinct()
+    val qOrders = items
+      .join(queryIds.hint("broadcast").select(col("query_id").as("item")),
+        Seq("item"), "left_semi")
+      .select("okey").distinct()
+    val qItems = items.join(qOrders.hint("broadcast"), Seq("okey"), "left_semi")
+    val a = qItems.select(col("okey"), col("item").as("src"))
+    val b = qItems.select(col("okey"), col("item").as("dst"))
+    a.join(b, "okey")
+      .where(col("src") < col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Undirected edge list → directed adjacency (both orientations), the
     * shape the CF arm consumes. Emitted by exploding both orientations of
     * each row rather than a self-union: a union duplicates the whole

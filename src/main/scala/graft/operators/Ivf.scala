@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index — the partition-pruned scale path for
+  * cosine top-k (SURVEY §2.4 V2/V3, §7.2 M6).
+  *
+  * Replaces the reference's HNSW index (ChromaDB,
+  * `/root/reference/Hybrid_Recom_vecdb.py:155-158,172-177`) with the
+  * classic IVF-Flat design re-expressed for Spark's execution model:
+  *
+  *  1. '''train''': seeded MLlib KMeans over L2-normalized vectors
+  *     (Euclidean on the unit sphere is monotone in cosine, so the
+  *     centroids are cosine cells).
+  *  2. '''assign''': every index vector gets a `cell` column — map-side
+  *     only (the model broadcasts its centroids).
+  *  3. '''search''': each query scores the (tiny, broadcast) centroid
+  *     table, probes its `nProbe` nearest cells, and scans ONLY those
+  *     cells — an equi-join on `cell` that Spark hash-partitions.
+  *
+  * At 100 TB the index is written `partitionBy("cell")`; the probe join
+  * then becomes parquet partition pruning and untouched cells are never
+  * read. Cost per query drops from O(|I|) to O(nProbe·|I|/nCells);
+  * recall is tunable via nProbe (nProbe = nCells ⇒ exact).
+  */
+object Ivf {
+
+  /** Train the coarse quantizer. `nCells` ~ sqrt(|index|) is the usual
+    * IVF sizing. Deterministic under the fixed seed. */
+  def fit(emb: DataFrame, nCells: Int, seed: Long = 42L,
+          vecCol: String = "embedding"): KMeansModel =
+    new KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__nvec").setPredictionCol("cell")
+      .fit(withUnitVec(emb, vecCol))
+
+  /** Attach the `cell` column (map-side; centroids ride along broadcast). */
+  def assign(model: KMeansModel, emb: DataFrame,
+             vecCol: String = "embedding"): DataFrame =
+    model.transform(withUnitVec(emb, vecCol)).drop("__nvec")
+
+  /** Centroid table (cell, centroid array<double>) — |nCells| rows, always
+    * broadcast. */
+  def centroids(spark: SparkSession, model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** Probed top-k: for each query, rank the `nProbe` cells whose centroid
+    * is most cosine-similar, then exact-score only the index rows in those
+    * cells. Output (query_id, vec_id, sim, rnk) with the deterministic
+    * (sim DESC, vec_id ASC) tie order (SURVEY §7.4). */
+  def topK(indexWithCells: DataFrame, model: KMeansModel, queries: DataFrame,
+           k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+    val spark = indexWithCells.sparkSession
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries
+      .join(centroids(spark, model).hint("broadcast"))
+      .withColumn("__csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("__crnk", row_number().over(probeW))
+      .where(col("__crnk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val scored = indexWithCells
+      .join(probed.hint("broadcast"), Seq("cell"))
+      .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("query_id", "vec_id", "sim", "rnk")
+  }
+
+  /** L2-normalize into an MLlib vector column (zero vectors stay zero). */
+  private def withUnitVec(emb: DataFrame, vecCol: String): DataFrame =
+    emb.withColumn("__nvec", array_to_vector(l2Normalize(col(vecCol))))
+}

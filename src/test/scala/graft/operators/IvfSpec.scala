@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat probing semantics: probing every cell is exact; probing a
+  * subset returns a subset of the exact candidates with the same scores
+  * and valid per-query ranking. */
+class IvfSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf()).limit(200).cache()
+  private lazy val queries = emb.where(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  test("nProbe = nCells reproduces exact brute-force top-k") {
+    val model = Ivf.fit(emb, nCells = 8)
+    val ivf = Ivf.topK(Ivf.assign(model, emb), model, queries, 10, nProbe = 8)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = ContentRetriever.topK(emb, queries, 10)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ivf == exact)
+  }
+
+  test("nProbe = 1 returns ≤ k rows per query, exact sims, contiguous ranks") {
+    val model = Ivf.fit(emb, nCells = 8)
+    val indexed = Ivf.assign(model, emb).cache()
+    val rows = Ivf.topK(indexed, model, queries, 10, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val exactSim = ContentRetriever.topK(emb, queries, Int.MaxValue)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (q, v, s, _) =>
+      assert(math.abs(s - exactSim((q, v))) < 1e-9)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("assign puts identical vectors in the same cell") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.fit(df, nCells = 2)
+    val cells = Ivf.assign(model, df).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == cells(2L))
+    assert(cells(3L) == cells(4L))
+    assert(cells(1L) != cells(3L))
+  }
+}
