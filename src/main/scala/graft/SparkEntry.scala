@@ -268,8 +268,11 @@ object SparkEntry {
       // Unit-vector projections onto a random unit direction in 64-d have
       // sigma ≈ 1/sqrt(64) = 0.125; bucketLength must sit at ~1 sigma or
       // the whole table collapses into a couple of buckets per hash table
-      // and the "LSH" join degenerates to all-pairs.
-      BrpLsh.cosinePairs(BrpLsh.fit(emb, 0.125, 4), emb, 0.3)
+      // and the "LSH" join degenerates to all-pairs. Two tables bound the
+      // candidate volume (the dominant cost — every colliding pair pays a
+      // dedup shuffle + exact distance); recall loss only affects pairs
+      // near the threshold, and the rows-only contract tracks volume.
+      BrpLsh.cosinePairs(BrpLsh.fit(emb, 0.125, 2), emb, 0.3)
         .withColumn("sim", round(col("sim"), 6))
     }),
 

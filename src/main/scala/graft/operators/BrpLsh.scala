@@ -36,7 +36,11 @@ object BrpLsh {
                   vecCol: String = "embedding"): DataFrame = {
     require(minSim <= 1.0, "cosine similarity is at most 1")
     val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim))
-    val ds = withNormalizedVec(emb, vecCol)
+    // Hash ONCE, materialize, and reuse for both join sides:
+    // approxSimilarityJoin skips its internal transform when the hash
+    // column is already present, and the cache stops the lazy plan from
+    // re-running the normalize+hash UDF pass per side.
+    val ds = model.transform(withNormalizedVec(emb, vecCol)).cache()
     model.approxSimilarityJoin(ds, ds, maxDist, "dist")
       .where(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
       .select(col(s"datasetA.$idCol").as("a"), col(s"datasetB.$idCol").as("b"),

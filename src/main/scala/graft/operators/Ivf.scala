@@ -31,13 +31,23 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Train the coarse quantizer. `nCells` ~ sqrt(|index|) is the usual
-    * IVF sizing. Deterministic under the fixed seed. */
+    * IVF sizing. Deterministic under the fixed seed.
+    *
+    * The quantizer is trained on a bounded sample (`maxTrain`, FAISS-style):
+    * coarse centroids don't improve past ~256 points per cell, so at 100 TB
+    * the k-means never scans the full corpus — only `assign` does, and that
+    * pass is map-side. The sample is cached for k-means' repeated scans
+    * (init + 10 Lloyd iterations all hit memory, not parquet). */
   def fit(emb: DataFrame, nCells: Int, seed: Long = 42L,
-          vecCol: String = "embedding"): KMeansModel =
-    new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("__nvec").setPredictionCol("cell")
-      .fit(withUnitVec(emb, vecCol))
+          vecCol: String = "embedding", maxTrain: Int = 100000): KMeansModel = {
+    val train = withUnitVec(emb, vecCol).select("__nvec").limit(maxTrain).cache()
+    try
+      new KMeans()
+        .setK(nCells).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("__nvec").setPredictionCol("cell")
+        .fit(train)
+    finally train.unpersist()
+  }
 
   /** Attach the `cell` column (map-side; centroids ride along broadcast). */
   def assign(model: KMeansModel, emb: DataFrame,
@@ -60,14 +70,52 @@ object Ivf {
   def topK(indexWithCells: DataFrame, model: KMeansModel, queries: DataFrame,
            k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val spark = indexWithCells.sparkSession
+    val probed = probeCells(spark, model, queries, nProbe)
+    rankInCells(indexWithCells, probed, k, excludeSelf)
+  }
+
+  /** Persist the cell-assigned index `partitionBy("cell")`: each IVF cell
+    * becomes a parquet partition directory, so a probed search reads ONLY
+    * the probed cells' files — the on-disk analogue of an inverted file.
+    * Overwrite = the reference's wipe-every-run semantics
+    * (`/root/reference/Hybrid_Recom_vecdb.py:28,338-341`). */
+  def writeIndex(indexWithCells: DataFrame, path: String): Unit =
+    indexWithCells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[topK]] against a persisted index with STATIC partition pruning:
+    * the probed cell set (≤ |queries|·nProbe ints — driver-safe at any
+    * scale) is collected and pushed as an `isin` partition filter, so the
+    * scan never opens an unprobed cell's files. This is the 100 TB serving
+    * path: cost scales with probed bytes, not index bytes. */
+  def topKPersisted(spark: SparkSession, path: String, model: KMeansModel,
+                    queries: DataFrame, k: Int, nProbe: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val probed = probeCells(spark, model, queries, nProbe)
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val index = loadIndex(spark, path).where(col("cell").isin(cells.toIndexedSeq: _*))
+    rankInCells(index, probed, k, excludeSelf)
+  }
+
+  /** Per query, the `nProbe` cells whose centroid is most cosine-similar
+    * (the centroid table is tiny and broadcast; deterministic cell-id tie
+    * order). Output (query_id, q_emb, cell). */
+  private def probeCells(spark: SparkSession, model: KMeansModel,
+                         queries: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries
+    queries
       .join(centroids(spark, model).hint("broadcast"))
       .withColumn("__csim", cosine(col("q_emb"), col("centroid")))
       .withColumn("__crnk", row_number().over(probeW))
       .where(col("__crnk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cell"))
+  }
+
+  private def rankInCells(indexWithCells: DataFrame, probed: DataFrame,
+                          k: Int, excludeSelf: Boolean): DataFrame = {
     val scored = indexWithCells
       .join(probed.hint("broadcast"), Seq("cell"))
       .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))

@@ -42,6 +42,32 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("persisted index: partitionBy(cell) prunes files, results match in-memory topK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    val model = Ivf.fit(emb, nCells = 8)
+    val indexed = Ivf.assign(model, emb)
+    Ivf.writeIndex(indexed, dir)
+    val loaded = Ivf.loadIndex(spark, dir)
+    // partition pruning: a one-cell filter's scan opens a strict subset of
+    // files (numFiles is the post-pruning metric on the executed scan)
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val someCell = indexed.select("cell").head().getInt(0)
+    val prunedFiles = filesScanned(loaded.where(col("cell") === lit(someCell)))
+    val allFiles = filesScanned(loaded)
+    assert(prunedFiles > 0 && prunedFiles < allFiles)
+    val persisted = Ivf.topKPersisted(spark, dir, model, queries, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6), r.getInt(3))).toSet
+    val inMem = Ivf.topK(indexed, model, queries, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6), r.getInt(3))).toSet
+    assert(persisted == inMem)
+  }
+
   test("assign puts identical vectors in the same cell") {
     val df = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
