@@ -44,19 +44,19 @@ object Dedup {
     * shared shingle and jaccard ≥ minJaccard; a < b canonical. */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingleSet(col(textCol), n).as("shingles"))
-    val cards = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("card"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val pairs = inv.as("x").join(inv.as("y"), "shingle")
+    // Cardinality rides along the inverted index (one extra long per posting)
+    // instead of being re-joined afterwards: that removes two shuffle joins
+    // and a recompute of the shingle projection, and the two identical join
+    // sides shuffle once (Spark reuses the exchange for self-joins).
+    val inv = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("shingles"))
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("card"),
+        explode(col("shingles")).as("shingle"))
+    inv.as("x").join(inv.as("y"), "shingle")
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cards.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("card", "card_a"), "a")
-      .join(cards.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("card", "card_b"), "b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.card")).as("card_a"), first(col("y.card")).as("card_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("card_a") + col("card_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)

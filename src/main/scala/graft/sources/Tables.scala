@@ -13,7 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    scaleOut(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Fan a narrow scan out to the cluster. The driver corpus is one
+    * single-row-group parquet file per table, which Spark cannot split —
+    * every map-side expression (tokenize, shingle, cosine, pair
+    * expansion) would run on ONE core of local[32]. One round-robin
+    * exchange up front unlocks full parallelism for everything downstream.
+    * At lake scale the scan already has ≥ cores splits and this is a
+    * no-op — the condition, not the repartition, is the design. */
+  private def scaleOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > (64 << 10) && df.rdd.getNumPartitions < math.max(2, target / 4))
+      df.repartition(target)
+    else df
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
