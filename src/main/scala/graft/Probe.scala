@@ -1,10 +1,12 @@
 package graft
 
-import graft.functions.TextFunctions._
+import graft.operators._
+import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: time sub-plans of a query to locate where wall-clock goes.
+/** Dev tool: parameter grid for ANN recall vs exact, to calibrate the
+  * invariant-oracle bounds for q33/q34.
   * Usage: runMain graft.Probe <sfDir> */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -18,29 +20,36 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      System.err.println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
+    val emb = Tables.embeddings(spark, sfDir)
+    val sub = emb.where(col("vec_id") < 2000)
 
-    val docs = sources.Tables.documents(spark, sfDir)
-    time("warmup-count")(docs.count())
-    time("docs-count")(docs.count())
-    val inv = docs.select(col("doc_id"),
-        shingleSet(col("text"), 3).as("shingles"))
-      .select(col("doc_id"), size(col("shingles")).cast("long").as("card"),
-        explode(col("shingles")).as("shingle"))
-    time("inv-count")(inv.count())
-    val joined = inv.as("x").join(inv.as("y"), "shingle")
-      .where(col("x.doc_id") < col("y.doc_id"))
-    time("join-count")(joined.count())
-    val agg = joined.groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("x.card")).as("card_a"), first(col("y.card")).as("card_b"))
-    time("agg-count")(agg.count())
-    time("q14-full")(SparkEntry.queries("q14_ngram_jaccard")(spark, sfDir).count())
-    time("q14-again")(SparkEntry.queries("q14_ngram_jaccard")(spark, sfDir).count())
+    val exact = Dedup.cosinePairs(sub, 0.35).cache()
+    val nExact = exact.count()
+    for ((bl, nt) <- Seq((0.125, 4), (0.25, 4), (0.25, 8), (0.5, 4))) {
+      val t0 = System.nanoTime()
+      val brp = BrpLsh.cosinePairs(BrpLsh.fit(sub, bl, nt), sub, 0.35)
+      val nBrp = brp.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[probe] brp bl=$bl nt=$nt: exact=$nExact brp=$nBrp recall=${nBrp.toDouble / nExact}%.3f t=$dt%.1f s")
+    }
+    exact.unpersist()
+
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ex = ContentRetriever.topK(emb, q, 10).select("query_id", "vec_id").cache()
+    ex.count()
+    for ((cells, np) <- Seq((16, 8), (16, 12), (32, 12), (32, 16))) {
+      val t0 = System.nanoTime()
+      val model = Ivf.fit(emb, cells)
+      val ivf = Ivf.topK(Ivf.assign(model, emb), model, q, 10, np)
+        .select("query_id", "vec_id")
+      val rec = ivf.join(ex, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+        .agg(avg(col("h") / 10.0), min(col("h") / 10.0)).collect()(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[probe] ivf c=$cells np=$np: mean=${rec.getDouble(0)}%.3f min=${rec.getDouble(1)}%.2f t=$dt%.1f s")
+    }
+    ex.unpersist()
     spark.stop()
   }
 }

@@ -281,26 +281,75 @@ object SparkEntry {
         (abs(norm - 1.0d) < 1e-4 || norm < 1e-9).as("norm_ok"))
     }),
 
-    // --- MLlib BRP-LSH ANN scale path (seeded model; rows-only check) ---
+    // --- MLlib BRP-LSH ANN scale path (invariant oracle, q24 pattern) ---
+    // MLlib's seeded hashing is not DuckDB-reproducible, so the hard
+    // signal is a recall contract computed IN-PLAN against the exact
+    // threshold pairs on the same subset (the q10 universe): BRP's sims
+    // are true cosines, so its pairs are a subset of the exact set and
+    // recall = |brp| / |exact|. bucketLength 0.25 (~2 sigma of a unit
+    // vector's projection in 64-d) × 8 tables measured 0.996/0.998
+    // recall at sf0.01/sf0.1; the oracle gates at ≥ 0.9.
     "q33_brp_pairs" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      // Unit-vector projections onto a random unit direction in 64-d have
-      // sigma ≈ 1/sqrt(64) = 0.125; bucketLength must sit at ~1 sigma or
-      // the whole table collapses into a couple of buckets per hash table
-      // and the "LSH" join degenerates to all-pairs. Two tables bound the
-      // candidate volume (the dominant cost — every colliding pair pays a
-      // dedup shuffle + exact distance); recall loss only affects pairs
-      // near the threshold, and the rows-only contract tracks volume.
-      BrpLsh.cosinePairs(BrpLsh.fit(emb, 0.125, 2), emb, 0.3)
-        .withColumn("sim", round(col("sim"), 6))
+      val sub = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      val brp = BrpLsh.cosinePairs(BrpLsh.fit(sub, 0.25, 8), sub, 0.35)
+      val exact = Dedup.cosinePairs(sub, 0.35)
+      val e = exact.agg(count(lit(1)).as("n_exact"))
+      val c = brp.select("a", "b")
+        .join(exact.select("a", "b"), Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      val b = brp.agg(count(lit(1)).as("n_brp"),
+        min(col("sim")).as("min_sim"))
+      e.crossJoin(c).crossJoin(b).select(
+        col("n_exact"),
+        (col("n_common") === col("n_brp")).as("subset_ok"),
+        (col("n_exact") === 0 ||
+          col("n_common").cast("double") / col("n_exact") >= 0.9).as("recall_ok"),
+        (col("n_brp") === 0 || col("min_sim") >= 0.35 - 1e-9).as("threshold_ok"))
     }),
 
-    // --- IVF ANN (KMeans cells + nProbe probing; rows-only check) -------
+    // --- IVF ANN recall contract against the persisted index -----------
+    // Serves from the build-once IvfIndexStore artifact (no KMeans re-fit
+    // in the benched query — round-1 verdict #9) and verifies the ANN
+    // contract in-plan: every query gets exactly k rows, and recall@10
+    // vs the exact scan clears the bound (16 cells × nProbe 12 measured
+    // mean 0.94/0.935, min 0.8/0.7 at sf0.01/sf0.1).
     "q34_ivf_knn" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = Ivf.fit(emb, 16)
-      Ivf.topK(Ivf.assign(model, emb), model, queryVecs(s, d), 10, 4)
-        .withColumn("sim", round(col("sim"), 6))
+      val q = queryVecs(s, d)
+      val ivf = IvfIndexStore.serve(s, d, q, 10, 12)
+      val ex = ContentRetriever.topK(Tables.embeddings(s, d), q, 10)
+        .select("query_id", "vec_id")
+      val hits = ivf.select("query_id", "vec_id")
+        .join(ex, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      ivf.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .join(hits, Seq("query_id"), "left").na.fill(0L, Seq("h"))
+        .agg(count(lit(1)).as("n_queries"),
+          min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+          avg(col("h") / 10.0).as("mean_recall"),
+          min(col("h") / 10.0).as("min_recall"))
+        .select(col("n_queries"),
+          (col("min_rows") === 10 && col("max_rows") === 10).as("rows_ok"),
+          (col("mean_recall") >= 0.85).as("mean_recall_ok"),
+          (col("min_recall") >= 0.5).as("min_recall_ok"))
+    }),
+
+    // --- persisted-index SERVING latency (the baseline's contract) ------
+    // The reference's runtime_total.png times 50 queries against a
+    // pre-built HNSW index (~3.4 ms/query); this query is the analogous
+    // serve-only path: the quantizer + cell-partitioned index come from
+    // IvfIndexStore (built untimed in SparkEntry.setups), the plan probes
+    // 4/16 cells with static partition pruning, and the output digests
+    // the serving invariants so the oracle is a constant row.
+    "q37_ivf_serve" -> ((s, d) => {
+      val served = IvfIndexStore.serve(s, d, queryVecs(s, d), 10, 4)
+      served.groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("query_id") === col("vec_id"), 1).otherwise(0)).as("selfhit"),
+          min(col("sim")).as("lo"), max(col("sim")).as("hi"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n")) === 10 && max(col("n")) === 10).as("rows_ok"),
+          (max(col("selfhit")) === 0).as("self_excluded"),
+          (min(col("lo")) >= -1.000001 && max(col("hi")) <= 1.000001).as("sim_range_ok"))
     }),
 
     // --- amazon-meta stanza parser on the FIXTURES.md fixture -----------
@@ -311,6 +360,18 @@ object SparkEntry {
           size(col("categories")).cast("long").as("n_categories"),
           size(col("similar")).cast("long").as("n_similar"))
     }),
+  )
+
+  /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
+    * build-once artifacts (the persisted IVF index) whose construction
+    * must not be attributed to the queries that serve from them — the
+    * reference's build/serve split (`Hybrid_Recom_vecdb.py:331-383` build
+    * vs `:384-410` serve). Each is idempotent; the query functions also
+    * self-heal by calling ensure() themselves, so running a query without
+    * its setup is correct, just slower on first touch. */
+  def setups: Map[String, (SparkSession, String) => Unit] = Map(
+    "q34_ivf_knn" -> ((s, d) => IvfIndexStore.ensure(s, d)),
+    "q37_ivf_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -648,6 +709,25 @@ object SparkEntry {
 
     "q31_embed_docs" ->
       "SELECT doc_id, 64 AS dim, true AS norm_ok FROM documents",
+
+    // Invariant oracles (q24 pattern): the non-constant column (n_exact)
+    // is recomputed relationally by DuckDB; the contract booleans are
+    // constants the Spark side must earn.
+    "q33_brp_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT count(*) AS n_exact, true AS subset_ok, true AS recall_ok,
+        |  true AS threshold_ok
+        |FROM p WHERE sim >= 0.35""".stripMargin,
+
+    "q34_ivf_knn" ->
+      """SELECT 20::BIGINT AS n_queries, true AS rows_ok,
+        |  true AS mean_recall_ok, true AS min_recall_ok""".stripMargin,
+
+    "q37_ivf_serve" ->
+      """SELECT 20::BIGINT AS n_queries, true AS rows_ok,
+        |  true AS self_excluded, true AS sim_range_ok""".stripMargin,
 
     "q32_parse_products" ->
       """SELECT * FROM (VALUES
