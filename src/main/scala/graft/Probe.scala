@@ -5,8 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: parameter grid for ANN recall vs exact, to calibrate the
-  * invariant-oracle bounds for q33/q34.
+/** Dev tool: stage timing for q33 at a scale factor.
   * Usage: runMain graft.Probe <sfDir> */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -20,36 +19,27 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = Tables.embeddings(spark, sfDir)
-    val sub = emb.where(col("vec_id") < 2000)
-
-    val exact = Dedup.cosinePairs(sub, 0.35).cache()
-    val nExact = exact.count()
-    for ((bl, nt) <- Seq((0.125, 4), (0.25, 4), (0.25, 8), (0.5, 4))) {
+    def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      val brp = BrpLsh.cosinePairs(BrpLsh.fit(sub, bl, nt), sub, 0.35)
-      val nBrp = brp.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[probe] brp bl=$bl nt=$nt: exact=$nExact brp=$nBrp recall=${nBrp.toDouble / nExact}%.3f t=$dt%.1f s")
+      val r = f
+      System.err.println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
-    exact.unpersist()
 
-    val q = emb.where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val ex = ContentRetriever.topK(emb, q, 10).select("query_id", "vec_id").cache()
-    ex.count()
-    for ((cells, np) <- Seq((16, 8), (16, 12), (32, 12), (32, 16))) {
-      val t0 = System.nanoTime()
-      val model = Ivf.fit(emb, cells)
-      val ivf = Ivf.topK(Ivf.assign(model, emb), model, q, 10, np)
-        .select("query_id", "vec_id")
-      val rec = ivf.join(ex, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-        .agg(avg(col("h") / 10.0), min(col("h") / 10.0)).collect()(0)
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[probe] ivf c=$cells np=$np: mean=${rec.getDouble(0)}%.3f min=${rec.getDouble(1)}%.2f t=$dt%.1f s")
-    }
-    ex.unpersist()
+    val sub = Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000)
+    time("warm")(sub.count())
+    val model = time("fit")(BrpLsh.fit(sub, 0.5, 4))
+    val brp = time("pairs-plan")(BrpLsh.cosinePairs(model, sub, 0.35))
+    time("pairs-count")(brp.count())
+    val exact = Dedup.cosinePairs(sub, 0.35)
+    time("exact-count")(exact.count())
+    val digest = brp.select(col("a"), col("b"), col("sim"), lit(1).as("in_brp"))
+      .join(exact.select(col("a"), col("b"), lit(1).as("in_exact")),
+        Seq("a", "b"), "full_outer")
+      .agg(sum(coalesce(col("in_exact"), lit(0))).as("n_exact"),
+        sum(coalesce(col("in_brp"), lit(0))).as("n_brp"))
+    time("digest-count")(digest.count())
+    time("q33-full")(SparkEntry.queries("q33_brp_pairs")(spark, sfDir).count())
     spark.stop()
   }
 }

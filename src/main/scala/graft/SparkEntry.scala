@@ -334,23 +334,31 @@ object SparkEntry {
     // are true cosines, so its pairs are a subset of the exact set and
     // recall = |brp| / |exact|. bucketLength 0.25 (~2 sigma of a unit
     // vector's projection in 64-d) × 8 tables measured 0.996/0.998
-    // recall at sf0.01/sf0.1; the oracle gates at ≥ 0.9.
+    // recall at sf0.01/sf0.1; the oracle gates at ≥ 0.9. Wider buckets
+    // would cost less per table but degenerate toward all-pairs (a unit
+    // projection rarely leaves ±4 sigma), so more-tables-at-2-sigma is
+    // the right recall/candidate-volume trade.
     "q33_brp_pairs" -> ((s, d) => {
       val sub = Tables.embeddings(s, d).where(col("vec_id") < 2000)
       val brp = BrpLsh.cosinePairs(BrpLsh.fit(sub, 0.25, 8), sub, 0.35)
       val exact = Dedup.cosinePairs(sub, 0.35)
-      val e = exact.agg(count(lit(1)).as("n_exact"))
-      val c = brp.select("a", "b")
-        .join(exact.select("a", "b"), Seq("a", "b"), "left_semi")
-        .agg(count(lit(1)).as("n_common"))
-      val b = brp.agg(count(lit(1)).as("n_brp"),
-        min(col("sim")).as("min_sim"))
-      e.crossJoin(c).crossJoin(b).select(
-        col("n_exact"),
-        (col("n_common") === col("n_brp")).as("subset_ok"),
-        (col("n_exact") === 0 ||
-          col("n_common").cast("double") / col("n_exact") >= 0.9).as("recall_ok"),
-        (col("n_brp") === 0 || col("min_sim") >= 0.35 - 1e-9).as("threshold_ok"))
+      // One full-outer join + ONE aggregate: each input subtree appears
+      // exactly once in the plan (a per-metric aggregate would re-execute
+      // the LSH join per reference — it is the expensive side).
+      brp.select(col("a"), col("b"), col("sim"), lit(1).as("in_brp"))
+        .join(exact.select(col("a"), col("b"), lit(1).as("in_exact")),
+          Seq("a", "b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_exact"), lit(0))).as("n_exact"),
+          sum(coalesce(col("in_brp"), lit(0))).as("n_brp"),
+          sum(coalesce(col("in_brp"), lit(0)) * coalesce(col("in_exact"), lit(0)))
+            .as("n_common"),
+          min(col("sim")).as("min_sim"))
+        .select(col("n_exact"),
+          (col("n_common") === col("n_brp")).as("subset_ok"),
+          (col("n_exact") === 0 ||
+            col("n_common").cast("double") / col("n_exact") >= 0.9).as("recall_ok"),
+          (col("n_brp") === 0 || col("min_sim") >= 0.35 - 1e-9).as("threshold_ok"))
     }),
 
     // --- IVF ANN recall contract against the persisted index -----------
@@ -364,11 +372,14 @@ object SparkEntry {
       val ivf = IvfIndexStore.serve(s, d, q, 10, 12)
       val ex = ContentRetriever.topK(Tables.embeddings(s, d), q, 10)
         .select("query_id", "vec_id")
-      val hits = ivf.select("query_id", "vec_id")
-        .join(ex, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      ivf.groupBy("query_id").agg(count(lit(1)).as("n"))
-        .join(hits, Seq("query_id"), "left").na.fill(0L, Seq("h"))
+      // Hit-flag join + one groupBy chain: the served subtree appears
+      // once in the plan (separate rows/hits aggregates would re-run the
+      // probed scan per metric).
+      ivf.select("query_id", "vec_id")
+        .join(ex.withColumn("in_ex", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("in_ex"), lit(0))).as("h"))
         .agg(count(lit(1)).as("n_queries"),
           min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
           avg(col("h") / 10.0).as("mean_recall"),

@@ -26,29 +26,51 @@ object BrpLsh {
     new BucketedRandomProjectionLSH()
       .setInputCol("__nvec").setOutputCol("__hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
-      .fit(withNormalizedVec(emb, vecCol))
+      .fit(withNormalizedVec(emb, vecCol).select("__nvec"))
   }
 
-  /** Cosine-threshold near-neighbor pairs via the model's
-    * approxSimilarityJoin. Output (a, b, sim), a < b. */
+  /** Cosine-threshold near-neighbor pairs: MLlib's fitted hash family
+    * for bucketing, a narrow hand-built candidate join for the pairs.
+    * Output (a, b, sim), a < b; sim is the exact cosine, so the result
+    * is a subset of the exact threshold pairs.
+    *
+    * Why not `model.approxSimilarityJoin`: its pair-distinct shuffles
+    * BOTH sides' full rows (vectors + hash arrays) once per bucket
+    * COLLISION — at 100 TB the candidate volume, not the input size, is
+    * the dominant term, and each candidate would carry kilobytes. Here
+    * collisions shuffle only (table, bucket, id); pairs deduplicate as
+    * 16-byte (a, b) rows; the two vector lookups happen once per
+    * DISTINCT pair, joined by id. Same candidate set (union over hash
+    * tables of same-bucket pairs), bit-identical sims, a fraction of
+    * the bytes moved. */
   def cosinePairs(model: BucketedRandomProjectionLSHModel, emb: DataFrame,
                   minSim: Double, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(minSim <= 1.0, "cosine similarity is at most 1")
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim))
-    // Hash ONCE, materialize, and reuse for both join sides:
-    // approxSimilarityJoin skips its internal transform when the hash
-    // column is already present. localCheckpoint (not cache) stops the
-    // lazy plan from re-running the normalize+hash UDF pass per side
-    // WITHOUT leaking: a cache() here would pin an InMemoryRelation in
-    // the CacheManager forever (round-1 verdict #5), while a local
-    // checkpoint's blocks are unpersisted by the ContextCleaner as soon
-    // as the returned frame is garbage-collected.
-    val ds = model.transform(withNormalizedVec(emb, vecCol)).localCheckpoint()
-    model.approxSimilarityJoin(ds, ds, maxDist, "dist")
-      .where(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
-      .select(col(s"datasetA.$idCol").as("a"), col(s"datasetB.$idCol").as("b"),
-        (lit(1.0) - col("dist") * col("dist") / 2.0).as("sim"))
+    import graft.functions.VectorFunctions.cosine
+    // Hash ONCE over narrow (id, normalized vector) rows; localCheckpoint
+    // (not cache) materializes the UDF pass for the self-join without
+    // leaking — the ContextCleaner frees checkpoint blocks on GC, while a
+    // cache() would pin an InMemoryRelation forever (round-1 verdict #5).
+    val narrow = withNormalizedVec(emb, vecCol).select(col(idCol), col("__nvec"))
+    val hashed = model.transform(narrow).localCheckpoint()
+    // BRP hash values are floor(projection / bucketLength) — whole-number
+    // doubles in 1-element vectors; (table index, bucket) is the join key.
+    val keyed = hashed.select(col(idCol).as("id"),
+        posexplode(col("__hashes")).as(Seq("ht", "hv")))
+      .select(col("id"), concat_ws(":", col("ht"),
+        vector_to_array(col("hv")).getItem(0).cast("long")).as("bkey"))
+    val cand = keyed.as("x").join(keyed.as("y"), "bkey")
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val v = emb.select(col(idCol), col(vecCol))
+    cand
+      .join(v.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(v.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= minSim)
+      .select("a", "b", "sim")
   }
 
   private def withNormalizedVec(emb: DataFrame, vecCol: String): DataFrame = {

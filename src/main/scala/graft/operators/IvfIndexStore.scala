@@ -45,7 +45,14 @@ object IvfIndexStore {
     new java.io.File(donePath(sfDir)).createNewFile()
   }
 
-  def loadModel(sfDir: String): KMeansModel = KMeansModel.load(modelPath(sfDir))
+  /** Quantizer models are tiny (nCells × dim doubles) and immutable once
+    * built — memoize per dir so serving doesn't re-read model metadata
+    * from disk on every query. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, KMeansModel]
+
+  def loadModel(sfDir: String): KMeansModel =
+    modelCache.getOrElseUpdate(sfDir, KMeansModel.load(modelPath(sfDir)))
 
   /** Serve top-k from the persisted, cell-partitioned index with static
     * partition pruning (Ivf.topKPersisted): per-query cost scales with
