@@ -41,16 +41,29 @@ object CoPurchaseGraph {
     * containing both. Stands in for the reference's `similar` lists on the
     * driver corpus (FIXTURES.md §3).
     *
-    * Self-join shuffles both sides on l_orderkey (co-partitioned, no
-    * broadcast needed at scale); duplicate (order, part) rows are
-    * collapsed first so the pair expansion is per distinct item. */
-  def fromOrders(lineitem: DataFrame): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("okey"),
-      col("l_partkey").as("item")).distinct()
-    val a = items.select(col("okey"), col("item").as("src"))
-    val b = items.select(col("okey"), col("item").as("dst"))
-    a.join(b, "okey")
-      .where(col("src") < col("dst"))
+    * Shape: ONE pass over the fact table — groupBy(order) collecting the
+    * distinct sorted item set (dedup folded into the same aggregation),
+    * then a map-side pair expansion from each basket array, then the
+    * (src,dst) count shuffle. A basket self-join would read and
+    * distinct-aggregate the fact table TWICE (the second reference can't
+    * reuse the first's exchange when the planner broadcasts one side);
+    * per-basket expansion is quadratic only in the basket size, which is
+    * bounded by order line counts, not by the corpus. */
+  def fromOrders(lineitem: DataFrame): DataFrame =
+    basketPairs(lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("item")))
+
+  /** (okey, item) → canonical co-occurrence edges, one scan. */
+  private def basketPairs(orderItems: DataFrame): DataFrame = {
+    val baskets = orderItems.groupBy("okey")
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+    // items sorted ascending ⇒ emitting (its[i], its[j]) for i < j gives
+    // src < dst without a filter.
+    baskets
+      .select(explode(flatten(transform(col("its"), (x, i) =>
+        transform(slice(col("its"), i + lit(2), size(col("its"))), y =>
+          struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
   }
@@ -66,18 +79,13 @@ object CoPurchaseGraph {
     * self-join and a few thousand baskets. */
   def fromOrdersFor(lineitem: DataFrame, queryIds: DataFrame): DataFrame = {
     val items = lineitem.select(col("l_orderkey").as("okey"),
-      col("l_partkey").as("item")).distinct()
+      col("l_partkey").as("item"))
     val qOrders = items
       .join(queryIds.hint("broadcast").select(col("query_id").as("item")),
         Seq("item"), "left_semi")
       .select("okey").distinct()
     val qItems = items.join(qOrders.hint("broadcast"), Seq("okey"), "left_semi")
-    val a = qItems.select(col("okey"), col("item").as("src"))
-    val b = qItems.select(col("okey"), col("item").as("dst"))
-    a.join(b, "okey")
-      .where(col("src") < col("dst"))
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).as("weight"))
+    basketPairs(qItems)
   }
 
   /** Undirected edge list → directed adjacency (both orientations), the
