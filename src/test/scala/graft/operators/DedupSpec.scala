@@ -30,6 +30,34 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccard df-cap: capped result equals uncapped (exact values), including the both-heavy correction path") {
+    // Docs engineered so a shingle ("a b c" and neighbors) is shared by
+    // MANY docs (df > maxDf → heavy) while each near-dup pair also shares
+    // rare shingles — with maxDf = 3 the heavy shingles leave the
+    // inverted index, light_inter underestimates, and only the
+    // upper-bound + array_intersect verification branch (slack > 0) can
+    // restore the exact intersection.
+    // "common header text" appears in all 8 docs (df=8 > maxDf=3 →
+    // heavy); per-doc bodies are unique except docs 7/8, which are
+    // identical. Cross pairs share ONLY the heavy shingle and sit below
+    // τ=0.2 in the uncapped result too, so capped == uncapped must hold
+    // exactly — and pair (7,8) has light_inter=7 < inter=8 with
+    // slack=min(1,1)=1, forcing the verification branch to restore
+    // jaccard 1.0 (light_inter alone would give 7/9).
+    val boiler = "common header text"
+    val many = (1L to 6L).map(i =>
+      (i, s"$boiler alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+    val dup = Seq((7L, s"$boiler alpha0 beta0 gamma0 delta0 epsilon0 zeta0 eta0"),
+      (8L, s"$boiler alpha0 beta0 gamma0 delta0 epsilon0 zeta0 eta0"))
+    val d = spark.createDataFrame(many ++ dup).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(d, 3, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    val capped = Dedup.ngramJaccard(d, 3, 0.2, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    assert(uncapped == Map((7L, 8L) -> ((8L, 1.0))))
+    assert(capped == uncapped) // same pairs, same exact inter AND jaccard
+  }
+
   test("minhashCandidates: identical docs match on all bands with est 1.0") {
     val cand = Dedup.minhashCandidates(docs, 3, 16, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Build-once / serve-many lifecycle: ensure() writes exactly once, and
+  * serving with every cell probed reproduces the exact brute-force
+  * answer from the persisted artifact. */
+class IvfIndexStoreSpec extends SparkTestBase {
+
+  test("ensure is idempotent; full-probe serve from disk equals exact topK") {
+    val d = sf()
+    IvfIndexStore.ensure(spark, d)
+    assert(IvfIndexStore.isBuilt(d))
+    val done = new java.io.File(s"${IvfIndexStore.root(d)}/_BUILT")
+    val stamp = done.lastModified()
+    IvfIndexStore.ensure(spark, d) // must not rebuild
+    assert(done.lastModified() == stamp)
+
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val served = IvfIndexStore.serve(spark, d, q, 5, IvfIndexStore.NCells)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = ContentRetriever.topK(emb, q, 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == exact)
+  }
+}
