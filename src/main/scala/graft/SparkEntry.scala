@@ -33,14 +33,17 @@ object SparkEntry {
     CoPurchaseGraph.symmetrize(
       CoPurchaseGraph.fromOrdersFor(Tables.lineitem(s, d), queries))
 
-  /** The restricted query set used by q07/q25/q26. */
+  /** The restricted query set used by q07/q25/q26 (raw scan: ~100 rows
+    * post-filter, always broadcast). */
   private def partQueries(s: SparkSession, d: String): DataFrame =
-    Tables.part(s, d).where(col("p_partkey") <= 100)
+    Tables.tableRaw(s, d, "part").where(col("p_partkey") <= 100)
       .select(col("p_partkey").as("query_id"))
 
-  /** Query vectors: the first `n` ids of the embeddings table. */
+  /** Query vectors: the first `n` ids of the embeddings table. Raw scan —
+    * the pushed vec_id filter leaves ≤ n rows headed for a broadcast, so
+    * the fan-out repartition would only add a shuffle stage. */
   private def queryVecs(s: SparkSession, d: String, n: Int = 20): DataFrame =
-    Tables.embeddings(s, d).where(col("vec_id") < n)
+    Tables.embeddingsRaw(s, d).where(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   /** Flagship hybrid top-k (reference E2, `Hybrid_Recom_vecdb.py:213-231`):
@@ -73,10 +76,11 @@ object SparkEntry {
   /** Co-label ground truth for the E3 evaluation queries: items sharing
     * the query's label (the corpus' co-purchase-neighbor analog). */
   private def coLabelTruth(s: SparkSession, d: String): DataFrame = {
-    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    lbl.where(col("vec_id") < 20).as("x")
-      .join(lbl.as("y"), col("x.label") === col("y.label") &&
-        col("x.vec_id") =!= col("y.vec_id"))
+    val q = Tables.embeddingsRaw(s, d).where(col("vec_id") < 20)
+      .select(col("vec_id"), col("label"))
+    q.as("x")
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")).as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("item"))
   }
 
@@ -203,7 +207,7 @@ object SparkEntry {
 
     "q09_knn_by_label" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val q = emb.where(col("vec_id") < 20)
+      val q = Tables.embeddingsRaw(s, d).where(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("label"))
       ContentRetriever.topKByLabel(emb, q, 5)
