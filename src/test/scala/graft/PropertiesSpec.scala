@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.{CoPurchaseGraph, Evaluation, HybridScorer}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The SURVEY §5 property-based suite (ScalaCheck generators, one Spark
+  * job per property): invariants that must hold for ANY input, not just
+  * the crafted fixtures. Each property batches all generated cases into
+  * a single DataFrame so the whole suite stays a handful of jobs. */
+class PropertiesSpec extends SparkTestBase {
+
+  /** Deterministic sample of `n` values from a generator. */
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("cosine ∈ [-1,1] and cosine(v,v)=1 for any nonzero float vector") {
+    // pairs share a dimension (the index contract); values are arbitrary
+    val vecPair = Gen.choose(1, 8).flatMap { d =>
+      for {
+        a <- Gen.listOfN(d, Gen.choose(-10f, 10f))
+        b <- Gen.listOfN(d, Gen.choose(-10f, 10f))
+      } yield (a.toArray, b.toArray)
+    }
+    val pairs = sample(vecPair, 60).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = spark.createDataFrame(pairs.map { case (i, a, _) => (i, a, a) })
+      .toDF("id", "va", "vb")
+      .withColumn("self", cosine(col("va"), col("vb")))
+    val paired = spark.createDataFrame(pairs)
+      .toDF("id", "va", "vb")
+      .withColumn("x", cosine(col("va"), col("vb")))
+    paired.collect().foreach { r =>
+      val x = r.getDouble(3)
+      assert(!x.isNaN && x >= -1.0 - 1e-9 && x <= 1.0 + 1e-9)
+    }
+    df.collect().foreach { r =>
+      val norm = r.getSeq[Float](1).map(x => x.toDouble * x).sum
+      val s = r.getDouble(3)
+      if (norm > 1e-12) assert(math.abs(s - 1.0) < 1e-5)
+      else assert(s == 0.0) // zero vector → declared 0 similarity
+    }
+  }
+
+  test("normalized CF weights ∈ (0,1] with per-src max exactly 1, any weighted edges") {
+    val edge = for {
+      s <- Gen.choose(1L, 8L); t <- Gen.choose(1L, 20L).suchThat(_ != s)
+      w <- Gen.choose(1L, 1000L)
+    } yield (s, t, w)
+    val edges = sample(edge, 120).distinct
+    val df = spark.createDataFrame(edges).toDF("src", "dst", "weight")
+      // collapse duplicate (src,dst) like the real builder would
+      .groupBy("src", "dst").agg(max("weight").as("weight"))
+    val out = CoPurchaseGraph.normalized(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n) => assert(n > 0.0 && n <= 1.0) }
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._2).max - 1.0) < 1e-12)
+    }
+  }
+
+  test("blend: final = α·cs+(1−α)·fs ∈ [0,1], ≤k rows with contiguous ranks, for any score sets") {
+    val scoreRow = for {
+      q <- Gen.choose(1L, 4L); it <- Gen.choose(1L, 30L)
+      s <- Gen.choose(0.0, 1.0)
+    } yield (q, it, s)
+    val cont = sample(scoreRow, 80).distinctBy(r => (r._1, r._2))
+    val cf = sample(scoreRow, 80).map { case (q, i, s) => (q, i + 15L, s) }
+      .distinctBy(r => (r._1, r._2))
+    val cdf = spark.createDataFrame(cont).toDF("query_id", "item", "cs")
+    val fdf = spark.createDataFrame(cf).toDF("query_id", "item", "fs")
+    val alpha = 0.37
+    val out = HybridScorer.blend(cdf, fdf, alpha, 7).collect()
+    assert(out.nonEmpty)
+    val contM = cont.map(r => (r._1, r._2) -> r._3).toMap
+    val cfM = cf.map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { r =>
+      val (q, it) = (r.getLong(0), r.getLong(1))
+      val fin = r.getDouble(4)
+      val expect = alpha * contM.getOrElse((q, it), 0.0) +
+        (1 - alpha) * cfM.getOrElse((q, it), 0.0)
+      assert(math.abs(fin - expect) < 1e-12)
+      assert(fin >= 0.0 && fin <= 1.0)
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 7)
+      assert(rs.map(_.getInt(5)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("precision@K ∈ [0,1] and hits ≤ min(K, |ranked|) for any ranked/truth sets") {
+    val qg = Gen.choose(1L, 5L)
+    val ranked = sample(qg, 40).distinct.flatMap(q =>
+      (1 to 6).map(rk => (q, q * 100 + rk, rk)))
+    val truth = sample(for { q <- qg; it <- Gen.choose(1L, 600L) } yield (q, it), 60)
+      .distinct
+    val rdf = spark.createDataFrame(ranked).toDF("query_id", "item", "rnk")
+    val tdf = spark.createDataFrame(truth).toDF("query_id", "item")
+    val out = Evaluation.precisionAtK(rdf, tdf, Seq(3, 5, 50)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = r.getInt(1); val hits = r.getLong(2); val p = r.getDouble(3)
+      assert(hits >= 0 && hits <= math.min(k, 6))
+      assert(p >= 0.0 && p <= 1.0)
+      assert(math.abs(p - hits.toDouble / k) < 1e-12)
+    }
+    // every (query, K) combination present, including zero-hit rows
+    assert(out.length == ranked.map(_._1).distinct.length * 3)
+  }
+}
