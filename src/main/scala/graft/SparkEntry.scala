@@ -243,6 +243,14 @@ object SparkEntry {
     "q16_simhash_fp" -> ((s, d) =>
       Dedup.simhashFingerprints(Tables.documents(s, d))),
 
+    // --- dedup keep-list: evidence union → components → canonical ------
+    // The decision a corpus pipeline actually ships: which docs survive
+    // dedup. Exact-dup + MinHash-LSH evidence, Hash-Min connected
+    // components, min-id canonical. Oracle = recursive-CTE transitive
+    // closure in DuckDB (hard hash signal on the full clustering).
+    "q44_dedup_keep" -> ((s, d) =>
+      Dedup.keepList(Tables.documents(s, d), 3, 16, 8, 0.5)),
+
     // --- document-text projection (reference P2) on the parser fixture --
     "q17_product_text" -> ((s, d) => {
       import s.implicits._
@@ -746,6 +754,33 @@ object SparkEntry {
         |SELECT a, b, bands_matched,
         |  list_sum(list_transform(range(1, 17), i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16 AS est_jaccard
         |FROM p JOIN sig sa ON p.a = sa.doc_id JOIN sig sb ON p.b = sb.doc_id""".stripMargin,
+
+    "q44_dedup_keep" ->
+      s"""WITH RECURSIVE
+        |$toksCte,
+        |$shCte,
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+        |    list_min(list_transform(s, x ->
+        |      (((j * 2654435761) % 2147483647 + 1) * (cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)
+        |        + ((j * 40503 + 11) % 2147483647)) % 2147483647))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |keyed AS (SELECT doc_id, sg,
+        |    unnest(list_transform(range(0, 8), b -> b || ':' || array_to_string(sg[b*2+1:b*2+2], ','))) AS band_key
+        |  FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |      FROM keyed x JOIN keyed y USING (band_key) WHERE x.doc_id < y.doc_id),
+        |mh AS (SELECT a, b FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
+        |  WHERE list_sum(list_transform(range(1, 17), i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16 >= 0.5),
+        |eh AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
+        |exct AS (SELECT x.doc_id AS a, y.doc_id AS b FROM eh x JOIN eh y ON x.ch = y.ch AND x.doc_id < y.doc_id),
+        |allp AS (SELECT a, b FROM exct UNION SELECT a, b FROM mh),
+        |sym AS (SELECT a AS x, b AS y FROM allp UNION SELECT b AS x, a AS y FROM allp),
+        |reach(x, y) AS (
+        |  SELECT doc_id AS x, doc_id AS y FROM documents
+        |  UNION
+        |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)
+        |SELECT doc_id, component, component = doc_id AS is_kept FROM (
+        |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY 1)""".stripMargin,
 
     "q16_simhash_fp" ->
       s"""WITH $toksCte,

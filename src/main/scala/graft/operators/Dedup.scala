@@ -180,6 +180,67 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-duplicate evidence edges — the
+    * canonical-selection step of a corpus dedup pipeline. Hash-Min label
+    * propagation: every doc starts labeled with its own id; each round
+    * takes the min of its label and its neighbors' labels; at fixpoint
+    * the label IS the min doc id of the component.
+    *
+    * Scale shape: one equi-join + one groupBy per round, O(component
+    * diameter) rounds — dup clusters are stars/short chains, so this
+    * converges in 2-4 rounds regardless of corpus size (the classic
+    * large-graph CC recipe). The driver-side loop only reads a changed-
+    * row COUNT per round; labels are localCheckpoint'd so lineage stays
+    * flat (on a cluster this would be a reliable checkpoint instead).
+    *
+    * @param ids   (doc_id)
+    * @param pairs (a, b) undirected near-dup evidence
+    * @return (doc_id, component) with component = min id reachable
+    */
+  def components(ids: DataFrame, pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("y"), col("component")), Seq("y"))
+        .groupBy(col("x").as("doc_id")).agg(min("component").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end dedup keep-list: union exact-dup and MinHash-LSH
+    * evidence, cluster via [[components]], keep the min-id doc of each
+    * cluster. Output (doc_id, component, is_kept) — the filter a corpus
+    * pipeline applies before training. */
+  def keepList(docs: DataFrame, n: Int, perms: Int, bands: Int,
+               minEstJaccard: Double,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exactEdges = exact(docs, idCol, textCol)
+      .where(col("is_duplicate"))
+      .select(col("canonical_id").as("a"), col("doc_id").as("b"))
+    val nearEdges = minhashCandidates(docs, n, perms, bands, idCol, textCol)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"))
+    val comp = components(docs.select(col(idCol).as("doc_id")),
+      exactEdges.unionByName(nearEdges))
+    comp.withColumn("is_kept", col("component") === col("doc_id"))
+  }
+
   /** Embedding near-duplicates: exact threshold pairs (brute force). The
     * verification baseline; the scale path blocks by an LSH/IVF cell
     * column first (see ContentRetriever/Lsh). */
