@@ -325,6 +325,21 @@ object SparkEntry {
     "q30_media_meta" -> ((s, d) =>
       Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))).toDF()),
 
+    // Byte-histogram features per payload (the feature-extract stage of
+    // the media pipeline), digested bin-by-bin. The corpus is ASCII so
+    // the oracle can recompute byte counts from character codes.
+    "q45_media_features" -> ((s, d) =>
+      Multimodal.featuresBatched(Multimodal.withBlob(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "v")))
+        .select(col("doc_id"), col("bin"), round(col("v"), 6).as("v"))),
+
+    // Every 5th frame index of each video payload (frame-sample stage).
+    "q46_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))), 5)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))),
+
     // --- embedding pipeline (MLlib) -------------------------------------
     // The embedding VALUES are murmur3-hash-dependent (not DuckDB-
     // reproducible), so the oracle checks the contract instead: every doc
@@ -1032,6 +1047,25 @@ object SparkEntry {
         |  ('A5', 'Epsilon Music', 'Music', 1::BIGINT, 2::BIGINT),
         |  ('A6', 'Zeta Film Café', 'Video', 1::BIGINT, 0::BIGINT))
         |AS t(asin, title, "group", n_categories, n_similar)""".stripMargin,
+
+    "q45_media_features" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+        |b AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bin FROM pos),
+        |h AS (SELECT doc_id, bin, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM h GROUP BY 1),
+        |grid AS (SELECT d.doc_id, bb.bin FROM documents d
+        |         CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bb)
+        |SELECT g.doc_id, g.bin::INT AS bin,
+        |  round(CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 0.0
+        |             ELSE coalesce(h.c, 0.0) / n.nrm END, 6) AS v
+        |FROM grid g
+        |LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
+        |LEFT JOIN n ON g.doc_id = n.doc_id""".stripMargin,
+
+    "q46_frame_sample" ->
+      """SELECT doc_id, unnest(range(1, n_frames + 1, 5))::BIGINT AS frame_idx
+        |FROM (SELECT doc_id, 1 + (octet_length(encode(text)) % 30) AS n_frames
+        |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin,
 
     "q32_parse_products" ->
       """SELECT * FROM (VALUES

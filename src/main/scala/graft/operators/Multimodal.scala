@@ -58,6 +58,44 @@ object Multimodal {
       (lit(16) + pmod(length(col("blob")) * 7, lit(240))).as("height"),
       (lit(1) + pmod(length(col("blob")), lit(30))).as("n_frames"))
 
+  /** Typed per-payload feature vector (double precision: counts and the
+    * L2 norm are exact integers/square roots, so the digest is
+    * bit-comparable to the SQL oracle; cast to float32 at index-write
+    * time when feeding the ANN path). */
+  case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** Batched partition-local feature extraction: an L2-normalized
+    * `bins`-bucket byte histogram per payload — the deterministic
+    * stand-in for model inference over decoded media (a real deployment
+    * swaps the histogram body for the model forward pass; the
+    * batching/schema/partitioning contract is identical, and the output
+    * feeds the same ANN operators as text embeddings). Map-side only;
+    * blobs never shuffle. */
+  def featuresBatched(withBlobDf: DataFrame, bins: Int = 16): Dataset[MediaFeatures] = {
+    val enc = Encoders.product[MediaFeatures]
+    withBlobDf.select("doc_id", "blob")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          val hist = new Array[Double](bins)
+          var i = 0
+          while (i < blob.length) { hist((blob(i) & 0xff) % bins) += 1.0; i += 1 }
+          val norm = math.sqrt(hist.map(x => x * x).sum)
+          val out = if (norm == 0.0) hist else hist.map(_ / norm)
+          MediaFeatures(r.getLong(0), out)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th frame index of
+    * the decoded frame count — explode is map-side, so sampling 100 TB of
+    * video rows is a single pass with no shuffle. */
+  def sampleFrames(decoded: Dataset[MediaMeta], stride: Int): DataFrame =
+    decoded.toDF()
+      .where(col("media_type") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_frames"), lit(stride))).as("frame_idx"))
+
   /** Batched partition-local decode through the stub codec — the shape a
     * real decoder runs in (one codec instance per partition, rows streamed
     * through it). Returns a typed Dataset. */
