@@ -312,6 +312,10 @@ object SparkEntry {
       graft.streaming.EventStream.tumblingCounts(Tables.events(s, d))
         .withColumn("sum_value", round(col("sum_value"), 4))),
 
+    "q47_events_sliding" -> ((s, d) =>
+      graft.streaming.EventStream.slidingCounts(Tables.events(s, d))
+        .withColumn("sum_value", round(col("sum_value"), 4))),
+
     "q29_sessions" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -949,6 +953,16 @@ object SparkEntry {
         |  time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q47_events_sliding" ->
+      """WITH w AS (SELECT
+        |    unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |            time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS win_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
     "q29_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),

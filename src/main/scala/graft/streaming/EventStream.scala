@@ -29,6 +29,22 @@ object EventStream {
         col("window.end").as("win_end"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding-window counts: every event lands in size/slide overlapping
+    * windows (here 10-minute windows every 5 minutes). Same bounded-state
+    * watermark story as [[tumblingCounts]]; the duplication factor is the
+    * overlap count, applied map-side by the window generator. */
+  def slidingCounts(events: DataFrame,
+                    windowLen: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)
