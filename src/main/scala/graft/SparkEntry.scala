@@ -227,6 +227,14 @@ object SparkEntry {
       Lsh.cosinePairsInBuckets(Tables.embeddings(s, d), 8, 64, 0.1)
         .withColumn("sim", round(col("sim"), 6))),
 
+    // Multi-probe: Hamming-≤1 bucket pairs on the q10/q33 subset — the
+    // recall-lift variant of the sign-LSH path (10 bits ⇒ 1024 buckets,
+    // 11 probe keys per vector).
+    "q48_lsh_multiprobe" -> ((s, d) =>
+      Lsh.cosinePairsMultiProbe(
+        Tables.embeddings(s, d).where(col("vec_id") < 2000), 10, 64, 0.1)
+        .withColumn("sim", round(col("sim"), 6))),
+
     // --- dedup suite ----------------------------------------------------
     "q13_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
 
@@ -735,6 +743,18 @@ object SparkEntry {
         |  FROM embeddings),
         |p AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.v", "y.v")} AS sim
         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT a, b, round(sim, 6) AS sim FROM p WHERE sim >= 0.1""".stripMargin,
+
+    "q48_lsh_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_sum(list_transform(range(0, 10), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |           embedding[i+1]::DOUBLE * ((((j*64 + i) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 - 0.5))) > 0
+        |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |  FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.v", "y.v")} AS sim
+        |      FROM b x JOIN b y ON x.vec_id < y.vec_id
+        |        AND bit_count(xor(x.bucket, y.bucket)) <= 1)
         |SELECT a, b, round(sim, 6) AS sim FROM p WHERE sim >= 0.1""".stripMargin,
 
     "q13_dedup_exact" ->

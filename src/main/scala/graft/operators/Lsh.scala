@@ -43,8 +43,8 @@ object Lsh {
     emb.withColumn("bucket", signature(col(vecCol), bits, dim))
 
   /** Candidate near-duplicate pairs within a bucket, exact-scored.
-    * Multi-probe (matching buckets at Hamming distance ≤ 1) would lift
-    * recall; single-probe keeps the demo plan minimal. */
+    * Single-probe: only exact bucket matches meet ([[cosinePairsMultiProbe]]
+    * lifts recall to Hamming-≤1 bucket pairs at ~(bits+1)× key volume). */
   def cosinePairsInBuckets(emb: DataFrame, bits: Int, dim: Int, minSim: Double,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
@@ -55,5 +55,41 @@ object Lsh {
       .withColumn("sim", cosine(col(s"x.$vecCol"), col(s"y.$vecCol")))
       .where(col("sim") >= minSim)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), col("sim"))
+  }
+
+  /** Multi-probe variant: pairs whose buckets differ in AT MOST one
+    * signature bit. One side explodes its bucket plus the `bits`
+    * single-bit flips (map-side, (bits+1)× keys); the other side keeps
+    * its exact bucket, so the join still hash-partitions on a narrow
+    * long key and a Hamming-1 pair meets exactly twice (once per
+    * direction) before the (a,b) dedup. Near-misses — close vectors
+    * that one hyperplane happens to split — are exactly what this
+    * recovers; recall rises at the classic multi-probe cost, with no
+    * extra hash tables and still zero broadcast state. */
+  def cosinePairsMultiProbe(emb: DataFrame, bits: Int, dim: Int, minSim: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = withBucket(emb, bits, dim, vecCol)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    // Narrow candidate join (the BrpLsh.cosinePairs pattern): probes and
+    // buckets meet as (id, bucket) longs, pairs dedup as (a, b), vectors
+    // join back once per distinct pair — candidate volume never carries
+    // vector payloads through a shuffle.
+    val probes = b.select(col(idCol),
+      explode(array(col("bucket") +:
+        (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+        .as("bucket"))
+    val cand = probes.as("x")
+      .join(b.select(col(idCol), col("bucket")).as("y"), "bucket")
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val v = emb.select(col(idCol), col(vecCol))
+    cand
+      .join(v.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(v.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= minSim)
+      .select("a", "b", "sim")
   }
 }
