@@ -25,7 +25,12 @@ object IvfIndexStore {
 
   def root(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$LayoutVersion-$tag"
+    // The source fingerprint (size + mtime of the embeddings parquet) is
+    // part of the path: if the corpus is regenerated between sessions,
+    // the stale artifact is simply never found and ensure() rebuilds.
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val fp = s"${src.length()}-${src.lastModified()}"
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$LayoutVersion-$tag-$fp"
   }
 
   private def indexPath(sfDir: String) = s"${root(sfDir)}/index"
