@@ -324,6 +324,19 @@ object SparkEntry {
       graft.streaming.EventStream.slidingCounts(Tables.events(s, d))
         .withColumn("sum_value", round(col("sum_value"), 4))),
 
+    // Exact order-statistics per group: Spark's sort-based percentile
+    // (linear interpolation) is bit-comparable to DuckDB quantile_cont,
+    // unlike approx_percentile — the deterministic choice when the
+    // oracle hash-matches values.
+    "q49_event_stats" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax"),
+        round(avg(col("value")), 6).as("vavg"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
     "q29_sessions" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -983,6 +996,14 @@ object SparkEntry {
         |SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end,
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q49_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
+        |  round(avg(value), 6) AS vavg,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q29_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
