@@ -92,11 +92,20 @@ object Ivf {
     * path: cost scales with probed bytes, not index bytes. */
   def topKPersisted(spark: SparkSession, path: String, model: KMeansModel,
                     queries: DataFrame, k: Int, nProbe: Int,
-                    excludeSelf: Boolean = true): DataFrame = {
+                    excludeSelf: Boolean = true): DataFrame =
+    topKPersistedOn(loadIndex(spark, path), model, queries, k, nProbe, excludeSelf)
+
+  /** [[topKPersisted]] over an already-loaded index frame (callers that
+    * serve repeatedly keep the resolved relation and skip re-listing the
+    * partition directories). */
+  def topKPersistedOn(index: DataFrame, model: KMeansModel,
+                      queries: DataFrame, k: Int, nProbe: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val spark = index.sparkSession
     val probed = probeCells(spark, model, queries, nProbe)
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val index = loadIndex(spark, path).where(col("cell").isin(cells.toIndexedSeq: _*))
-    rankInCells(index, probed, k, excludeSelf)
+    val pruned = index.where(col("cell").isin(cells.toIndexedSeq: _*))
+    rankInCells(pruned, probed, k, excludeSelf)
   }
 
   /** Per query, the `nProbe` cells whose centroid is most cosine-similar

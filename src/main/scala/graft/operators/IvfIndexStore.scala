@@ -59,12 +59,22 @@ object IvfIndexStore {
   def loadModel(sfDir: String): KMeansModel =
     modelCache.getOrElseUpdate(sfDir, KMeansModel.load(modelPath(sfDir)))
 
+  /** Loaded index frames are memoized per path: re-resolving the
+    * partitioned parquet relation re-lists 16+ cell directories per
+    * serve; the memoized DataFrame keeps its FileIndex, and partition
+    * pruning still applies per query through the pushed cell filter.
+    * (A plain plan reference, NOT a cache — nothing is pinned.) */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** Serve top-k from the persisted, cell-partitioned index with static
     * partition pruning (Ivf.topKPersisted): per-query cost scales with
     * probed bytes, not index bytes — the 100 TB serving path. */
   def serve(spark: SparkSession, sfDir: String, queries: DataFrame,
             k: Int, nProbe: Int): DataFrame = {
     ensure(spark, sfDir)
-    Ivf.topKPersisted(spark, indexPath(sfDir), loadModel(sfDir), queries, k, nProbe)
+    val index = indexCache.getOrElseUpdate(indexPath(sfDir),
+      Ivf.loadIndex(spark, indexPath(sfDir)))
+    Ivf.topKPersistedOn(index, loadModel(sfDir), queries, k, nProbe)
   }
 }
