@@ -13,9 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb session cold-start (it would at any scale factor).
-    try SparkEntry.queries("q01_pricing")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // per family doesn't absorb session cold-start (it would at any scale
+    // factor): q01 = relational agg/shuffle machinery, q08 = vector
+    // expressions + window rank, q16 = the md5 hash expression family,
+    // q31 = the MLlib pipeline path.
+    for (w <- Seq("q01_pricing", "q08_knn", "q16_simhash_fp", "q31_embed_docs"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
