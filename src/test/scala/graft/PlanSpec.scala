@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale design (SCALE.md) depends
+  * on these plan shapes, so they are asserted, not assumed. Uses
+  * sf0.001 — plan shape is scale-independent for these checks. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf())
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.optimizedPlan.toString
+  }
+
+  test("per-group top-k compiles to WindowGroupLimit (rank pushdown)") {
+    assert(planOf("q04_supplier_top_parts").contains("WindowGroupLimit"))
+    assert(planOf("q06_cf_topn").contains("WindowGroupLimit"))
+  }
+
+  test("dimension joins broadcast (q03 nation)") {
+    assert(planOf("q03_nation_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("query-vector filter is pushed into the parquet scan (q08)") {
+    val p = planOf("q08_knn")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("LessThan(vec_id,20)") || p.contains("LessThan(vec_id, 20)")))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (q02, resolver)") {
+    assert(planOf("q02_top_orders").contains("TakeOrderedAndProject"))
+    assert(planOf("q22_resolver_substr").contains("TakeOrderedAndProject"))
+  }
+
+  test("no cartesian product in the equi-join families") {
+    // intended non-equi joins: the broadcast NLJ of the exact brute-force
+    // kNN family (q08/q09/q10/q27/q33/q35/q36) and the ≤5-row K-values
+    // crossJoin inside precisionAtK (q25/q26/q35/q36) — everything keyed
+    // (dedup, graph, LSH buckets, IVF cells) must join on keys.
+    for (q <- Seq("q05_graph_edges", "q06_cf_topn", "q07_cf_for_queries",
+        "q12_lsh_pairs", "q13_dedup_exact", "q14_ngram_jaccard",
+        "q15_minhash_cand", "q39_simhash_pairs", "q48_lsh_multiprobe",
+        "q28_events_window", "q49_event_stats")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("text analysis stays map-side: single stage, no exchange beyond fan-out") {
+    // one fan-out repartition (test-corpus artifact), zero shuffles from
+    // the operator itself
+    val p = planOf("q18_fingerprints")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected map-side plan, got $exchanges exchanges:\n$p")
+  }
+}
