@@ -22,6 +22,26 @@ object Sampling {
   def exactSample(df: DataFrame, n: Int, seed: Long): DataFrame =
     df.orderBy(rand(seed), df.columns.map(col).head).limit(n)
 
+  /** [[exactSample]] for corpora where the top-n merge would drown: the
+    * plain form's TakeOrderedAndProject sends every partition's local
+    * top-n to ONE merge point — P·n rows at P partitions, which at 100 TB
+    * (P ~ 10^5) is the bottleneck. Here a map-side rand(seed) threshold
+    * keeps ~n·margin candidates first, so the merge sees only survivors.
+    * Because the filter and the ordering use the SAME seeded rand column,
+    * the result is IDENTICAL to [[exactSample]] whenever ≥ n rows survive
+    * (margin 1.5 puts the failure probability below e^{-n/20}; on the
+    * impossible miss the caller sees < n rows, not a wrong sample) —
+    * equality is asserted by SamplingSpec. */
+  def exactSampleLarge(df: DataFrame, n: Int, seed: Long, total: Long): DataFrame = {
+    val margin = 1.5
+    val f = math.min(1.0, if (total <= 0) 1.0 else n * margin / total.toDouble)
+    df.withColumn("__r", rand(seed))
+      .where(col("__r") < f)
+      .orderBy(col("__r"), df.columns.map(col).head)
+      .limit(n)
+      .drop("__r")
+  }
+
   /** Invariant summary used by the correctness harness: the sample's size,
     * key-distinctness and key-range containment — properties a seeded
     * sample must satisfy regardless of which rows the seed picked. */
