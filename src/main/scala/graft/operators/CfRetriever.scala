@@ -19,13 +19,22 @@ import org.apache.spark.sql.functions._
 object CfRetriever {
 
   /** Top-n neighbors per source with normalized scores.
-    * Output: (src, dst, weight, norm, rnk), rnk in 1..n. */
+    * Output: (src, dst, weight, norm, rnk), rnk in 1..n.
+    *
+    * Rank FIRST (WindowGroupLimit prunes to n rows per source inside the
+    * sort), normalize after: the rank-1 row's weight IS the per-source
+    * max, so the normalize window runs over n·|sources| surviving rows
+    * instead of the full adjacency — same values, one full-size window
+    * pass less. */
   def topN(edges: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("src")
       .orderBy(col("weight").desc, col("dst").asc)
-    CoPurchaseGraph.normalized(edges)
+    edges
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= n)
+      .withColumn("norm", col("weight").cast("double") /
+        max(col("weight")).over(Window.partitionBy("src")).cast("double"))
+      .select("src", "dst", "weight", "norm", "rnk")
   }
 
   /** Candidates for a restricted query set only. The filter is applied
