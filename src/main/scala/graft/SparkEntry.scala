@@ -324,6 +324,19 @@ object SparkEntry {
       graft.streaming.EventStream.slidingCounts(Tables.events(s, d))
         .withColumn("sum_value", round(col("sum_value"), 4))),
 
+    // Sketch-based cardinality (HyperLogLog++) with its accuracy contract
+    // verified in-plan against the exact distinct count: the sketch is
+    // the 100 TB operator (map-side mergeable state, no distinct
+    // shuffle); the exact side exists to earn the bound. rsd=0.05 ⇒
+    // gate at ±15% (3 sigma).
+    "q50_approx_distinct" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.15).as("within_bounds"))),
+
     // Exact order-statistics per group: Spark's sort-based percentile
     // (linear interpolation) is bit-comparable to DuckDB quantile_cont,
     // unlike approx_percentile — the deterministic choice when the
@@ -996,6 +1009,11 @@ object SparkEntry {
         |SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end,
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q50_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS within_bounds
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q49_event_stats" ->
       """SELECT event_type, count(*) AS n,
