@@ -506,6 +506,27 @@ object SparkEntry {
       Evaluation.precisionAtK(ranked, coLabelTruth(s, d), Seq(5, 10))
     }),
 
+    // --- text → embedding → k-NN over documents (similarity search on
+    // raw text, the training-pipeline composition: Embedder output feeds
+    // the same retrieval operator as precomputed vectors). Exact-cosine
+    // invariants are earned in-plan; embedding values themselves are
+    // murmur3-dependent, hence the digest oracle.
+    "q51_text_knn" -> ((s, d) => {
+      val emb = Embedder.fitEmbed(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      ContentRetriever.topK(emb, q, 10)
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("query_id") === col("vec_id"), 1).otherwise(0)).as("selfhit"),
+          min(col("sim")).as("lo"), max(col("sim")).as("hi"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n")) === 10 && max(col("n")) === 10).as("rows_ok"),
+          (max(col("selfhit")) === 0).as("self_excluded"),
+          (min(col("lo")) >= -1.000001 && max(col("hi")) <= 1.000001).as("sim_range_ok"))
+    }),
+
     // --- E2 composed end-to-end from a STRING (reference :384-410) ------
     // The reference's interactive path starts from free text: resolve →
     // embed the resolved title (a fitted-model transform of a 1-row
@@ -1009,6 +1030,10 @@ object SparkEntry {
         |SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end,
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q51_text_knn" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 20)::BIGINT AS n_queries,
+        |  true AS rows_ok, true AS self_excluded, true AS sim_range_ok""".stripMargin,
 
     "q50_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
