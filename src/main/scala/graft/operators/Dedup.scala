@@ -209,10 +209,22 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("y"), col("component")), Seq("y"))
         .groupBy(col("x").as("doc_id")).agg(min("component").as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // Pointer jump (path doubling): component(v) ← component(component(v)).
+      // Pure propagation needs O(diameter) rounds — a pathological dup
+      // CHAIN of length > maxIter would exit unconverged and silently
+      // mislabel; with the jump each round squares the reach, so maxIter
+      // 15 covers diameter 2^15 and the changed==0 exit is the converged
+      // fixpoint for any realistic input.
+      val next = propagated.as("a")
+        .join(propagated.select(col("doc_id").as("component"),
+          col("component").as("jump")).as("b"), Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("jump"), col("component")))
             .as("component"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))

@@ -72,6 +72,27 @@ class DedupSpec extends SparkTestBase {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("components: a 60-node chain converges within default iterations (pointer jumping)") {
+    // pure min-propagation would need 59 rounds > maxIter 15; the path-
+    // doubling step must close the chain to one component labeled 1
+    val s = spark
+    val ids = s.createDataFrame((1L to 60L).map(Tuple1(_))).toDF("doc_id")
+    val chain = s.createDataFrame((1L to 59L).map(i => (i, i + 1))).toDF("a", "b")
+    val comp = Dedup.components(ids, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 60)
+    assert(comp.values.forall(_ == 1L))
+  }
+
+  test("components: disjoint clusters get their own min-id labels") {
+    val s = spark
+    val ids = s.createDataFrame(Seq(1L, 2L, 3L, 10L, 11L, 20L).map(Tuple1(_))).toDF("doc_id")
+    val pairs = s.createDataFrame(Seq((1L, 2L), (2L, 3L), (10L, 11L))).toDF("a", "b")
+    val comp = Dedup.components(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("cosinePairs: threshold keeps only similar vectors") {
     val emb = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))))
