@@ -78,8 +78,17 @@ object Dedup {
     val inv = sets
       .select(col("doc_id"), size(col("shingles")).cast("long").as("card"),
         explode(col("shingles")).as("shingle"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-    val light = inv.where(col("df") <= maxDf).drop("df")
+    // The HEAVY shingle set (df > maxDf) is computed by aggregation and
+    // anti-joined away: it holds at most |postings|/maxDf keys by
+    // definition, so it is broadcast-sized in any healthy corpus and the
+    // cap costs one partial-agg shuffle of distinct shingle counts — not
+    // the full postings sort a window-df would pay. (AQE falls back to a
+    // shuffled anti-join if an adversarial corpus makes it big.)
+    val heavy = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("shingle")
+    val light =
+      if (maxDf == Int.MaxValue) inv
+      else inv.join(heavy, Seq("shingle"), "left_anti")
     val cand = light.as("x").join(light.as("y"), "shingle")
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -95,7 +104,7 @@ object Dedup {
         .select(col("a"), col("b"), col("light_inter").as("inter"),
           col("card_a"), col("card_b"), col("jaccard"))
     } else {
-      val heavyPerDoc = inv.where(col("df") > maxDf)
+      val heavyPerDoc = inv.join(heavy, Seq("shingle"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("heavy"))
       val bounded = cand
         .join(heavyPerDoc.select(col("doc_id").as("a"), col("heavy").as("heavy_a")),
