@@ -199,6 +199,22 @@ object SparkEntry {
       CfRetriever.topNFor(basketEdgesFor(s, d, q), q, 5)
     }),
 
+    // Skew-safe salted top-n must EQUAL the plain window top-n — the
+    // equality is the oracle (computed in-plan over the full graph).
+    "q52_cf_salted" -> ((s, d) => {
+      val edges = basketEdges(s, d)
+      val plain = CfRetriever.topN(edges, 10)
+        .select(col("src"), col("dst"), col("rnk"), round(col("norm"), 9).as("norm"))
+      val salted = CfRetriever.topNSalted(edges, 10, 8)
+        .select(col("src"), col("dst"), col("rnk"), round(col("norm"), 9).as("norm"))
+      plain.withColumn("side", lit(1))
+        .join(salted.withColumn("side2", lit(1)),
+          Seq("src", "dst", "rnk", "norm"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("side").isNull || col("side2").isNull, 1)).as("n_diff"))
+        .select(col("n_rows"), (col("n_diff") === 0).as("salted_equals_plain"))
+    }),
+
     // --- vector retrieval (SURVEY V1-V4) --------------------------------
     "q08_knn" -> ((s, d) =>
       ContentRetriever.topK(Tables.embeddings(s, d), queryVecs(s, d), 10)
@@ -748,6 +764,15 @@ object SparkEntry {
         |SELECT src, dst, weight, norm,
         |  row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
         |FROM n QUALIFY rnk <= 5""".stripMargin,
+
+    "q52_cf_salted" ->
+      s"""WITH $basketCtes,
+        |n AS (SELECT src, dst, weight,
+        |        weight::DOUBLE / max(weight) OVER (PARTITION BY src) AS norm FROM sym),
+        |r AS (SELECT src, dst,
+        |        row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
+        |      FROM n QUALIFY rnk <= 10)
+        |SELECT count(*) AS n_rows, true AS salted_equals_plain FROM r""".stripMargin,
 
     "q08_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

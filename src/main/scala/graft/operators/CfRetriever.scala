@@ -44,4 +44,23 @@ object CfRetriever {
   def topNFor(edges: DataFrame, queries: DataFrame, n: Int): DataFrame =
     topN(edges.join(queries.hint("broadcast").select(col("query_id").as("src")),
       Seq("src"), "left_semi"), n)
+
+  /** Skew-safe [[topN]]: a hot source (10^8 neighbors on one key) makes
+    * the single window partition the straggler. Two-phase salted top-n
+    * is EXACTLY equal to the plain top-n — any row in the global top-n
+    * ranks ≤ n inside its salt group too, so phase 1 (top-n within
+    * (src, salt), `salts`-way parallel) never discards a winner, and
+    * phase 2 ranks the ≤ salts·n survivors per src. Normalization then
+    * runs on survivors exactly as in [[topN]] (rank-1 weight = group
+    * max, preserved because phase 1 keeps every group's best rows). */
+  def topNSalted(edges: DataFrame, n: Int, salts: Int): DataFrame = {
+    val salted = edges.withColumn("__salt", pmod(crc32(col("dst").cast("string")), lit(salts)))
+    val w1 = Window.partitionBy("src", "__salt")
+      .orderBy(col("weight").desc, col("dst").asc)
+    val survivors = salted
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= n)
+      .drop("__salt", "__r1")
+    topN(survivors, n)
+  }
 }
