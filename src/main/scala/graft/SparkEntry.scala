@@ -599,6 +599,22 @@ object SparkEntry {
         col("n_edges"), col("w_sum"))
     }),
 
+    // --- capstone corpus filter: what the pipeline actually ships -------
+    // kept = canonical under dedup (exact + MinHash evidence) ∧ English ∧
+    // quality ≥ 0.5 — the keep decision composed from the dedup, language
+    // and quality operators in one plan.
+    "q53_corpus_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.keepList(docs, 3, 16, 8, 0.5)
+        .select(col("doc_id"), col("is_kept").as("canonical"))
+      val lang = TextAnalysis.langId(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("lang_ok"))
+      val qual = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), (col("quality") >= 0.5).as("quality_ok"))
+      keep.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+        .withColumn("kept", col("canonical") && col("lang_ok") && col("quality_ok"))
+    }),
+
     // --- SimHash near-dup pairs (pigeonhole chunk join) -----------------
     "q39_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), 3)),
@@ -892,6 +908,60 @@ object SparkEntry {
         |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)
         |SELECT doc_id, component, component = doc_id AS is_kept FROM (
         |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY 1)""".stripMargin,
+
+    "q53_corpus_filter" ->
+      s"""WITH RECURSIVE
+        |$toksCte,
+        |$shCte,
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+        |    list_min(list_transform(s, x ->
+        |      (((j * 2654435761) % 2147483647 + 1) * (cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)
+        |        + ((j * 40503 + 11) % 2147483647)) % 2147483647))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |keyed AS (SELECT doc_id, sg,
+        |    unnest(list_transform(range(0, 8), b -> b || ':' || array_to_string(sg[b*2+1:b*2+2], ','))) AS band_key
+        |  FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |      FROM keyed x JOIN keyed y USING (band_key) WHERE x.doc_id < y.doc_id),
+        |mh AS (SELECT a, b FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
+        |  WHERE list_sum(list_transform(range(1, 17), i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16 >= 0.5),
+        |eh AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
+        |exct AS (SELECT x.doc_id AS a, y.doc_id AS b FROM eh x JOIN eh y ON x.ch = y.ch AND x.doc_id < y.doc_id),
+        |allp AS (SELECT a, b FROM exct UNION SELECT a, b FROM mh),
+        |sym AS (SELECT a AS x, b AS y FROM allp UNION SELECT b AS x, a AS y FROM allp),
+        |reach(x, y) AS (
+        |  SELECT doc_id AS x, doc_id AS y FROM documents
+        |  UNION
+        |  SELECT r.x, s2.y FROM reach r JOIN sym s2 ON r.y = s2.x),
+        |comp AS (SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY 1),
+        |lh AS (SELECT doc_id,
+        |  len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::BIGINT AS hits_en,
+        |  len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], t)))::BIGINT AS hits_de,
+        |  len(list_filter(tk, t -> list_contains(['le','la','les','et','est','un','une','dans'], t)))::BIGINT AS hits_fr,
+        |  len(list_filter(tk, t -> list_contains(['el','la','los','y','es','un','una','en'], t)))::BIGINT AS hits_es
+        |  FROM toks),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+        |       WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+        |       WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+        |       WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |  FROM lh),
+        |qc AS (SELECT d.doc_id, len(t.tk)::BIGINT AS n_tokens, length(d.text) AS n_char,
+        |  length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+        |  length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+        |  CASE WHEN len(t.tk) = 0 THEN 0.0 ELSE list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE / len(t.tk)::DOUBLE END AS mean_token_len
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |qual AS (SELECT doc_id,
+        |  (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE alpha_chars::DOUBLE / n_char::DOUBLE END) >= 0.6 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE punct_chars::DOUBLE / n_char::DOUBLE END) <= 0.1 THEN 0.25 ELSE 0.0 END) AS quality
+        |  FROM qc)
+        |SELECT c.doc_id, (c.component = c.doc_id) AS canonical,
+        |  (lang.pred_lang = 'en') AS lang_ok, (qual.quality >= 0.5) AS quality_ok,
+        |  ((c.component = c.doc_id) AND lang.pred_lang = 'en' AND qual.quality >= 0.5) AS kept
+        |FROM comp c JOIN lang USING (doc_id) JOIN qual USING (doc_id)""".stripMargin,
 
     "q16_simhash_fp" ->
       s"""WITH $toksCte,
