@@ -388,6 +388,11 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "v")))
         .select(col("doc_id"), col("bin"), round(col("v"), 6).as("v"))),
 
+    // Aspect-preserving resize planning to a 64x64 box (resize stage).
+    "q54_media_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))), 64, 64)),
+
     // Every 5th frame index of each video payload (frame-sample stage).
     "q46_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
@@ -1254,6 +1259,18 @@ object SparkEntry {
         |FROM grid g
         |LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
         |LEFT JOIN n ON g.doc_id = n.doc_id""".stripMargin,
+
+    "q54_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    (16 + octet_length(encode(text)) % 240)::INT AS width,
+        |    (16 + (octet_length(encode(text)) * 7) % 240)::INT AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |    least(64.0 / width, 64.0 / height, 1.0) AS scale FROM m)
+        |SELECT doc_id, width, height,
+        |  greatest(1, floor(width * scale))::INT AS out_w,
+        |  greatest(1, floor(height * scale))::INT AS out_h
+        |FROM s""".stripMargin,
 
     "q46_frame_sample" ->
       """SELECT doc_id, unnest(range(1, n_frames + 1, 5))::BIGINT AS frame_idx

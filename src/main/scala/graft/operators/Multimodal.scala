@@ -96,6 +96,21 @@ object Multimodal {
       .select(col("doc_id"),
         explode(sequence(lit(1), col("n_frames"), lit(stride))).as("frame_idx"))
 
+  /** Aspect-preserving resize planning over decoded metadata: the target
+    * box and the per-payload scale factor are pure column math (map-side,
+    * no shuffle); the pixel resample itself would live in the same
+    * batched pass as [[DecoderStub]] in a real deployment. */
+  def resizePlan(decoded: Dataset[MediaMeta], maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    decoded.toDF()
+      .withColumn("scale", scale)
+      .withColumn("out_w", greatest(lit(1), floor(col("width") * col("scale"))).cast("int"))
+      .withColumn("out_h", greatest(lit(1), floor(col("height") * col("scale"))).cast("int"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+  }
+
   /** Batched partition-local decode through the stub codec — the shape a
     * real decoder runs in (one codec instance per partition, rows streamed
     * through it). Returns a typed Dataset. */
