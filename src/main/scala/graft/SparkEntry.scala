@@ -604,6 +604,38 @@ object SparkEntry {
         col("n_edges"), col("w_sum"))
     }),
 
+    // --- embedding-cosine near-dup on RAW documents ---------------------
+    // Embed the text, threshold-pair in embedding space. The contract
+    // earned in-plan: every EXACT duplicate pair (md5-equal normalized
+    // text ⇒ identical embedding) must be found with cosine ≈ 1 — the
+    // recall floor of embedding-space dedup. Embedding values are
+    // murmur3-dependent, hence the digest; n_exact_pairs is recomputed
+    // relationally by the oracle.
+    "q55_embed_dups" -> ((s, d) => {
+      // The corpus has no exact duplicates, so 10 known copies are
+      // PLANTED (same text, offset ids) — the recall contract is then
+      // non-vacuous: embedding-space dedup must find every planted pair
+      // at cosine ≈ 1 regardless of what the hashing embeds to.
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(base.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val emb = Embedder.fitEmbed(corpus)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val pairs = Dedup.cosinePairs(emb, 0.995, "vec_id", "embedding")
+      val hashed = corpus.select(col("doc_id"), md5(lower(trim(col("text")))).as("ch"))
+      val exactPairs = hashed.as("x")
+        .join(hashed.as("y"), col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      pairs.select(col("a"), col("b"), col("sim"), lit(1).as("in_pairs"))
+        .join(exactPairs.withColumn("in_exact", lit(1)), Seq("a", "b"), "full_outer")
+        .agg(
+          count(when(col("in_exact").isNotNull, 1)).as("n_exact_pairs"),
+          (count(when(col("in_exact").isNotNull, 1)) ===
+            count(when(col("in_exact").isNotNull && col("sim") >= 0.9999, 1)))
+            .as("all_exact_found"))
+    }),
+
     // --- capstone corpus filter: what the pipeline actually ships -------
     // kept = canonical under dedup (exact + MinHash evidence) ∧ English ∧
     // quality ≥ 0.5 — the keep decision composed from the dedup, language
@@ -913,6 +945,13 @@ object SparkEntry {
         |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)
         |SELECT doc_id, component, component = doc_id AS is_kept FROM (
         |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY 1)""".stripMargin,
+
+    "q55_embed_dups" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+        |h AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM corpus)
+        |SELECT count(*) AS n_exact_pairs, true AS all_exact_found
+        |FROM h x JOIN h y ON x.ch = y.ch AND x.doc_id < y.doc_id""".stripMargin,
 
     "q53_corpus_filter" ->
       s"""WITH RECURSIVE
