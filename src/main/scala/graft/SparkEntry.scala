@@ -202,7 +202,10 @@ object SparkEntry {
     // Skew-safe salted top-n must EQUAL the plain window top-n — the
     // equality is the oracle (computed in-plan over the full graph).
     "q52_cf_salted" -> ((s, d) => {
-      val edges = basketEdges(s, d)
+      // materialize the graph once — both comparison sides consume it,
+      // and the equality digest would otherwise run the basket build
+      // twice (ContextCleaner frees the checkpoint blocks on GC)
+      val edges = basketEdges(s, d).localCheckpoint()
       val plain = CfRetriever.topN(edges, 10)
         .select(col("src"), col("dst"), col("rnk"), round(col("norm"), 9).as("norm"))
       val salted = CfRetriever.topNSalted(edges, 10, 8)
