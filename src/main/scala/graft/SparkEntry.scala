@@ -369,6 +369,14 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    // --- temporal as-of join: latest view before each purchase ----------
+    "q57_asof_join" -> ((s, d) =>
+      AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")),
+
+    // --- stratified exact sample: k docs per language -------------------
+    "q58_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 10, 42L)),
+
     "q29_sessions" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -637,6 +645,27 @@ object SparkEntry {
           (count(when(col("in_exact").isNotNull, 1)) ===
             count(when(col("in_exact").isNotNull && col("sim") >= 0.9999, 1)))
             .as("all_exact_found"))
+    }),
+
+    // --- SQL surface: SparkSessionExtensions-registered functions -------
+    // The same custom Catalyst expressions that power q10/q15/q16/q18
+    // invoked through spark.sql — gating the GraftExtensions /
+    // FunctionRegistry path with the hard oracle signal. A SQL-only user
+    // gets bit-identical values to the Column API.
+    "q56_sql_fns" -> ((s, d) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  rolling_fingerprint(tk) AS fingerprint,
+          |  simhash60(tk) AS simhash,
+          |  cast(size(word_shingles(tk, 3)) AS BIGINT) AS n_shingles,
+          |  try_element_at(minhash_sig(word_shingles(tk, 3), 16), 1) AS minhash0,
+          |  round(cosine_sim(array(cast(size(tk) AS DOUBLE), 1.0d),
+          |                   array(1.0d, cast(size(tk) AS DOUBLE))), 6) AS cos_toy
+          |FROM (SELECT doc_id,
+          |        filter(split(lower(text), '[^a-z0-9]+'), t -> t != '') AS tk
+          |      FROM graft_docs)""".stripMargin)
     }),
 
     // --- capstone corpus filter: what the pipeline actually ships -------
@@ -956,6 +985,32 @@ object SparkEntry {
         |SELECT count(*) AS n_exact_pairs, true AS all_exact_found
         |FROM h x JOIN h y ON x.ch = y.ch AND x.doc_id < y.doc_id""".stripMargin,
 
+    "q56_sql_fns" ->
+      s"""WITH $toksCte,
+        |$shCte,
+        |f AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(tk, x ->
+        |    cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint FROM toks),
+        |t AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        |hh AS (SELECT doc_id, cast('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h60 FROM t),
+        |bits AS (SELECT doc_id, bb.b AS b,
+        |    sum(CASE WHEN (h60 >> bb.b) % 2 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM hh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
+        |sm AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS v
+        |       FROM bits GROUP BY 1),
+        |m AS (SELECT doc_id, CASE WHEN len(s) = 0 THEN NULL ELSE
+        |    list_min(list_transform(s, x ->
+        |      (cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647 + 11) % 2147483647))
+        |  END AS minhash0 FROM sh)
+        |SELECT toks.doc_id, f.fingerprint,
+        |  coalesce(sm.v, 0)::BIGINT AS simhash,
+        |  len(sh.s)::BIGINT AS n_shingles,
+        |  m.minhash0,
+        |  round(${cosSql("[len(tk)::DOUBLE, 1.0]", "[1.0, len(tk)::DOUBLE]")}, 6) AS cos_toy
+        |FROM toks JOIN f USING (doc_id) JOIN sh USING (doc_id)
+        |  JOIN m USING (doc_id) LEFT JOIN sm USING (doc_id)""".stripMargin,
+
     "q53_corpus_filter" ->
       s"""WITH RECURSIVE
         |$toksCte,
@@ -1189,6 +1244,29 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q57_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, value,
+        |    (event_type = 'purchase') AS is_probe
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN NOT is_probe THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_event_id,
+        |    last_value(CASE WHEN NOT is_probe THEN epoch_ms(ts) END IGNORE NULLS)
+        |      OVER w AS asof_ts_ms
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), is_probe, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+        |  asof_event_id, asof_ts_ms, epoch_ms(ts) - asof_ts_ms AS gap_ms
+        |FROM o WHERE is_probe""".stripMargin,
+
+    "q58_stratified" ->
+      """WITH r AS (SELECT lang AS stratum, doc_id AS key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT stratum, key, rnk FROM r WHERE rnk <= 10""".stripMargin,
 
     "q29_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal as-of join over the events table: attach to each probe-side
+  * event the LATEST match-side event of the same user at or before it
+  * (inclusive) — "which view preceded this purchase", the attribution /
+  * feature-backfill primitive of a training-data pipeline. The reference
+  * has no temporal operator (it is batch-relational only,
+  * `/root/reference/Hybrid_Recom_vecdb.py`); this extends the engine the
+  * same way kdb `aj` / Flink temporal joins extend SQL.
+  *
+  * Spark mapping: NOT a range join (an inequality theta-join explodes to
+  * |probe|·|match| per user before filtering). Instead: union both sides
+  * tagged, one hash exchange on user_id, one per-partition sort by
+  * (event time, side, id), then `last(..., ignoreNulls) over rows
+  * unbounded-preceding..current` carries the latest match-side attributes
+  * forward onto every probe row — O(n log n) in partition size, one
+  * shuffle total, and the running-frame window is evaluated
+  * incrementally (no per-row frame rescan).
+  *
+  * Ordering ties: a match event at the SAME microsecond as the probe
+  * sorts before it (side flag orders match < probe), giving inclusive
+  * `match.ts <= probe.ts` semantics; equal-time matches tie-break by
+  * event_id, so the result is deterministic.
+  *
+  * 100 TB: the only shuffle is the user_id exchange, and per-user event
+  * counts bound the sort. A pathological mega-user skews one partition;
+  * the standard fix (time-bucket pre-split with boundary carry-over)
+  * composes on top without changing this operator's contract.
+  */
+object AsOfJoin {
+
+  /** For each `probeType` event: the latest `matchType` event of the same
+    * user with ts <= probe ts. Times emitted as epoch millis (exact in
+    * both engines; raw nanosecond timestamps don't survive a
+    * micros-truncating reader anyway). */
+  def latestBefore(events: DataFrame, matchType: String,
+                   probeType: String): DataFrame = {
+    val isProbe = (col("event_type") === probeType).cast("int")
+    val tagged = events
+      .where(col("event_type").isin(matchType, probeType))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        isProbe.as("__is_probe"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("__is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carried(c: org.apache.spark.sql.Column) =
+      last(when(col("__is_probe") === 0, c), ignoreNulls = true).over(w)
+    tagged
+      .withColumn("__m_id", carried(col("event_id")))
+      .withColumn("__m_ts", carried(unix_millis(col("ts"))))
+      .where(col("__is_probe") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        col("__m_id").as("asof_event_id"),
+        col("__m_ts").as("asof_ts_ms"),
+        (unix_millis(col("ts")) - col("__m_ts")).as("gap_ms"))
+  }
+}

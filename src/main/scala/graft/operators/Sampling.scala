@@ -42,6 +42,38 @@ object Sampling {
       .drop("__r")
   }
 
+  /** Deterministic stratified sample: exactly min(k, |stratum|) rows per
+    * stratum, selected by md5-rank over (seed, key) — a balanced-corpus
+    * builder ("k docs per language/source"), the class-rebalancing step of
+    * a training-data pipeline. Selection is engine-reproducible: the rank
+    * key is a pure function of (seed, key), unlike `rand(seed)` whose
+    * stream depends on partition layout, so the DuckDB oracle replays the
+    * IDENTICAL choice and the result hash-matches.
+    *
+    * Skew: one window partition per stratum would make a dominant stratum
+    * (80% of a 100 TB corpus in one language) a single-task straggler.
+    * Two-phase salted top-k instead: phase 1 takes k per (stratum, salt)
+    * — `salts` parallel bounded heaps per stratum — phase 2 re-ranks the
+    * ≤ k·salts survivors per stratum. Both windows compile to
+    * WindowGroupLimit (rank pushdown: partial top-k before the sort), and
+    * no partition ever holds more than the larger of |corpus|/salts and
+    * k·salts rows. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int, seed: Long, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
+    val salted = df
+      .select(col(stratumCol).as("stratum"), col(keyCol).as("key"),
+        rank.as("__rk"),
+        pmod(crc32(col(keyCol).cast("string")), lit(salts)).as("__salt"))
+    val w1 = Window.partitionBy("stratum", "__salt").orderBy(col("__rk"), col("key"))
+    val w2 = Window.partitionBy("stratum").orderBy(col("__rk"), col("key"))
+    salted
+      .withColumn("__r1", row_number().over(w1)).where(col("__r1") <= k)
+      .withColumn("rnk", row_number().over(w2)).where(col("rnk") <= k)
+      .select(col("stratum"), col("key"), col("rnk"))
+  }
+
   /** Invariant summary used by the correctness harness: the sample's size,
     * key-distinctness and key-range containment — properties a seeded
     * sample must satisfy regardless of which rows the seed picked. */
