@@ -647,6 +647,12 @@ object SparkEntry {
             .as("all_exact_found"))
     }),
 
+    // --- SQ8 scalar quantization: the ANN-serving compression path ------
+    // Per-vector int8 codes + scale; digest = exact code checksum + the
+    // cosine actually lost to quantization. Map-side only.
+    "q59_quantize" -> ((s, d) =>
+      Quantize.reconstructionDigest(Tables.embeddings(s, d))),
+
     // --- SQL surface: SparkSessionExtensions-registered functions -------
     // The same custom Catalyst expressions that power q10/q15/q16/q18
     // invoked through spark.sql — gating the GraftExtensions /
@@ -984,6 +990,20 @@ object SparkEntry {
         |h AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM corpus)
         |SELECT count(*) AS n_exact_pairs, true AS all_exact_found
         |FROM h x JOIN h y ON x.ch = y.ch AND x.doc_id < y.doc_id""".stripMargin,
+
+    "q59_quantize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |       ELSE list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))::BIGINT)
+        |  END AS codes FROM s),
+        |d AS (SELECT vec_id, scale, codes,
+        |  list_transform(codes, q -> q::DOUBLE * scale) AS dq, v FROM c)
+        |SELECT vec_id, scale,
+        |  list_sum(list_transform(codes, x -> abs(x)))::BIGINT AS l1_codes,
+        |  round(${cosSql("v", "dq")}, 6) AS cos_recon
+        |FROM d""".stripMargin,
 
     "q56_sql_fns" ->
       s"""WITH $toksCte,

@@ -34,4 +34,23 @@ class SamplingSpec extends SparkTestBase {
     val all = Sampling.exactSample(docs.limit(30), 1000, 42L).count()
     assert(all == 30)
   }
+
+  test("stratifiedSample: min(k, |stratum|) per stratum; salting is invisible") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.stratifiedSample(docs, "lang", "doc_id", 10, 42L)
+    // per-stratum counts
+    val sizes = docs.groupBy(col("lang").as("stratum")).count()
+    val bad = got.groupBy("stratum").count().as("g")
+      .join(sizes.as("s"), "stratum")
+      .where(col("g.count") =!= least(lit(10L), col("s.count")))
+    assert(bad.count() == 0)
+    // equals the direct single-window reference (salting is pure plumbing)
+    val rk = md5(concat_ws(":", lit("42"), col("doc_id").cast("string")))
+    val ref = docs
+      .select(col("lang").as("stratum"), col("doc_id").as("key"), rk.as("__rk"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("__rk"), col("key"))))
+      .where(col("rnk") <= 10).drop("__rk")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
 }
