@@ -369,6 +369,30 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    // --- OLAP cube: (event_type × day) with all rollup margins ----------
+    // One shuffle; Spark expands grouping sets map-side before the
+    // exchange, so margins cost one pass, not one query per margin.
+    "q60_cube" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+        grouping_id(col("event_type"), col("day")).cast("int").as("gid"))),
+
+    // --- ordered-window analytics: per-user moving average + delta ------
+    // The feature-engineering window shape: one exchange on user_id,
+    // incremental 4-row frame, exact lag delta.
+    "q61_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        round(avg(col("value")).over(
+          w.rowsBetween(-3, Window.currentRow)), 6).as("mavg4"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+
     // --- temporal as-of join: latest view before each purchase ----------
     "q57_asof_join" -> ((s, d) =>
       AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")),
@@ -1264,6 +1288,21 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q60_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value,
+        |  GROUPING(event_type, day)::INT AS gid
+        |FROM events GROUP BY CUBE (event_type, day)""".stripMargin,
+
+    "q61_moving_avg" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS delta
+        |FROM events""".stripMargin,
 
     "q57_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, ts, value,
