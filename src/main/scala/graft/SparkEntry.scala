@@ -393,6 +393,21 @@ object SparkEntry {
         (col("value") - lag(col("value"), 1).over(w)).as("delta"))
     }),
 
+    // --- replay dedup: exactly-once ingestion, batch backfill form ------
+    // Replays PLANTED (every 50th event re-arrives an hour later with a
+    // corrupted value): keep-first must collapse them to the original
+    // row. The streaming form (dropDuplicatesWithinWatermark) is
+    // MemoryStream-tested in EventStreamSpec.
+    "q62_replay_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "ts", "value")
+      val replay = ev.where(col("event_id") % 50 === 0)
+        .select(col("event_id"), (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
+          (col("value") + 1000.0).as("value"))
+      graft.streaming.EventStream.dedupeReplays(ev.unionByName(replay))
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"), col("n_arrivals"))
+    }),
+
     // --- temporal as-of join: latest view before each purchase ----------
     "q57_asof_join" -> ((s, d) =>
       AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")),
@@ -1288,6 +1303,20 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q62_replay_dedup" ->
+      """WITH u AS (
+        |  SELECT event_id, ts, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, value + 1000.0 AS value
+        |  FROM events WHERE event_id % 50 = 0),
+        |r AS (SELECT event_id, ts, value,
+        |    count(*) OVER (PARTITION BY event_id) AS n_arrivals,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY epoch_us(ts), value) AS rn
+        |  FROM u)
+        |SELECT event_id, epoch_ms(ts) AS ts_ms, value, n_arrivals
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q60_cube" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -39,6 +39,37 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupe as a real stream: in-horizon replay dropped, keep-first wins") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.dedupe(events, "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(2), 99.0)) // replay of id 1 within horizon
+      q.processAllAvailable()
+      val out = s.sql("SELECT event_id, value FROM deduped")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out == Map(1L -> 1.0, 2L -> 2.0)) // first arrival kept
+    } finally q.stop()
+  }
+
+  test("dedupeReplays keeps the first arrival and counts all of them") {
+    val df = spark.createDataFrame(Seq(
+      (1L, ts(0), 1.0), (1L, ts(2), 99.0), (1L, ts(1), 50.0),
+      (2L, ts(3), 7.0)))
+      .toDF("event_id", "ts", "value")
+    val out = EventStream.dedupeReplays(df).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L) == (ts(0), 1.0, 3L))
+    assert(out(2L) == (ts(3), 7.0, 1L))
+  }
+
   test("tumblingCounts batch mode matches hand counts") {
     val df = spark.createDataFrame(Seq(
       (ts(0), "a", 1.0), (ts(4), "a", 2.0), (ts(5), "a", 4.0)))
