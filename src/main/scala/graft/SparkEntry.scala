@@ -194,6 +194,14 @@ object SparkEntry {
 
     "q06_cf_topn" -> ((s, d) => CfRetriever.topN(basketEdges(s, d), 10)),
 
+    // --- weighted PageRank: iterative graph analytics -------------------
+    // 10 bulk iterations, one join+groupBy shuffle each, over
+    // checkpointed transition fractions. Oracle = the same 10 rounds as
+    // chained CTEs in DuckDB.
+    "q63_pagerank" -> ((s, d) =>
+      PageRank.run(CoPurchaseGraph.symmetrize(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d))))),
+
     "q07_cf_for_queries" -> ((s, d) => {
       val q = partQueries(s, d)
       CfRetriever.topNFor(basketEdgesFor(s, d, q), q, 5)
@@ -877,6 +885,23 @@ object SparkEntry {
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem)
         |SELECT a.item AS src, b.item AS dst, count(*) AS weight
         |FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2""".stripMargin,
+
+    "q63_pagerank" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (SELECT e.dst AS node, min(bb.base) + 0.85 * sum(r.rank * e.frac) AS rank
+           |  FROM norm e JOIN r${i - 1} r ON e.src = r.node CROSS JOIN bb GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $basketCtes,
+        |deg AS (SELECT src, sum(weight) AS w FROM sym GROUP BY 1),
+        |norm AS (SELECT s.src, s.dst, s.weight::DOUBLE / d.w AS frac
+        |         FROM sym s JOIN deg d USING (src)),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+        |bb AS (SELECT (1.0 - 0.85) / n AS base, n FROM nn),
+        |r0 AS (SELECT d.src AS node, 1.0 / bb.n AS rank FROM deg d CROSS JOIN bb),
+        |$rounds
+        |SELECT r10.node, round(r10.rank * bb.n, 6) AS pr_scaled
+        |FROM r10 CROSS JOIN bb""".stripMargin
+    },
 
     "q06_cf_topn" ->
       s"""WITH $basketCtes,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over the co-purchase graph — graph-global item
+  * importance, the iterative-analytics workload the reference's
+  * per-query graph walks (`/root/reference/Hybrid_Recom_vecdb.py:
+  * 189-197` takes one neighborhood per query) never needed, but any
+  * catalog-scale ranking does.
+  *
+  * Spark shape: the canonical bulk-iteration. The edge transition
+  * fractions (src, dst, weight/out_weight) are computed ONCE and
+  * localCheckpoint'd — ten iterations read the materialized blocks, not
+  * ten re-builds of the graph subtree. Each iteration is exactly one
+  * join (ranks ⋈ edges on src) + one groupBy(dst) shuffle — O(E) per
+  * iteration, the same contract GraphX/Pregel gives, without leaving
+  * the DataFrame API. Ranks are checkpointed every few rounds to keep
+  * the growing plan tree from dominating driver time (same lineage
+  * pattern as the connected-components loop in [[Dedup]]).
+  *
+  * Contract: `edges` must have no dangling nodes (every node has ≥ 1
+  * out-edge) — automatically true for a symmetrized undirected graph
+  * ([[CoPurchaseGraph.symmetrize]]); general directed graphs would add
+  * the dangling-mass redistribution term.
+  *
+  * Output ranks are scaled by N (mean 1.0) so `round(, 6)` keeps ~6
+  * significant digits regardless of graph size — the double-drift
+  * tolerance the cross-engine oracle comparison needs.
+  */
+object PageRank {
+
+  def run(edges: DataFrame, iterations: Int = 10,
+          damping: Double = 0.85): DataFrame = {
+    val frac = edges
+      .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("__w")).as("frac"))
+      .localCheckpoint()
+    val nodes = frac.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iterations) {
+      ranks = frac.join(ranks, frac("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + lit(damping) * sum(col("frac") * col("rank")))
+          .as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
+  }
+}
