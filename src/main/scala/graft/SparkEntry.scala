@@ -424,6 +424,34 @@ object SparkEntry {
     "q58_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 10, 42L)),
 
+    // --- sketch percentiles with an in-plan accuracy contract -----------
+    // percentile_approx (GK sketch: mergeable, bounded memory) is the
+    // 100 TB operator; the exact sort-based percentile exists to earn
+    // the bound. accuracy=1000 ⇒ rank error ≤ n/1000; gate the VALUE
+    // error at 2% of the per-group range (loose enough for any merge
+    // order, tight enough to catch a broken sketch).
+    "q64_approx_pct" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.9)").as("exact_p90"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("approx_p90"),
+        (max(col("value")) - min(col("value"))).as("rng"))
+      .select(col("event_type"),
+        (abs(col("approx_p90") - col("exact_p90")) <= col("rng") * 0.02)
+          .as("within_bounds"))),
+
+    // --- corpus vocabulary: term/document frequency -----------------------
+    // The IDF-vocabulary build: explode tokens once, one shuffle on term,
+    // df + tf in the same aggregate; min-df pruning drops the hapax tail
+    // that dominates vocabulary size.
+    "q65_vocabulary" -> ((s, d) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("n"))
+        .groupBy("term").agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
+        .where(col("df") >= 3)
+    }),
+
     "q29_sessions" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -1328,6 +1356,16 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q64_approx_pct" ->
+      """SELECT DISTINCT event_type, true AS within_bounds FROM events""",
+
+    "q65_vocabulary" ->
+      s"""WITH $toksCte,
+        |t AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |g AS (SELECT term, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
+        |FROM g GROUP BY term HAVING count(*) >= 3""".stripMargin,
 
     "q62_replay_dedup" ->
       """WITH u AS (
