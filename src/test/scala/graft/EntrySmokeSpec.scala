@@ -22,9 +22,12 @@ class EntrySmokeSpec extends SparkTestBase {
     assert(inv.count() == 0)
   }
 
-  test("every declared oracle has a query and every query a runnable plan") {
+  test("queries and oracles are in 1:1 correspondence; every plan analyzes") {
     val qs = SparkEntry.queries
-    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // round-1 verdict: a query without an oracle is untested surface —
+    // the sets must be EQUAL, not merely consistent.
+    assert(SparkEntry.oracleSql.keySet == qs.keySet,
+      s"asymmetric: ${SparkEntry.oracleSql.keySet.diff(qs.keySet)} / ${qs.keySet.diff(SparkEntry.oracleSql.keySet)}")
     qs.foreach { case (_, fn) => fn(spark, sf()).schema } // analyzes the plan
   }
 }
