@@ -110,4 +110,46 @@ class PropertiesSpec extends SparkTestBase {
     // every (query, K) combination present, including zero-hit rows
     assert(out.length == ranked.map(_._1).distinct.length * 3)
   }
+
+  test("as-of join equals the naive per-probe maximum for any event set") {
+    import graft.operators.AsOfJoin
+    val evGen = for {
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 50L)
+      probe <- Gen.oneOf(true, false)
+    } yield (user, t, probe)
+    val evs = sample(evGen, 80).zipWithIndex.map { case ((u, t, p), i) =>
+      (i.toLong, u, new java.sql.Timestamp(t * 1000), if (p) "purchase" else "view", i.toDouble)
+    }
+    val df = spark.createDataFrame(evs)
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = AsOfJoin.latestBefore(df, "view", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // naive reference: for each probe, max (ts, id)-ordered view with ts <=
+    val views = evs.filter(_._4 == "view")
+    evs.filter(_._4 == "purchase").foreach { case (id, u, t, _, _) =>
+      val expected = views.filter(v => v._2 == u && !v._3.after(t))
+        .sortBy(v => (v._3.getTime, v._1)).lastOption.map(_._1).getOrElse(-1L)
+      assert(got(id) == expected, s"probe $id: got ${got(id)}, want $expected")
+    }
+  }
+
+  test("SQ8 dequantization error ≤ scale/2 per element for any float vector") {
+    import graft.operators.Quantize
+    val vecGen = Gen.choose(1, 12).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-100f, 100f)).map(_.toArray))
+    val vecs = sample(vecGen, 50).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = Quantize.int8(df).join(df, "vec_id").collect()
+    q.foreach { r =>
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      val orig = r.getSeq[Float](r.fieldIndex("embedding"))
+      codes.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"code $c scale $scale orig $x")
+      }
+    }
+  }
 }
