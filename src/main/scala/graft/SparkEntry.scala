@@ -596,6 +596,30 @@ object SparkEntry {
           (max(col("selfhit")) === 0).as("self_excluded"))
     }),
 
+    // --- incremental index maintenance: upsert ≡ rebuild ----------------
+    // Build the cell-partitioned index on half the corpus, APPEND the
+    // other half with the same quantizer (Ivf.upsertIndex — new files
+    // touch only their cell directories), then serve: results must be
+    // row-identical to serving the one-shot full index. The invariant a
+    // mutable vector store owes its users.
+    "q66_ivf_upsert" -> ((s, d) => {
+      IvfIndexStore.ensure(s, d)
+      val model = IvfIndexStore.loadModel(d)
+      val emb = Tables.embeddings(s, d)
+      val tmp = IvfIndexStore.root(d) + "/upsert-check"
+      Ivf.writeIndex(Ivf.assign(model, emb.where(col("vec_id") % 2 === 0)), tmp)
+      Ivf.upsertIndex(model, emb.where(col("vec_id") % 2 === 1), tmp)
+      val viaUpsert = Ivf.topKPersisted(s, tmp, model, queryVecs(s, d), 10, 4)
+      val oneShot = IvfIndexStore.serve(s, d, queryVecs(s, d), 10, 4)
+      viaUpsert.select(col("query_id"), col("vec_id"), col("rnk"), lit(1).as("u"))
+        .join(oneShot.select(col("query_id"), col("vec_id"), col("rnk"),
+          lit(1).as("o")), Seq("query_id", "vec_id", "rnk"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("u").isNotNull && col("o").isNotNull, 1)).as("n_matched"),
+          (count(when(col("u").isNull || col("o").isNull, 1)) === 0)
+            .as("upsert_equals_rebuild"))
+    }),
+
     // --- E3: content-arm vs hybrid-arm Precision@K ----------------------
     // The reference's headline experiment (`Hybrid_Recom_vecdb.py:237-292`
     // + precision_k.png) evaluates BOTH retrieval arms against
@@ -1466,6 +1490,10 @@ object SparkEntry {
     "q43_ivf_serve_batch" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 1000)::BIGINT AS n_queries,
         |  true AS rows_ok, true AS self_excluded""".stripMargin,
+
+    "q66_ivf_upsert" ->
+      """SELECT 200::BIGINT AS n_rows, 200::BIGINT AS n_matched,
+        |  true AS upsert_equals_rebuild""".stripMargin,
 
     // Frozen expected ranking for the fixture corpus: the CF arm boosts
     // A1 (A3's co-purchase neighbor, fs=1) to rank 1; the content arm

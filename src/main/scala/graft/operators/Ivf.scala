@@ -85,6 +85,20 @@ object Ivf {
   def loadIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental maintenance (FAISS IVF `add` semantics): assign NEW
+    * vectors with the EXISTING quantizer and append them to the
+    * persisted index — new files land only in the touched cell
+    * directories, untouched cells are never rewritten, centroids never
+    * move (rebuild when assignment drift matters). The parquet analogue
+    * of the reference's upsert batches
+    * (`/root/reference/Hybrid_Recom_vecdb.py:159-170`). With the same
+    * quantizer, build-then-upsert is bit-identical to a one-shot build
+    * over the union — gated by q66. */
+  def upsertIndex(model: KMeansModel, newRows: DataFrame, path: String,
+                  vecCol: String = "embedding"): Unit =
+    assign(model, newRows, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** [[topK]] against a persisted index with STATIC partition pruning:
     * the probed cell set (≤ |queries|·nProbe ints — driver-safe at any
     * scale) is collected and pushed as an `isin` partition filter, so the
