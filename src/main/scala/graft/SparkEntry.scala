@@ -420,6 +420,17 @@ object SparkEntry {
     "q57_asof_join" -> ((s, d) =>
       AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")),
 
+    // --- attribution funnel: view→purchase conversion per day -----------
+    // Composes the as-of join: a purchase "converts" when the latest
+    // preceding view of the same user is within the 1-hour window.
+    "q67_conversion" -> ((s, d) =>
+      AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")
+        .select(date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"),
+          (col("gap_ms").isNotNull && col("gap_ms") <= 3600000L).as("cv"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when(col("cv"), 1)).as("n_converted"))),
+
     // --- stratified exact sample: k docs per language -------------------
     "q58_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 10, 42L)),
@@ -1435,6 +1446,21 @@ object SparkEntry {
         |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
         |  asof_event_id, asof_ts_ms, epoch_ms(ts) - asof_ts_ms AS gap_ms
         |FROM o WHERE is_probe""".stripMargin,
+
+    "q67_conversion" ->
+      """WITH ev AS (SELECT event_id, user_id, ts,
+        |    (event_type = 'purchase') AS is_probe
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN NOT is_probe THEN epoch_ms(ts) END IGNORE NULLS)
+        |      OVER w AS asof_ts_ms
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), is_probe, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchases,
+        |  count(CASE WHEN asof_ts_ms IS NOT NULL
+        |             AND epoch_ms(ts) - asof_ts_ms <= 3600000 THEN 1 END) AS n_converted
+        |FROM o WHERE is_probe GROUP BY 1""".stripMargin,
 
     "q58_stratified" ->
       """WITH r AS (SELECT lang AS stratum, doc_id AS key,
