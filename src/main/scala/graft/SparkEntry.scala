@@ -208,12 +208,17 @@ object SparkEntry {
     }),
 
     // Skew-safe salted top-n must EQUAL the plain window top-n — the
-    // equality is the oracle (computed in-plan over the full graph).
+    // equality is the oracle. Gated on a deterministic 10% source stratum
+    // (src % 10 = 0): same divergence-detection power — salting errors
+    // are not key-value-dependent — at ~10% of the full-graph cost
+    // (round-2 verdict #2: the full equality was 29 s / 14% of the
+    // suite). The FULL-graph equality lives in RetrievalSpec at sf0.01.
     "q52_cf_salted" -> ((s, d) => {
-      // materialize the graph once — both comparison sides consume it,
+      // materialize the stratum once — both comparison sides consume it,
       // and the equality digest would otherwise run the basket build
       // twice (ContextCleaner frees the checkpoint blocks on GC)
-      val edges = basketEdges(s, d).localCheckpoint()
+      val edges = basketEdges(s, d)
+        .where(col("src") % 10 === 0).localCheckpoint()
       val plain = CfRetriever.topN(edges, 10)
         .select(col("src"), col("dst"), col("rnk"), round(col("norm"), 9).as("norm"))
       val salted = CfRetriever.topNSalted(edges, 10, 8)
@@ -463,13 +468,18 @@ object SparkEntry {
         .where(col("df") >= 3)
     }),
 
+    // Batch path = the relational sessionizer (spillable window sort, no
+    // object state — a mega-user spills instead of OOMing a task; round-2
+    // verdict #1). The result contract stays the mapGroupsWithState final
+    // state: each user's LAST session — selected with one more pass over
+    // the tiny (user, session) frame. EventStreamSpec proves batch ≡
+    // mapGroupsWithState; the streaming runtime keeps sessionize.
     "q29_sessions" -> ((s, d) => {
-      import s.implicits._
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"))
-        .as[graft.streaming.EventStream.Event]
-      graft.streaming.EventStream.sessionize(ev, 28800000L).toDF()
+      val sess = graft.streaming.EventStream.sessionizeBatch(
+        Tables.events(s, d), 28800000L)
+      val w = Window.partitionBy("user_id").orderBy(col("session_id").desc)
+      sess.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+        .select(col("user_id"), col("session_id"), col("n_events"))
     }),
 
     // --- multimodal plumbing --------------------------------------------
@@ -985,8 +995,9 @@ object SparkEntry {
 
     "q52_cf_salted" ->
       s"""WITH $basketCtes,
+        |strat AS (SELECT * FROM sym WHERE src % 10 = 0),
         |n AS (SELECT src, dst, weight,
-        |        weight::DOUBLE / max(weight) OVER (PARTITION BY src) AS norm FROM sym),
+        |        weight::DOUBLE / max(weight) OVER (PARTITION BY src) AS norm FROM strat),
         |r AS (SELECT src, dst,
         |        row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
         |      FROM n QUALIFY rnk <= 10)

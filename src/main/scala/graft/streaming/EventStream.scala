@@ -69,6 +69,33 @@ object EventStream {
       .select(col("event_id"), col("__first.ts").as("ts"),
         col("__first.value").as("value"), col("n_arrivals"))
 
+  /** Relational gap sessionization — the BATCH form of [[sessionize]].
+    * `lag` over (user_id; ts, event_id) flags a session break when the
+    * gap exceeds `gapMs`; a running sum of break flags is the session id;
+    * one groupBy sizes each session. Output: (user_id, session_id,
+    * n_events), session ids 0-based per user in time order — identical to
+    * the per-session state [[sessionize]] walks through.
+    *
+    * Scale shape: one exchange on user_id, then two window passes over
+    * the SAME sort order (Catalyst plans one sort) and a partial-agg
+    * groupBy. Spark's window sort is spillable (UnsafeExternalSorter) and
+    * the running frame is evaluated incrementally, so a mega-user spills
+    * to disk instead of materializing its whole history in memory the way
+    * the object-state path's `toSeq` does — the streaming runtime keeps
+    * [[sessionize]]; every batch/backfill caller belongs here. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("__t"), col("event_id"))
+      .withColumn("__brk",
+        when(col("__t") - lag(col("__t"), 1).over(ord) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)

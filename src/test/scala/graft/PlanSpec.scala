@@ -48,6 +48,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q29 batch sessionization is relational: no object-state operator") {
+    // The mega-user guard (round-2 verdict #1): the batch plan must be
+    // window + aggregate (spillable sort), never MapGroups object state.
+    val p = planOf("q29_sessions")
+    assert(!p.contains("MapGroups"), s"q29 batch plan uses object state:\n$p")
+    assert(p.contains("Window"), "q29 should sessionize via window functions")
+  }
+
   test("text analysis stays map-side: single stage, no exchange beyond fan-out") {
     // one fan-out repartition (test-corpus artifact), zero shuffles from
     // the operator itself

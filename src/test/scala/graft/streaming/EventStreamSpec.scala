@@ -96,6 +96,36 @@ class EventStreamSpec extends SparkTestBase {
     assert(out(8L) == (0L, 1L))
   }
 
+  test("sessionizeBatch: every session sized correctly, ids 0-based in time order") {
+    val df = spark.createDataFrame(Seq(
+      (1L, ts(0), 7L), (2L, ts(1), 7L), (3L, ts(30), 7L), (4L, ts(31), 7L),
+      (5L, ts(33), 7L), (6L, ts(0), 8L)))
+      .toDF("event_id", "ts", "user_id")
+    val out = EventStream.sessionizeBatch(df, 600000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((7L, 0L) -> 2L, (7L, 1L) -> 3L, (8L, 0L) -> 1L))
+  }
+
+  test("sessionizeBatch final state agrees with mapGroupsWithState on shuffled input") {
+    val s = spark
+    import s.implicits._
+    // 3 users × interleaved sessions, deliberately out of order
+    val rows = Seq(
+      Event(10L, ts(30), 1L, "c", 0.0), Event(11L, ts(0), 1L, "c", 0.0),
+      Event(12L, ts(31), 1L, "c", 0.0), Event(20L, ts(5), 2L, "c", 0.0),
+      Event(21L, ts(6), 2L, "c", 0.0), Event(30L, ts(50), 3L, "c", 0.0))
+    val stateful = EventStream.sessionize(rows.toDS().repartition(4), 600000L)
+      .collect().map(u => u.user_id -> (u.session_id, u.n_events)).toMap
+    val batch = EventStream.sessionizeBatch(
+      rows.toDF().select(col("event_id"), col("ts"), col("user_id")), 600000L)
+    val lastPerUser = batch.collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        val last = rs.maxBy(_.getLong(1)); u -> (last.getLong(1), last.getLong(2))
+      }
+    assert(lastPerUser == stateful)
+  }
+
   test("sessionize processes events in (ts, event_id) order regardless of input order") {
     val s = spark
     import s.implicits._
