@@ -285,7 +285,8 @@ object SparkEntry {
 
     // --- dedup keep-list: evidence union → components → canonical ------
     // The decision a corpus pipeline actually ships: which docs survive
-    // dedup. Exact-dup + MinHash-LSH evidence, Hash-Min connected
+    // dedup. Exact-dup + MinHash-LSH-nominated candidates whose TRUE
+    // Jaccard clears τ (exact-verified edges), Hash-Min connected
     // components, min-id canonical. Oracle = recursive-CTE transitive
     // closure in DuckDB (hard hash signal on the full clustering).
     "q44_dedup_keep" -> ((s, d) =>
@@ -1109,8 +1110,9 @@ object SparkEntry {
         |  FROM sig),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |      FROM keyed x JOIN keyed y USING (band_key) WHERE x.doc_id < y.doc_id),
-        |mh AS (SELECT a, b FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
-        |  WHERE list_sum(list_transform(range(1, 17), i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16 >= 0.5),
+        |mh AS (SELECT a, b FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
+        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE >= 0.5),
         |eh AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
         |exct AS (SELECT x.doc_id AS a, y.doc_id AS b FROM eh x JOIN eh y ON x.ch = y.ch AND x.doc_id < y.doc_id),
         |allp AS (SELECT a, b FROM exct UNION SELECT a, b FROM mh),
@@ -1183,8 +1185,9 @@ object SparkEntry {
         |  FROM sig),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |      FROM keyed x JOIN keyed y USING (band_key) WHERE x.doc_id < y.doc_id),
-        |mh AS (SELECT a, b FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
-        |  WHERE list_sum(list_transform(range(1, 17), i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16 >= 0.5),
+        |mh AS (SELECT a, b FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
+        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE >= 0.5),
         |eh AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
         |exct AS (SELECT x.doc_id AS a, y.doc_id AS b FROM eh x JOIN eh y ON x.ch = y.ch AND x.doc_id < y.doc_id),
         |allp AS (SELECT a, b FROM exct UNION SELECT a, b FROM mh),

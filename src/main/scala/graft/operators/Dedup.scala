@@ -247,15 +247,32 @@ object Dedup {
   /** End-to-end dedup keep-list: union exact-dup and MinHash-LSH
     * evidence, cluster via [[components]], keep the min-id doc of each
     * cluster. Output (doc_id, component, is_kept) — the filter a corpus
-    * pipeline applies before training. */
+    * pipeline applies before training.
+    *
+    * Merge evidence is EXACT-VERIFIED (round-2 verdict #4): band
+    * collisions only nominate candidates; each candidate pair re-checks
+    * TRUE Jaccard on the full shingle sets before its edge enters
+    * [[components]]. A 16-perm estimate has σ≈0.125 at τ=0.5 — without
+    * the re-check, false-merge edges glue unrelated docs together and
+    * connected components amplify every false positive transitively.
+    * The verification is cheap by construction: it touches only band-
+    * collision pairs, and the shingle-set join is an equi-join on doc id. */
   def keepList(docs: DataFrame, n: Int, perms: Int, bands: Int,
-               minEstJaccard: Double,
+               minJaccard: Double,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val exactEdges = exact(docs, idCol, textCol)
       .where(col("is_duplicate"))
       .select(col("canonical_id").as("a"), col("doc_id").as("b"))
+    val sets = docs.select(col(idCol).as("doc_id"),
+      shingleSet(col(textCol), n).as("s"))
     val nearEdges = minhashCandidates(docs, n, perms, bands, idCol, textCol)
-      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"))
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double")
+        >= minJaccard)
       .select(col("a"), col("b"))
     val comp = components(docs.select(col(idCol).as("doc_id")),
       exactEdges.unionByName(nearEdges))

@@ -93,6 +93,42 @@ class DedupSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("keepList exact-verifies band collisions: estimate-only false merges rejected") {
+    // 40 doc pairs, each with true 3-shingle Jaccard 11/25 = 0.44 < τ=0.5
+    // (13 shared prefix words + 7 private tail words ⇒ 11 shared shingles,
+    // 18 per doc). With 16 permutations, P(est ≥ 0.5 | j=0.44) ≈ 0.38, so
+    // the corpus almost surely arms ≥1 pair whose ESTIMATE clears τ while
+    // its true Jaccard does not — exactly the false merge that estimate-
+    // evidence clustering would commit and exact verification must reject.
+    val docs = spark.createDataFrame((0 until 40).flatMap { i =>
+      val shared = (0 until 13).map(k => s"p${i}w$k").mkString(" ")
+      Seq((i * 2L, s"$shared ${(0 until 7).map(k => s"p${i}a$k").mkString(" ")}"),
+        (i * 2 + 1L, s"$shared ${(0 until 7).map(k => s"p${i}b$k").mkString(" ")}"))
+    }).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs, 3, 16, 8)
+    val overEstimated = cand.where(col("est_jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(overEstimated.nonEmpty, "trap not armed: no pair over-estimated ≥ τ")
+    val comp = Dedup.keepList(docs, 3, 16, 8, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc is its own component: no pair clears TRUE τ, including
+    // the over-estimated ones
+    assert(comp.values.toSeq.distinct.size == 80)
+    overEstimated.foreach { case (a, b) => assert(comp(a) != comp(b)) }
+  }
+
+  test("keepList merges pairs whose true Jaccard clears the threshold") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // j well over 0.5
+      (3L, "completely unrelated text about spark parquet shuffle")))
+      .toDF("doc_id", "text")
+    val comp = Dedup.keepList(d, 3, 16, 8, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(comp(1L) == (1L, true) && comp(2L) == (1L, false))
+    assert(comp(3L) == (3L, true))
+  }
+
   test("cosinePairs: threshold keeps only similar vectors") {
     val emb = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))))
