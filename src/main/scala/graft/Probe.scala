@@ -5,11 +5,12 @@ import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: stage timing for q33 at a scale factor.
-  * Usage: runMain graft.Probe <sfDir> */
+/** Dev tool: stage timing + recall for the cell-cogrouped kNN join.
+  * Usage: runMain graft.Probe <sfDir> [nProbe] */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nProbe = args.lift(1).map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,20 +27,28 @@ object Probe {
       r
     }
 
-    val sub = Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000)
-    time("warm")(sub.count())
-    val model = time("fit")(BrpLsh.fit(sub, 0.5, 4))
-    val brp = time("pairs-plan")(BrpLsh.cosinePairs(model, sub, 0.35))
-    time("pairs-count")(brp.count())
-    val exact = Dedup.cosinePairs(sub, 0.35)
-    time("exact-count")(exact.count())
-    val digest = brp.select(col("a"), col("b"), col("sim"), lit(1).as("in_brp"))
-      .join(exact.select(col("a"), col("b"), lit(1).as("in_exact")),
-        Seq("a", "b"), "full_outer")
-      .agg(sum(coalesce(col("in_exact"), lit(0))).as("n_exact"),
-        sum(coalesce(col("in_brp"), lit(0))).as("n_brp"))
-    time("digest-count")(digest.count())
-    time("q33-full")(SparkEntry.queries("q33_brp_pairs")(spark, sfDir).count())
+    val emb = Tables.embeddings(spark, sfDir)
+    time("warm")(emb.count())
+    time("ensure")(IvfIndexStore.ensure(spark, sfDir))
+    val model = IvfIndexStore.loadModel(sfDir)
+    val index = IvfIndexStore.indexFrame(spark, sfDir)
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val nn = Ivf.knnJoin(index, model, queries, 10, nProbe)
+    time(s"knnJoin-full-nProbe$nProbe")(nn.count())
+    time(s"knnJoin-again")(nn.count())
+    // recall vs exact on the vec_id<20 subset
+    val sub = queries.where(col("query_id") < 20)
+    val ex = ContentRetriever.topK(emb, sub, 10)
+      .select(col("query_id"), col("vec_id"), lit(1).as("in_ex"))
+    val rec = nn.select("query_id", "vec_id")
+      .where(col("query_id") < 20)
+      .join(ex, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("in_ex"), lit(0))).as("h"))
+      .agg(avg(col("h") / 10.0).as("mean_recall"),
+        min(col("h") / 10.0).as("min_recall"))
+    time("recall")(rec.show(false))
     spark.stop()
   }
 }

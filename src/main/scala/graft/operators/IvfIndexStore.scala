@@ -67,14 +67,20 @@ object IvfIndexStore {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** The persisted cell-assigned index as a DataFrame (built on first
+    * touch, memoized relation). Callers that join rather than probe —
+    * Ivf.knnJoin's corpus-scale query side — start here. */
+  def indexFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    indexCache.getOrElseUpdate(indexPath(sfDir),
+      Ivf.loadIndex(spark, indexPath(sfDir)))
+  }
+
   /** Serve top-k from the persisted, cell-partitioned index with static
     * partition pruning (Ivf.topKPersisted): per-query cost scales with
     * probed bytes, not index bytes — the 100 TB serving path. */
   def serve(spark: SparkSession, sfDir: String, queries: DataFrame,
-            k: Int, nProbe: Int): DataFrame = {
-    ensure(spark, sfDir)
-    val index = indexCache.getOrElseUpdate(indexPath(sfDir),
-      Ivf.loadIndex(spark, indexPath(sfDir)))
-    Ivf.topKPersistedOn(index, loadModel(sfDir), queries, k, nProbe)
-  }
+            k: Int, nProbe: Int): DataFrame =
+    Ivf.topKPersistedOn(indexFrame(spark, sfDir), loadModel(sfDir),
+      queries, k, nProbe)
 }

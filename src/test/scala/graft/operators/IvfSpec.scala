@@ -68,6 +68,45 @@ class IvfSpec extends SparkTestBase {
     assert(persisted == inMem)
   }
 
+  test("knnJoin equals the broadcast probe path query-for-query") {
+    // Same model, same nProbe: the cell-cogrouped join (map-side probe +
+    // equi-join on cell) must serve bit-identical neighbors to topK's
+    // broadcast path — the large-|Q| plan changes shape, not semantics.
+    val model = Ivf.fit(emb, nCells = 8)
+    val indexed = Ivf.assign(model, emb).cache()
+    val wide = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val joined = Ivf.knnJoin(indexed, model, wide, 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6), r.getInt(3))).toSet
+    val bcast = Ivf.topK(indexed, model, wide, 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6), r.getInt(3))).toSet
+    assert(joined == bcast)
+    assert(joined.nonEmpty)
+  }
+
+  test("knnJoin needs no broadcast: with auto-broadcast off the plan is a shuffle join") {
+    // topK broadcasts the query side BY CONTRACT (its probed frame rides
+    // a broadcast hint); knnJoin must not — when the planner can't
+    // broadcast at all, the cell join degrades to a shuffle join, which
+    // is the 100 TB shape. (With stats-based broadcast enabled the
+    // planner MAY broadcast a small side — that's Catalyst's call, not a
+    // structural requirement.)
+    val model = Ivf.fit(emb, nCells = 8)
+    val wide = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Ivf.knnJoin(Ivf.assign(model, emb), model, wide, 5, nProbe = 3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"knnJoin must not require a broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join on cell:\n$plan")
+      assert(plan.contains("WindowGroupLimit"),
+        "per-query top-k should prune map-side before the rank exchange")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("assign puts identical vectors in the same cell") {
     val df = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
