@@ -423,14 +423,19 @@ object SparkEntry {
     }),
 
     // --- temporal as-of join: latest view before each purchase ----------
+    // The benched plan is the mega-user-safe bucketed form (1-day
+    // buckets): window partitions are (user, day), never a user's whole
+    // history. Bucketed ≡ plain is property-tested for any bucket size.
     "q57_asof_join" -> ((s, d) =>
-      AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")),
+      AsOfJoin.latestBeforeBucketed(Tables.events(s, d), "view", "purchase",
+        86400000000L)),
 
     // --- attribution funnel: view→purchase conversion per day -----------
     // Composes the as-of join: a purchase "converts" when the latest
     // preceding view of the same user is within the 1-hour window.
     "q67_conversion" -> ((s, d) =>
-      AsOfJoin.latestBefore(Tables.events(s, d), "view", "purchase")
+      AsOfJoin.latestBeforeBucketed(Tables.events(s, d), "view", "purchase",
+        86400000000L)
         .select(date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"),
           (col("gap_ms").isNotNull && col("gap_ms") <= 3600000L).as("cv"))
         .groupBy("day")

@@ -135,6 +135,30 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed as-of equals plain for any event set and any bucket size") {
+    import graft.operators.AsOfJoin
+    val evGen = for {
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 50L)
+      probe <- Gen.oneOf(true, false)
+    } yield (user, t, probe)
+    val evs = sample(evGen, 80).zipWithIndex.map { case ((u, t, p), i) =>
+      (i.toLong, u, new java.sql.Timestamp(t * 1000), if (p) "purchase" else "view", i.toDouble)
+    }
+    val df = spark.createDataFrame(evs)
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    val plain = canon(AsOfJoin.latestBefore(df, "view", "purchase"))
+    // bucket sizes straddling the 0..50 s timeline: sub-second (every
+    // event its own bucket), 7 s (boundaries mid-stream), and one
+    // giant bucket (degenerates to the plain path)
+    for (bucketUs <- Seq(500000L, 7000000L, 1000000000000L))
+      assert(canon(AsOfJoin.latestBeforeBucketed(df, "view", "purchase", bucketUs))
+        == plain, s"bucketUs=$bucketUs diverges")
+  }
+
   test("SQ8 dequantization error ≤ scale/2 per element for any float vector") {
     import graft.operators.Quantize
     val vecGen = Gen.choose(1, 12).flatMap(d =>
