@@ -54,7 +54,7 @@ object GraftExtensions {
     }
 
   private def info(name: String, usage: String, clazz: Class[_]): ExpressionInfo =
-    new ExpressionInfo(clazz.getName, null, name)
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(

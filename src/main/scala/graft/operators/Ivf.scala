@@ -95,9 +95,12 @@ object Ivf {
     * quantizer, build-then-upsert is bit-identical to a one-shot build
     * over the union — gated by q66. */
   def upsertIndex(model: KMeansModel, newRows: DataFrame, path: String,
-                  vecCol: String = "embedding"): Unit =
+                  vecCol: String = "embedding"): Unit = {
     assign(model, newRows, vecCol)
       .write.mode("append").partitionBy("cell").parquet(path)
+    // a serve-side memoized relation for this path now lists stale files
+    IvfIndexStore.invalidateIndex(path)
+  }
 
   /** [[topK]] against a persisted index with STATIC partition pruning:
     * the probed cell set (≤ |queries|·nProbe ints — driver-safe at any

@@ -67,6 +67,12 @@ object IvfIndexStore {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Drop the memoized relation for a path whose FILES changed (called
+    * by Ivf.upsertIndex): a pinned FileIndex would otherwise hide
+    * appended rows from every subsequent serve of that path. */
+  private[operators] def invalidateIndex(path: String): Unit =
+    indexCache.remove(path)
+
   /** The persisted cell-assigned index as a DataFrame (built on first
     * touch, memoized relation). Callers that join rather than probe —
     * Ivf.knnJoin's corpus-scale query side — start here. */

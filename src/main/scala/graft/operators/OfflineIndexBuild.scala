@@ -31,11 +31,14 @@ object OfflineIndexBuild {
 
   /** Build the vector index + co-purchase edges from a product table
     * (asin, title, group, categories, similar). The sampled base is
-    * cached because both sink branches consume it (the reference holds
-    * the sample in memory the same way, `:344-352`). */
+    * localCheckpoint'd because both sink branches consume it (the
+    * reference holds the sample in memory the same way, `:344-352`) —
+    * NOT cache(): a library-held cache pins an InMemoryRelation in the
+    * CacheManager forever (round-2 verdict #3), while checkpoint blocks
+    * are freed by the ContextCleaner once the Artifacts are GC'd. */
   def run(products: DataFrame, sampleN: Int, seed: Long, dim: Int): Artifacts = {
     val clean = products.where(col("asin") =!= "" && col("title") =!= "")
-    val sample = Sampling.exactSample(clean, sampleN, seed).cache()
+    val sample = Sampling.exactSample(clean, sampleN, seed).localCheckpoint()
     val edges = CoPurchaseGraph.fromSimilar(sample)
     val docs = sample.withColumn("document",
       productText(col("title"), col("group"), col("categories")))
