@@ -519,6 +519,49 @@ object SparkEntry {
         .select(col("user_id"), col("session_id"), col("n_events"))
     }),
 
+    // --- native session windows: the declarative sessionizer ------------
+    // Spark's session_window is the idiomatic form of gap sessionization
+    // (dynamic windows merged in the aggregate — works identically under
+    // readStream with state eviction by watermark). Boundary convention
+    // differs from q29's lag-form: session_window CLOSES at gap-equality
+    // (next.ts >= prev.ts + gap splits), the lag-form splits only when
+    // strictly greater — the oracle encodes >=. Full session list, not
+    // just the last: start, end = last_ts + gap, size.
+    "q69_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("win_start_ms"),
+          unix_millis(col("session_window.end")).as("win_end_ms"),
+          col("n_events"))),
+
+    // --- embedding dedup THROUGH the ANN join (the 100 TB shape) --------
+    // q55 proves brute-force cosine pairs find planted duplicates; this
+    // is the same decision made the way a 100 TB pipeline actually makes
+    // it: corpus + planted copies all query the cell-cogrouped kNN join
+    // (nothing broadcasts), and near-dup pairs are the sim≈1 hits. An
+    // identical vector lands in its twin's cell by construction, so ANN
+    // recall on exact duplicates is 1.0 — the in-plan contract: all 10
+    // planted pairs surface with sim ≈ 1.
+    "q70_ann_dedup" -> ((s, d) => {
+      IvfIndexStore.ensure(s, d)
+      val model = IvfIndexStore.loadModel(d)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionByName(emb.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val indexed = Ivf.assign(model, corpus)
+      val nn = Ivf.knnJoin(indexed, model,
+        corpus.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        5, 12)
+      nn.where(col("query_id") < col("vec_id") && col("sim") >= 0.9999)
+        .agg(
+          count(when(col("vec_id") === col("query_id") + 1000000L, 1))
+            .as("n_planted_found"))
+        .select(col("n_planted_found"),
+          (col("n_planted_found") === 10).as("all_planted_found"))
+    }),
+
     // --- multimodal plumbing --------------------------------------------
     "q30_media_meta" -> ((s, d) =>
       Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))).toDF()),
@@ -929,6 +972,7 @@ object SparkEntry {
     "q43_ivf_serve_batch" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q68_knn_join" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q66_ivf_upsert" -> ((s, d) => { ensureUpsertedIndex(s, d); () }),
+    "q70_ann_dedup" -> ((s, d) => IvfIndexStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1606,6 +1650,24 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_queries,
         |  true AS rows_ok, true AS self_excluded,
         |  true AS mean_recall_ok, true AS min_recall_ok""".stripMargin,
+
+    // session_window boundary convention: >= gap splits (see the query).
+    "q69_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+        |s AS (SELECT user_id, t, event_id,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL THEN 0
+        |       WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) >= 28800000 THEN 1
+        |       ELSE 0 END AS brk
+        |  FROM e),
+        |c AS (SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(t)::BIGINT AS win_start_ms,
+        |  (max(t) + 28800000)::BIGINT AS win_end_ms, count(*)::BIGINT AS n_events
+        |FROM c GROUP BY user_id, sid""".stripMargin,
+
+    "q70_ann_dedup" ->
+      """SELECT 10::BIGINT AS n_planted_found, true AS all_planted_found""",
 
     "q43_ivf_serve_batch" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 1000)::BIGINT AS n_queries,
