@@ -41,6 +41,18 @@ object Probe {
     val sub = queries.where(col("query_id") < 20)
     val ex = ContentRetriever.topK(emb, sub, 10)
       .select(col("query_id"), col("vec_id"), lit(1).as("in_ex"))
+    // SQ8-vs-full serving overlap (q71 gate calibration)
+    val sq = Quantize.dequantized(Quantize.int8(index, "vec_id", "embedding"))
+    val quant = Ivf.topK(sq, model, queries.where(col("query_id") < 20), 10, 4)
+    val full = IvfIndexStore.serve(spark, sfDir, queries.where(col("query_id") < 20), 10, 4)
+    val ovl = quant.select(col("query_id"), col("vec_id"), lit(1).as("in_q"))
+      .join(full.select(col("query_id"), col("vec_id"), lit(1).as("in_f")),
+        Seq("query_id", "vec_id"), "full_outer")
+      .groupBy("query_id")
+      .agg(count(when(col("in_q").isNotNull && col("in_f").isNotNull, 1)).as("common"))
+      .agg(avg(col("common") / 10.0).as("mean_overlap"),
+        min(col("common") / 10.0).as("min_overlap"))
+    time("sq8-overlap")(ovl.show(false))
     val rec = nn.select("query_id", "vec_id")
       .where(col("query_id") < 20)
       .join(ex, Seq("query_id", "vec_id"), "left")

@@ -887,6 +887,35 @@ object SparkEntry {
     "q59_quantize" -> ((s, d) =>
       Quantize.reconstructionDigest(Tables.embeddings(s, d))),
 
+    // --- ANN serving from the SQ8-QUANTIZED index -----------------------
+    // The compression path actually serving: the persisted IVF index is
+    // quantized to int8 codes (~4× less index RAM), dequantized in-plan,
+    // and probed exactly like the float index. Contract: every query
+    // still gets k rows, and the quantized top-10 overlaps the
+    // full-precision top-10 heavily — SQ8's ~1e-2 cosine error may swap
+    // genuine near-ties but must not change what the index finds.
+    "q71_sq8_serve" -> ((s, d) => {
+      val model = IvfIndexStore.loadModel({ IvfIndexStore.ensure(s, d); d })
+      val index = IvfIndexStore.indexFrame(s, d)
+      val q = queryVecs(s, d)
+      val sq = Quantize.dequantized(Quantize.int8(index, "vec_id", "embedding"))
+      val quant = Ivf.topK(sq, model, q, 10, 4)
+      val full = IvfIndexStore.serve(s, d, q, 10, 4)
+      quant.select(col("query_id"), col("vec_id"), lit(1).as("in_q"))
+        .join(full.select(col("query_id"), col("vec_id"), lit(1).as("in_f")),
+          Seq("query_id", "vec_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(count(when(col("in_q").isNotNull, 1)).as("n_q"),
+          count(when(col("in_q").isNotNull && col("in_f").isNotNull, 1)).as("common"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n_q")) === 10 && max(col("n_q")) === 10).as("rows_ok"),
+          avg(col("common") / 10.0).as("mean_overlap"),
+          min(col("common") / 10.0).as("min_overlap"))
+        .select(col("n_queries"), col("rows_ok"),
+          (col("mean_overlap") >= 0.95).as("mean_overlap_ok"),
+          (col("min_overlap") >= 0.8).as("min_overlap_ok"))
+    }),
+
     // --- SQL surface: SparkSessionExtensions-registered functions -------
     // The same custom Catalyst expressions that power q10/q15/q16/q18
     // invoked through spark.sql — gating the GraftExtensions /
@@ -973,6 +1002,7 @@ object SparkEntry {
     "q68_knn_join" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q66_ivf_upsert" -> ((s, d) => { ensureUpsertedIndex(s, d); () }),
     "q70_ann_dedup" -> ((s, d) => IvfIndexStore.ensure(s, d)),
+    "q71_sq8_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1668,6 +1698,10 @@ object SparkEntry {
 
     "q70_ann_dedup" ->
       """SELECT 10::BIGINT AS n_planted_found, true AS all_planted_found""",
+
+    "q71_sq8_serve" ->
+      """SELECT 20::BIGINT AS n_queries, true AS rows_ok,
+        |  true AS mean_overlap_ok, true AS min_overlap_ok""".stripMargin,
 
     "q43_ivf_serve_batch" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 1000)::BIGINT AS n_queries,

@@ -30,14 +30,23 @@ object Quantize {
         greatest(lit(-127.0), least(lit(127.0),
           floor(x / scale + 0.5))).cast("long")))
 
-  /** (id, scale, codes array<long>) — the stored form. Zero vectors get
-    * scale 0 and all-zero codes. */
+  /** The stored form: every input column except the float vector, plus
+    * (scale, codes array<long>). Zero vectors get scale 0 and all-zero
+    * codes. Pass-through columns (an IVF `cell`, labels) stay, so a
+    * quantized index keeps its partitioning column. */
   def int8(df: DataFrame, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame =
-    df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    df.withColumn("__v", toDouble(col(vecCol)))
       .withColumn("scale", array_max(transform(col("__v"), x => abs(x))) / 127.0)
-      .select(col(idCol), col("scale"),
-        codesOf(col("__v"), col("scale")).as("codes"))
+      .withColumn("codes", codesOf(col("__v"), col("scale")))
+      .drop("__v", vecCol)
+
+  /** Dequantized float view of [[int8]] output — `vecCol` restored as
+    * array<double> (codes × scale). Serving from SQ8 scores against
+    * exactly this reconstruction. */
+  def dequantized(sq: DataFrame, vecCol: String = "embedding"): DataFrame =
+    sq.withColumn(vecCol,
+      transform(col("codes"), c => c.cast("double") * col("scale")))
 
   /** Reconstruction-quality digest per vector: the L1 mass of the codes
     * (an exact engine-replayable checksum of the quantization) and the

@@ -96,6 +96,34 @@ class EventStreamSpec extends SparkTestBase {
     assert(out(8L) == (0L, 1L))
   }
 
+  test("session_window runs as a real stream: closed session emitted once watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = events.withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("win_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 7L), (ts(2), 7L), (ts(3), 7L))
+      q.processAllAvailable()
+      // advance the watermark past the session's close (10:03 + 5 min gap)
+      mem.addData((ts(20), 7L))
+      q.processAllAvailable()
+      mem.addData((ts(40), 7L))
+      q.processAllAvailable()
+      val out = s.sql("SELECT user_id, win_start, n_events FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      // the first closed session: 3 events starting 10:00
+      assert(out.contains((7L, "2024-01-01 10:00:00.0", 3L)))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch: every session sized correctly, ids 0-based in time order") {
     val df = spark.createDataFrame(Seq(
       (1L, ts(0), 7L), (2L, ts(1), 7L), (3L, ts(30), 7L), (4L, ts(31), 7L),
