@@ -29,4 +29,27 @@ class IvfIndexStoreSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(served == exact)
   }
+
+  test("indexFrame memoizes per path; upsert invalidation drops the pinned relation") {
+    val d = sf()
+    val f1 = IvfIndexStore.indexFrame(spark, d)
+    assert(IvfIndexStore.indexFrame(spark, d) eq f1) // memoized relation reused
+    // Ivf.upsertIndex calls this hook after appending files: the next
+    // serve must re-list the directory instead of reading a stale
+    // FileIndex that hides the appended rows
+    IvfIndexStore.invalidateIndex(IvfIndexStore.root(d) + "/index")
+    assert(!(IvfIndexStore.indexFrame(spark, d) eq f1))
+  }
+
+  test("upsert rows are visible to a post-upsert load") {
+    val d = sf()
+    IvfIndexStore.ensure(spark, d)
+    val model = IvfIndexStore.loadModel(d)
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf-upsert").toString + "/index"
+    Ivf.writeIndex(Ivf.assign(model, emb.where(col("vec_id") < 100)), path)
+    assert(Ivf.loadIndex(spark, path).count() == 100)
+    Ivf.upsertIndex(model, emb.where(col("vec_id") >= 100 && col("vec_id") < 150), path)
+    assert(Ivf.loadIndex(spark, path).count() == 150)
+  }
 }
