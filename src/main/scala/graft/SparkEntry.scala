@@ -511,6 +511,19 @@ object SparkEntry {
     // state: each user's LAST session — selected with one more pass over
     // the tiny (user, session) frame. EventStreamSpec proves batch ≡
     // mapGroupsWithState; the streaming runtime keeps sessionize.
+    // --- sliding-window document chunking (RAG / context prep) ---------
+    // 50-token windows every 40 tokens; chunk content digested by md5 so
+    // the oracle hash-checks every chunk's exact tokens without the
+    // output carrying the text.
+    "q72_chunking" -> ((s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d), 50, 40)),
+
+    // --- per-document TF-IDF keywords -----------------------------------
+    // Top-3 terms per doc by tf·ln((N+1)/(df+1)) — keyword extraction
+    // composed from the vocabulary shuffle + a doc-key ranked window.
+    "q73_keywords" -> ((s, d) =>
+      TextAnalysis.keywords(Tables.documents(s, d), 3)),
+
     "q29_sessions" -> ((s, d) => {
       val sess = graft.streaming.EventStream.sessionizeBatch(
         Tables.events(s, d), 28800000L)
@@ -1561,6 +1574,27 @@ object SparkEntry {
         |g AS (SELECT term, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
         |SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
         |FROM g GROUP BY term HAVING count(*) >= 3""".stripMargin,
+
+    "q72_chunking" ->
+      s"""WITH $toksCte,
+        |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 40)) AS start
+        |       FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, (start // 40)::BIGINT AS chunk_id,
+        |  least(50, len(tk) - start)::BIGINT AS n_tokens,
+        |  md5(array_to_string(tk[start+1:start+50], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
+
+    "q73_keywords" ->
+      s"""WITH $toksCte,
+        |t AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term, rnk, round(score, 6) AS score FROM r WHERE rnk <= 3""".stripMargin,
 
     "q62_replay_dedup" ->
       """WITH u AS (

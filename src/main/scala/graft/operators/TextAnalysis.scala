@@ -97,4 +97,55 @@ object TextAnalysis {
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Sliding-window document chunking — the RAG / context-window
+    * preparation primitive: token windows of `window` tokens every
+    * `stride` tokens (overlap = window - stride), last chunk ragged.
+    * Map-side only (sequence + explode + slice); the chunk text never
+    * concatenates server-side more than one chunk at a time, so a 10⁶-
+    * token document becomes rows, not one giant string.
+    * Output: (doc_id, chunk_id, n_tokens, chunk_md5) — the md5 digests
+    * chunk CONTENT exactly without shipping it. */
+  def chunk(docs: DataFrame, window: Int, stride: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col("doc_id"), col("__tk"),
+        explode(sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        least(lit(window), size(col("__tk")) - col("__start"))
+          .cast("long").as("n_tokens"),
+        md5(array_join(slice(col("__tk"), col("__start") + 1, lit(window)), " "))
+          .as("chunk_md5"))
+  }
+
+  /** Per-document TF-IDF keywords: top `k` terms by tf·idf with
+    * idf = ln((N+1)/(df+1)). One term-key shuffle builds df (the q65
+    * vocabulary aggregate); the same exchange feeds the tf⋈df join
+    * (both sides partitioned by term), then one doc-key window ranks
+    * with WindowGroupLimit. N rides along as a broadcast scalar.
+    * Deterministic tie order (score DESC, term ASC). */
+  def keywords(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = base.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(n.hint("broadcast"))
+      .withColumn("score", col("tf") *
+        log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("rnk"),
+        round(col("score"), 6).as("score"))
+  }
 }

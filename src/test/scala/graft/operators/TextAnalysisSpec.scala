@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Chunking and keyword-extraction semantics on hand-checked inputs. */
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("chunk: stride windows with ragged tail; overlap carries shared tokens") {
+    // 12 tokens, window 5, stride 4 -> starts 0,4,8: sizes 5,5,4
+    val docs = spark.createDataFrame(Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, "solo"),
+      (3L, ""))) // empty: no chunks
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, 0L) -> 5L, (1L, 1L) -> 5L, (1L, 2L) -> 4L,
+      (2L, 0L) -> 1L))
+  }
+
+  test("chunk: md5 digests the exact token slice (overlapping windows differ)") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(docs, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
+    val byDoc = rows.groupBy(_._1._1).view
+      .mapValues(_.sortBy(_._1._2).map(_._2).toSeq).toMap
+    assert(byDoc(1L) == byDoc(2L))          // identical docs, identical digests
+    assert(byDoc(1L).distinct.size == byDoc(1L).size) // each window distinct
+  }
+
+  test("keywords: rare term outranks common term; k and tie order enforced") {
+    // "zebra" appears in one doc (high idf), "common" in all (idf low)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "common zebra zebra common apple"),
+      (2L, "common banana common"),
+      (3L, "common cherry")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
+    assert(out((1L, 1)) == "zebra")  // tf=2 × high idf
+    assert(out((2L, 1)) == "banana")
+    assert(out((3L, 1)) == "cherry")
+    // "common" (df=3, idf=ln(4/4)=0 ⇒ score 0) never wins rank 1
+    assert(!out.exists { case ((_, rnk), t) => rnk == 1 && t == "common" })
+  }
+}
