@@ -49,16 +49,14 @@ object SparkEntry {
   /** Flagship hybrid top-k (reference E2, `Hybrid_Recom_vecdb.py:213-231`):
     * content arm = exact cosine top-60 over the embeddings table; CF arm =
     * co-label graph top-60; blend α=0.6; top-10 per query. */
-  private def hybridTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val q = queryVecs(s, d)
-    val content = ContentRetriever.topK(emb, q, 60)
-      .select(col("query_id"), col("vec_id").as("item"), clamp01(col("sim")).as("cs"))
-    val lbl = emb.select(col("vec_id"), col("label"))
-    // Restrict the src side to the query ids BEFORE the co-label self-join:
-    // CfRetriever's src∈queries semi-join cannot be pushed through the join
-    // by Catalyst, so without this the pair expansion is quadratic in the
-    // whole table to keep |Q| sources (round-1 verdict scale-killer #3).
+  /** Co-label CF arm shared by q27/q74: top-60 co-label neighbors per
+    * query with (src, dst, weight, norm, rnk). The src side is restricted
+    * to the query ids BEFORE the co-label self-join: CfRetriever's
+    * src∈queries semi-join cannot be pushed through the join by Catalyst,
+    * so without this the pair expansion is quadratic in the whole table to
+    * keep |Q| sources (round-1 verdict scale-killer #3). */
+  private def coLabelCf(s: SparkSession, d: String, q: DataFrame): DataFrame = {
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val qlbl = lbl.join(q.select(col("query_id").as("vec_id")).hint("broadcast"),
       Seq("vec_id"), "left_semi")
     val edges = qlbl.as("x")
@@ -66,7 +64,15 @@ object SparkEntry {
         col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
         lit(1L).as("weight"))
-    val cf = CfRetriever.topNFor(edges, q.select(col("query_id")), 60)
+    CfRetriever.topNFor(edges, q.select(col("query_id")), 60)
+  }
+
+  private def hybridTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = queryVecs(s, d)
+    val content = ContentRetriever.topK(emb, q, 60)
+      .select(col("query_id"), col("vec_id").as("item"), clamp01(col("sim")).as("cs"))
+    val cf = coLabelCf(s, d, q)
       .select(col("src").as("query_id"), col("dst").as("item"), col("norm").as("fs"))
     HybridScorer.blend(content, cf, 0.6, 10)
       .withColumn("cs", round(col("cs"), 6))
@@ -523,6 +529,72 @@ object SparkEntry {
     // composed from the vocabulary shuffle + a doc-key ranked window.
     "q73_keywords" -> ((s, d) =>
       TextAnalysis.keywords(Tables.documents(s, d), 3)),
+
+    // --- reciprocal-rank fusion (score-free hybrid) ----------------------
+    // The q27 arms re-fused by rank instead of calibrated score:
+    // rrf = Σ 1/(60 + rank_arm). Same full-outer shape as blend.
+    "q74_rrf_fusion" -> ((s, d) => {
+      val q = queryVecs(s, d)
+      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
+        .select(col("query_id"), col("vec_id").as("item"), col("rnk"))
+      val cf = coLabelCf(s, d, q)
+        .select(col("src").as("query_id"), col("dst").as("item"), col("rnk"))
+      HybridScorer.rrf(content, cf, 60, 10)
+        .withColumn("rrf", round(col("rrf"), 6))
+    }),
+
+    // --- benchmark decontamination --------------------------------------
+    // The eval-set 8-gram contamination sweep: benchmark = every 97th doc;
+    // corpus = the rest PLUS planted full copies of the benchmark docs
+    // (id + 10^6) — guaranteed contamination the sweep must find, on top
+    // of whatever n-grams the corpus shares naturally.
+    "q75_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+      Dedup.decontaminate(corpus, bench, 8)
+    }),
+
+    // --- sequence packing (concatenate-and-cut) --------------------------
+    // Every document's tokens on one global tape, cut every 512 tokens;
+    // one row per (doc, bin) overlap. Two-level prefix sum — no global
+    // single-task sort (see TextAnalysis.packSequences).
+    "q76_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), 512, 128)),
+
+    // --- association scores over the co-purchase graph -------------------
+    // Popularity-corrected edge strength: cosine / lift / Jaccard from
+    // exact order counts — the fix for raw-count CF over-recommending
+    // globally popular items.
+    "q77_assoc_scores" -> ((s, d) =>
+      CoPurchaseGraph.assocFromOrders(Tables.lineitem(s, d))),
+
+    // --- within-document repetition (boilerplate filter) -----------------
+    "q78_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d), 3)),
+
+    // --- PII scrubbing ----------------------------------------------------
+    // Emails/phones are injected deterministically (doc_id % 5 / % 7) so
+    // the redaction has real work; the md5 digests the redacted text.
+    "q79_pii_scrub" -> ((s, d) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(injected)
+    }),
+
+    // --- deterministic train/val/test split ------------------------------
+    // hash60(seed:key) mod 100 < {80,90,100}: pure map-side, stable under
+    // any repartitioning (rand(seed) is not), oracle-replayable.
+    "q80_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id", "42",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))),
 
     "q29_sessions" -> ((s, d) => {
       val sess = graft.streaming.EventStream.sessionizeBatch(
@@ -1595,6 +1667,111 @@ object SparkEntry {
         |r AS (SELECT doc_id, term, score,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term, rnk, round(score, 6) AS score FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q74_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |content AS (SELECT query_id, item,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
+        |  FROM sc QUALIFY rr <= 60),
+        |cf AS (SELECT a.vec_id AS query_id, b.vec_id AS item,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rr
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 20 QUALIFY rr <= 60),
+        |fu AS (SELECT coalesce(c.query_id, g.query_id) AS query_id,
+        |    coalesce(c.item, g.item) AS item,
+        |    coalesce(c.rr, 0)::BIGINT AS content_rnk,
+        |    coalesce(g.rr, 0)::BIGINT AS cf_rnk,
+        |    coalesce(1.0::DOUBLE / (60 + c.rr), 0.0) +
+        |      coalesce(1.0::DOUBLE / (60 + g.rr), 0.0) AS rrf
+        |  FROM content c FULL OUTER JOIN cf g
+        |    ON c.query_id = g.query_id AND c.item = g.item),
+        |r AS (SELECT query_id, item, content_rnk, cf_rnk, rrf,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, item) AS rnk
+        |  FROM fu)
+        |SELECT query_id, item, content_rnk, cf_rnk, round(rrf, 6) AS rrf, rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q75_decontaminate" ->
+      s"""WITH $toksCte,
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |           tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) END) AS gram
+        |  FROM toks),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM g0 WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, gram FROM g0 WHERE doc_id % 97 != 0
+        |         UNION ALL
+        |         SELECT doc_id + 1000000 AS doc_id, gram FROM g0 WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q76_pack_sequences" ->
+      s"""WITH $toksCte,
+        |nt AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks WHERE len(tk) > 0),
+        |o AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+        |  FROM nt),
+        |b AS (SELECT doc_id, n_tokens, start,
+        |    unnest(range(start // 512, (start + n_tokens - 1) // 512 + 1)) AS bin_id
+        |  FROM o)
+        |SELECT doc_id, n_tokens, start, bin_id::BIGINT AS bin_id,
+        |  (least(start + n_tokens, (bin_id + 1) * 512) -
+        |   greatest(start, bin_id * 512))::BIGINT AS tok_in_bin
+        |FROM b""".stripMargin,
+
+    "q77_assoc_scores" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        |e AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+        |      FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2),
+        |cnt AS (SELECT item, count(*) AS n FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM items)
+        |SELECT src, dst, weight,
+        |  round(weight::DOUBLE / sqrt((a.n * b.n)::DOUBLE), 6) AS cosine,
+        |  round((weight * n_orders)::DOUBLE / (a.n * b.n)::DOUBLE, 6) AS lift,
+        |  round(weight::DOUBLE / (a.n + b.n - weight)::DOUBLE, 6) AS jaccard
+        |FROM e JOIN cnt a ON e.src = a.item JOIN cnt b ON e.dst = b.item
+        |CROSS JOIN tot""".stripMargin,
+
+    "q78_repetition" ->
+      s"""WITH $toksCte,
+        |g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gr
+        |  FROM toks)
+        |SELECT doc_id, len(gr)::BIGINT AS n_grams,
+        |  len(list_distinct(gr))::BIGINT AS n_distinct,
+        |  CASE WHEN len(gr) = 0 THEN 0.0
+        |       ELSE round(1.0::DOUBLE - len(list_distinct(gr))::DOUBLE / len(gr)::DOUBLE, 6)
+        |  END AS rep_ratio
+        |FROM g""".stripMargin,
+
+    "q79_pii_scrub" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(regexp_replace(txt,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM t""".stripMargin,
+
+    "q80_hash_split" ->
+      """WITH b AS (SELECT doc_id AS key,
+        |    CAST('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT key, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "q62_replay_dedup" ->
       """WITH u AS (

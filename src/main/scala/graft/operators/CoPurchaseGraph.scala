@@ -101,6 +101,45 @@ object CoPurchaseGraph {
       col("weight"))
       .select(col("e.src"), col("e.dst"), col("weight"))
 
+  /** Association-strength scores over the co-purchase graph — the
+    * popularity-corrected upgrade of raw co-occurrence counts (the
+    * reference's `graph[a][b] += 1` weighting over-recommends globally
+    * popular items; these are the standard market-basket corrections):
+    *
+    *   cosine  = w / sqrt(n_a · n_b)          (Salton association)
+    *   lift    = w · N / (n_a · n_b)          (>1 ⇔ positive association)
+    *   jaccard = w / (n_a + n_b − w)
+    *
+    * where w = orders containing both, n_x = orders containing x,
+    * N = total orders.
+    *
+    * Shape: the [[fromOrders]] edge build (one basket scan + one (src,dst)
+    * shuffle) plus a per-item order-count aggregate joined back onto each
+    * edge endpoint — two equi-joins on item keys, both hash-partitionable;
+    * the N scalar rides along as a broadcast. Every division is an exact
+    * bigint pair cast to double at the last step, so the values are
+    * bit-identical cross-engine. */
+  def assocFromOrders(lineitem: DataFrame): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("item")).distinct()
+    val perItem = items.groupBy("item").agg(count(lit(1)).as("n"))
+    val total = items.agg(countDistinct(col("okey")).as("n_orders"))
+    fromOrders(lineitem)
+      .join(perItem.withColumnRenamed("n", "n_src"),
+        col("src") === col("item")).drop("item")
+      .join(perItem.withColumnRenamed("n", "n_dst"),
+        col("dst") === col("item")).drop("item")
+      .crossJoin(total.hint("broadcast"))
+      .select(col("src"), col("dst"), col("weight"),
+        round(col("weight").cast("double") /
+          sqrt((col("n_src") * col("n_dst")).cast("double")), 6).as("cosine"),
+        round((col("weight") * col("n_orders")).cast("double") /
+          (col("n_src") * col("n_dst")).cast("double"), 6).as("lift"),
+        round(col("weight").cast("double") /
+          (col("n_src") + col("n_dst") - col("weight")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Per-source max-normalized weight (reference `cf_candidates`
     * normalization, `Hybrid_Recom_vecdb.py:193-197`, SURVEY P10/A2):
     * norm = weight / max(weight over src) ∈ (0, 1]. One shuffle on src

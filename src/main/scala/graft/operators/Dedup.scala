@@ -279,6 +279,36 @@ object Dedup {
     comp.withColumn("is_kept", col("component") === col("doc_id"))
   }
 
+  /** Benchmark decontamination — the n-gram contamination check every
+    * training-data pipeline runs before a corpus ships (strip documents
+    * that contain evaluation-set n-grams, the GPT-3/PaLM 8-to-13-gram
+    * rule). Not a dedup of the corpus against itself: an asymmetric
+    * corpus ⋈ benchmark overlap where the benchmark side is tiny.
+    *
+    * Output: one row per CONTAMINATED corpus doc —
+    * (doc_id, n_overlap_grams, n_bench_docs); clean docs don't appear
+    * (the caller anti-joins to drop contaminated ids).
+    *
+    * Scale shape: both sides explode to distinct (id, md5(gram)) postings
+    * — the join key is the 128-bit digest, never the gram text, so
+    * shuffle rows stay narrow. The benchmark side is |eval set| ≪
+    * corpus and broadcasts; the corpus side streams map-side through the
+    * broadcast hash join and only MATCHING postings reach the per-doc
+    * aggregate. At 100 TB this is one pipelined pass over the corpus scan
+    * plus an aggregate over the (rare) hits. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def postings(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(shingleSet(col(textCol), n)).as("gram"))
+        .select(col(out), md5(col("gram")).as("g"))
+    postings(corpus, "doc_id")
+      .join(postings(benchmark, "bench_id").hint("broadcast"), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_overlap_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Embedding near-duplicates: exact threshold pairs (brute force). The
     * verification baseline; the scale path blocks by an LSH/IVF cell
     * column first (see ContentRetriever/Lsh). */

@@ -41,4 +41,41 @@ object HybridScorer {
       .orderBy(col("final").desc, col("item").asc)
     fused.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** Reciprocal-rank fusion — the score-free alternative to [[blend]]
+    * (Cormack et al., SIGIR'09): rrf = Σ_arms 1/(c + rank_arm), a missing
+    * arm contributing 0. Rank-based fusion needs no score calibration
+    * between arms, which is why serving stacks prefer it when the arms'
+    * score scales drift (cosine vs co-purchase counts).
+    *
+    * Same relational shape as [[blend]]: FULL OUTER equi-join on
+    * (query_id, item) of two already-ranked candidate lists + one
+    * per-query window — both inputs arrive partitioned by query_id from
+    * their own top-n windows, so no extra exchange at any scale.
+    *
+    * @param content (query_id, item, rnk) content-arm ranks, 1-based
+    * @param cf      (query_id, item, rnk) CF-arm ranks, 1-based
+    * @param c       rank damping constant (standard 60)
+    * @param k       final cutoff
+    * @return (query_id, item, content_rnk, cf_rnk, rrf, rnk) — arm ranks
+    *         zero-filled for the arm that missed the item, rnk 1..k with
+    *         the deterministic (rrf DESC, item ASC) tie order.
+    */
+  def rrf(content: DataFrame, cf: DataFrame, c: Int, k: Int): DataFrame = {
+    val fused = content
+      .select(col("query_id"), col("item"), col("rnk").as("content_rnk"))
+      .join(cf.select(col("query_id"), col("item"), col("rnk").as("cf_rnk")),
+        Seq("query_id", "item"), "full_outer")
+      .select(col("query_id"), col("item"),
+        coalesce(col("content_rnk"), lit(0L)).cast("long").as("content_rnk"),
+        coalesce(col("cf_rnk"), lit(0L)).cast("long").as("cf_rnk"))
+      .withColumn("rrf",
+        when(col("content_rnk") > 0, lit(1.0) / (lit(c) + col("content_rnk")))
+          .otherwise(lit(0.0)) +
+          when(col("cf_rnk") > 0, lit(1.0) / (lit(c) + col("cf_rnk")))
+            .otherwise(lit(0.0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("item").asc)
+    fused.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
 }

@@ -74,6 +74,29 @@ object Sampling {
       .select(col("stratum"), col("key"), col("rnk"))
   }
 
+  /** Deterministic train/val/test split — the last step before a corpus
+    * ships to training. Assignment is a pure function of (seed, key):
+    * bucket = hash60(seed:key) mod 100, split by cumulative percentage
+    * thresholds. Pure map-side (no shuffle, no rand() — `rand(seed)`
+    * depends on partition layout, so the same doc could switch splits
+    * when the cluster re-partitions; the md5-derived bucket never moves,
+    * and the DuckDB oracle replays the identical assignment).
+    *
+    * @param cuts cumulative upper bounds, e.g.
+    *             Seq("train" -> 80, "val" -> 90, "test" -> 100) */
+  def hashSplit(df: DataFrame, keyCol: String, seed: String,
+                cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must ascend to 100")
+    val bucket = graft.functions.TextFunctions.hash60(
+      concat_ws(":", lit(seed), col(keyCol).cast("string"))) % 100
+    val split = cuts.init.foldRight(lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case ((name, hi), rest) => when(bucket < hi, name).otherwise(rest)
+    }
+    df.select(col(keyCol).as("key"), bucket.cast("long").as("bucket"),
+      split.as("split"))
+  }
+
   /** Invariant summary used by the correctness harness: the sample's size,
     * key-distinctness and key-range containment — properties a seeded
     * sample must satisfy regardless of which rows the seed picked. */

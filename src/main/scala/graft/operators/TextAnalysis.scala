@@ -124,6 +124,99 @@ object TextAnalysis {
           .as("chunk_md5"))
   }
 
+  /** Within-document repetition ratio — the boilerplate/degenerate-text
+    * filter (Gopher's "fraction of duplicate n-grams" rule): documents
+    * whose token stream repeats itself (navigation chrome, keyword
+    * stuffing, generation loops) score high and get dropped. Pure
+    * map-side: the n-gram list and its distinct count are per-row
+    * expressions, no shuffle.
+    * rep_ratio = 1 − distinct_ngrams/total_ngrams (0 for docs shorter
+    * than n tokens). */
+  def repetition(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val grams = shingles(tokens(col(textCol)), n)
+    val total = size(grams).cast("long")
+    val distinctN = size(array_distinct(grams)).cast("long")
+    docs.select(col(idCol).as("doc_id"), total.as("n_grams"),
+      distinctN.as("n_distinct"),
+      when(total === 0, 0.0)
+        .otherwise(round(lit(1.0) -
+          distinctN.cast("double") / total.cast("double"), 6))
+        .as("rep_ratio"))
+  }
+
+  /** Sequence packing — the concatenate-and-cut context-window packing of
+    * GPT-style pretraining: lay every document's tokens on one global
+    * tape (ordered by doc id), cut the tape every `capacity` tokens, and
+    * report which bins each document lands in. Output one row per
+    * (doc, bin) overlap: (doc_id, n_tokens, start, bin_id, tok_in_bin) —
+    * every bin except the last is exactly full by construction.
+    *
+    * Scale shape (the global running sum is the hazard — a naive
+    * `Window.orderBy(doc_id)` sorts the corpus on ONE task): two-level
+    * cumulative sum instead. Docs bucket by doc_id range; the in-bucket
+    * prefix sum is a per-bucket window (parallel across buckets); bucket
+    * TOTALS — |corpus|/bucketWidth rows — aggregate tiny and take the
+    * single-task window, then broadcast-join back as per-bucket offsets.
+    * At 10¹¹ docs pick bucketWidth ~10⁶ so the bucket frame stays ~10⁵
+    * rows; the pattern nests for another level if even that is too wide. */
+  def packSequences(docs: DataFrame, capacity: Int, bucketWidth: Int = 128,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0 && bucketWidth > 0, "need positive capacity/bucket")
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("__bucket", floor(col("doc_id") / bucketWidth))
+    val wIn = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = base
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wB = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__bucket")
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__boff", coalesce(sum(col("__btot")).over(wB), lit(0L)))
+      .select(col("__bucket"), col("__boff"))
+    val placed = inBucket
+      .join(offsets.hint("broadcast"), Seq("__bucket"))
+      .withColumn("start", col("__boff") + col("__local"))
+      .withColumn("__end", col("start") + col("n_tokens"))
+    placed
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        explode(sequence(floor(col("start") / capacity),
+          floor((col("__end") - 1) / capacity))).as("bin_id"),
+        col("__end"))
+      .withColumn("tok_in_bin",
+        least(col("__end"), (col("bin_id") + 1) * capacity) -
+          greatest(col("start"), col("bin_id") * capacity))
+      .select("doc_id", "n_tokens", "start", "bin_id", "tok_in_bin")
+  }
+
+  /** PII scrubbing — pattern-redaction before a corpus ships: replace
+    * email addresses and phone-shaped numbers with typed placeholder
+    * tokens and count what was hit. Map-side regex only (codegen'd
+    * RegExpReplace/RegExpCount — no UDF); the patterns are deliberately
+    * RE2-compatible character-class regexes so the DuckDB oracle replays
+    * them byte-identically.
+    * Output: (doc_id, n_emails, n_phones, redacted_md5) — the md5 digests
+    * the full redacted text, proving the rewrite without shipping it. */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Shared PII patterns (kept RE2 ∩ Java so Spark and the oracle agree). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
   /** Per-document TF-IDF keywords: top `k` terms by tf·idf with
     * idf = ln((N+1)/(df+1)). One term-key shuffle builds df (the q65
     * vocabulary aggregate); the same exchange feeds the tf⋈df join
