@@ -96,9 +96,90 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd ADC (asymmetric distance computation) score for PQ serving:
+  * `Σ_j lut[j][codes[j]]` over `codes array<int>` (one code per subspace)
+  * and a query-side lookup table `lut array<array<double>>`.
+  *
+  * This is the per-candidate hot loop of IVF-PQ ([[graft.operators.Pq]]):
+  * at 100 TB every probed index row pays exactly this — m array reads and
+  * m adds — so it must live inside WholeStageCodegen, not in interpreted
+  * higher-order functions (the HOF rendering cost ~30× the fused loop).
+  * Null when lengths mismatch or a code falls outside its table.
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codesOk = left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val lutOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (codesOk && lutOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"adc_score needs (array<int>, array<array<double>>), got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m != lut.numElements()) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val table = lut.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= table.numElements()) return null
+      s += table.getDouble(c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val tab = ctx.freshName("tab")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $m = $codes.numElements();
+         |if ($m != $lut.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $tab = $lut.getArray($j);
+         |    final int $c = $codes.getInt($j);
+         |    if ($c < 0 || $c >= $tab.numElements()) { ${ev.isNull} = true; break; }
+         |    $s += $tab.getDouble($c);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd cosine similarity in [-1, 1]. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: codegen'd PQ ADC score Σ_j lut[j][codes[j]]. */
+  def adcScore(codes: Column, lut: Column): Column =
+    ColumnBridge.column(AdcScore(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }
