@@ -567,6 +567,23 @@ object SparkEntry {
       Dedup.decontaminate(corpus, bench, 8)
     }),
 
+    // --- bloom-prefiltered decontamination (big-benchmark shape) --------
+    // q75 broadcasts the benchmark postings as an exact hash table; this
+    // is the contract when the eval suite is too big for that: a
+    // 10-bits/item bloom sketch prefilters corpus postings MAP-SIDE (no
+    // false negatives), and only survivors pay the exact verify join.
+    // Output is bit-identical to the exact sweep (13-gram GPT-3 rule,
+    // planted copies at +2·10^6) — the oracle proves the sketch lost
+    // nothing and the verify step added nothing.
+    "q82_bloom_decon" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 89 === 0)
+      val corpus = docs.where(col("doc_id") % 89 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text")))
+      Dedup.decontaminateBloom(corpus, bench, 13)
+    }),
+
     // --- sequence packing (concatenate-and-cut) --------------------------
     // Every document's tokens on one global tape, cut every 512 tokens;
     // one row per (doc, bin) overlap. Two-level prefix sum — no global
@@ -1750,6 +1767,20 @@ object SparkEntry {
         |corp AS (SELECT doc_id, gram FROM g0 WHERE doc_id % 97 != 0
         |         UNION ALL
         |         SELECT doc_id + 1000000 AS doc_id, gram FROM g0 WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q82_bloom_decon" ->
+      s"""WITH $toksCte,
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 13 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(range(1, len(tk) - 11),
+        |      i -> array_to_string(tk[i:i+12], ' '))) END) AS gram
+        |  FROM toks),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM g0 WHERE doc_id % 89 = 0),
+        |corp AS (SELECT doc_id, gram FROM g0 WHERE doc_id % 89 != 0
+        |         UNION ALL
+        |         SELECT doc_id + 2000000 AS doc_id, gram FROM g0 WHERE doc_id % 89 = 0)
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,

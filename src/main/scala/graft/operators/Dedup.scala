@@ -309,6 +309,46 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** [[decontaminate]] behind a bloom-filter prefilter — the shape for a
+    * benchmark too large to broadcast as an exact hash table. A 10M-gram
+    * eval suite is ~320 MB of md5 postings (breaks the broadcast budget)
+    * but ~12 MB as a 10-bits/item bloom: the corpus side drops
+    * non-matching postings MAP-SIDE against the sketch (no false
+    * negatives, so nothing real is lost), and only the ~FPR-sized
+    * survivor stream pays the exact shuffle join that removes false
+    * positives. At 100 TB the expensive exact join sees
+    * |true hits| + FPR·|corpus postings| rows instead of |corpus
+    * postings| — the sketch turns a corpus-wide shuffle into a trickle.
+    *
+    * Output is EXACTLY [[decontaminate]]'s (the exact join re-verifies
+    * every survivor), which is the correctness contract: bloom loses
+    * nothing, the verify step adds nothing. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                         bitsPerItem: Int = 10,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.BloomFunctions
+    def postings(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(shingleSet(col(textCol), n)).as("gram"))
+        .select(col(out), md5(col("gram")).as("g"))
+    val bench = postings(benchmark, "bench_id")
+    // sketch sizing from the benchmark's own cardinality: one tiny agg
+    // row (the count) feeds the bloom build; both are benchmark-side
+    // passes, never corpus scans.
+    val nGrams = math.max(1L,
+      bench.select(countDistinct(col("g"))).collect()(0).getLong(0))
+    val bloom = bench.agg(
+      BloomFunctions.bloomAgg(col("g"), nGrams, nGrams * bitsPerItem).as("bf"))
+    val survivors = postings(corpus, "doc_id")
+      .where(BloomFunctions.mightContain(bloom, col("g")))
+    survivors
+      .join(bench, Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_overlap_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Embedding near-duplicates: exact threshold pairs (brute force). The
     * verification baseline; the scale path blocks by an LSH/IVF cell
     * column first (see ContentRetriever/Lsh). */
