@@ -489,6 +489,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- seeded negative sampling (contrastive training pairs) ----------
+    // For each of the 20 eval queries: 5 negatives from the query's hash
+    // pool (1/8 corpus slice), excluding itself and its co-label
+    // positives; ranked by md5(seed:query:cand) so the draw is a pure
+    // function of the pair and the oracle replays it exactly.
+    "q84_negative_sample" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 20).select(col("vec_id").as("query_id"))
+      val corpus = e.select(col("vec_id").as("cand_id"))
+      val pos = coLabelTruth(s, d)
+        .select(col("query_id"), col("item").as("cand_id"))
+      Sampling.negativeSamples(q, corpus, pos, 5, 8, "42")
+    }),
+
+    // --- stream-stream interval join: all view→click pairs in 30 min ---
+    // The benched plan is the bucketed batch form (join key =
+    // (user, 30-min bucket), view explodes to its 2 reachable buckets) —
+    // join buffers bounded by events-per-window, not events-per-user.
+    // The watermarked streaming form of the same semantics is
+    // EventStream.intervalJoin (MemoryStream-tested, proven equal).
+    "q83_interval_join" -> ((s, d) =>
+      graft.streaming.EventStream.intervalJoinBucketed(
+        Tables.events(s, d), "view", "click", 1800000000L)),
+
     // --- stratified exact sample: k docs per language -------------------
     "q58_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 10, 42L)),
@@ -1770,6 +1794,35 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q84_negative_sample" ->
+      """WITH e AS (SELECT vec_id, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 20),
+        |pos AS (SELECT a.vec_id AS query_id, b.vec_id AS cand
+        |        FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+        |        WHERE a.vec_id < 20),
+        |pool AS (SELECT vec_id AS cand,
+        |    CAST('0x' || substr(md5('42:' || vec_id::VARCHAR), 1, 15) AS BIGINT) % 8 AS p
+        |  FROM e),
+        |elig AS (SELECT query_id, cand FROM q JOIN pool ON pool.p = q.query_id % 8
+        |         WHERE cand != query_id),
+        |neg AS (SELECT g.query_id, g.cand FROM elig g
+        |        ANTI JOIN pos ON pos.query_id = g.query_id AND pos.cand = g.cand),
+        |r AS (SELECT query_id, cand AS neg_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY md5('42:' || query_id::VARCHAR || ':' || cand::VARCHAR), cand) AS rnk
+        |  FROM neg)
+        |SELECT query_id, neg_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q83_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_ts_us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_ts_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, v_ts_us, c_ts_us,
+        |  (c_ts_us - v_ts_us) AS gap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |WHERE c_ts_us >= v_ts_us AND c_ts_us - v_ts_us <= 1800000000""".stripMargin,
 
     "q82_bloom_decon" ->
       s"""WITH $toksCte,

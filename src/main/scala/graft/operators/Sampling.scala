@@ -97,6 +97,48 @@ object Sampling {
       split.as("split"))
   }
 
+  /** Seeded negative sampling — the contrastive-training-pair builder:
+    * for each query, exactly k "negatives" drawn deterministically from
+    * the corpus, excluding the query itself and its known positives.
+    *
+    * Scale shape: the naive form ranks |Q|·|corpus| pairs. Here every
+    * corpus row is assigned ONE of `nBuckets` pools by a seeded hash of
+    * its id, and a query draws only from pool `query_id mod nBuckets` —
+    * an equi-join on the pool id (no broadcast required on either side),
+    * so each query scans |corpus|/nBuckets candidates. The pool
+    * restriction is the documented trade: negatives are uniform within a
+    * 1/nBuckets slice of the corpus, which is exactly what a shared
+    * random projection buys at 100 TB (FAISS-style sharded negative
+    * mining uses the same trick). Within the pool, candidates rank by
+    * md5(seed:query:cand) — a pure function of the pair, so any engine
+    * replays the identical draw (rand(seed) would not survive a
+    * repartition) — and the per-query top-k compiles to WindowGroupLimit.
+    *
+    * Inputs: queries(query_id), corpus(cand_id), positives(query_id,
+    * cand_id). Output: (query_id, neg_id, rnk), rnk 1..k. */
+  def negativeSamples(queries: DataFrame, corpus: DataFrame,
+                      positives: DataFrame, k: Int, nBuckets: Int,
+                      seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = corpus.select(col("cand_id"),
+      pmod(graft.functions.TextFunctions.hash60(
+        concat_ws(":", lit(seed), col("cand_id").cast("string"))),
+        lit(nBuckets.toLong)).as("__pool"))
+    val posr = positives.select(col("query_id").as("__pq"),
+      col("cand_id").as("__pc"))
+    val elig = queries
+      .withColumn("__pool", pmod(col("query_id"), lit(nBuckets.toLong)))
+      .join(pool, Seq("__pool"))
+      .where(col("cand_id") =!= col("query_id"))
+      .join(posr, col("query_id") === col("__pq") && col("cand_id") === col("__pc"),
+        "left_anti")
+    val w = Window.partitionBy("query_id")
+      .orderBy(md5(concat_ws(":", lit(seed), col("query_id").cast("string"),
+        col("cand_id").cast("string"))), col("cand_id"))
+    elig.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id").as("neg_id"), col("rnk"))
+  }
+
   /** Invariant summary used by the correctness harness: the sample's size,
     * key-distinctness and key-range containment — properties a seeded
     * sample must satisfy regardless of which rows the seed picked. */

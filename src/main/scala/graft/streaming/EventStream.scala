@@ -96,6 +96,60 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Stream-stream INTERVAL join: every (view, click) pair of the same
+    * user with `click.ts ∈ [view.ts, view.ts + maxGap]` — the
+    * all-matching-pairs attribution primitive ([[graft.operators.AsOfJoin]]
+    * keeps only the latest match; this keeps them all). Under
+    * `readStream` both sides carry watermarks and the time bounds let
+    * Spark evict join state (a view older than watermark + maxGap can
+    * never match a future click) — the canonical bounded-state
+    * stream-stream join. The same plan runs in batch. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   maxGap: String = "30 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("__cu"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, col("user_id") === col("__cu") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("v_ts")).as("v_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** Batch/backfill form of [[intervalJoin]] with the mega-user guard:
+    * joining on user_id alone leaves sort-merge-join buffering one
+    * user's whole click history per task (the q57 hazard class). Here
+    * time is cut into `maxGapUs`-wide buckets — each click lands in ONE
+    * bucket, each view explodes into the only TWO buckets its window can
+    * reach — and the equi-join key becomes (user_id, bucket), so join
+    * buffers are bounded by events-per-gap-window, not events-per-user.
+    * Pairs can't duplicate (click buckets partition the timeline); the
+    * residual range filter keeps exactly [[intervalJoin]]'s semantics
+    * (spec-proven equal). */
+  def intervalJoinBucketed(events: DataFrame, viewType: String,
+                           clickType: String, maxGapUs: Long): DataFrame = {
+    val v = events.where(col("event_type") === viewType)
+      .select(col("user_id"), unix_micros(col("ts")).as("v_t"),
+        col("event_id").as("view_id"))
+      .withColumn("__b0", expr(s"v_t div $maxGapUs"))
+      .withColumn("bucket", explode(array(col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val c = events.where(col("event_type") === clickType)
+      .select(col("user_id"), unix_micros(col("ts")).as("c_t"),
+        col("event_id").as("click_id"))
+      .withColumn("bucket", expr(s"c_t div $maxGapUs"))
+    v.join(c, Seq("user_id", "bucket"))
+      .where(col("c_t") >= col("v_t") && col("c_t") - col("v_t") <= maxGapUs)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("v_t").as("v_ts_us"), col("c_t").as("c_ts_us"),
+        (col("c_t") - col("v_t")).as("gap_us"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)

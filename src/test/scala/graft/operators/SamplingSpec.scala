@@ -53,4 +53,29 @@ class SamplingSpec extends SparkTestBase {
       .where(col("rnk") <= 10).drop("__rk")
     assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
   }
+
+  test("negativeSamples: exactly k per query, no self, no positives, deterministic") {
+    import spark.implicits._
+    val queries = (0L until 10L).toDF("query_id")
+    val corpus = (0L until 400L).toDF("cand_id")
+    // positives: each query's 20 consecutive ids (some overlap its pool)
+    val positives = (0L until 10L).flatMap(q => (q * 3 until q * 3 + 20)
+      .map(c => (q, c))).toDF("query_id", "cand_id")
+    val got = Sampling.negativeSamples(queries, corpus, positives, 5, 4, "7")
+    assert(got.count() == 50)
+    assert(got.groupBy("query_id").count().where(col("count") =!= 5).count() == 0)
+    assert(got.where(col("neg_id") === col("query_id")).count() == 0)
+    assert(got.join(positives,
+      got("query_id") === positives("query_id") &&
+        got("neg_id") === positives("cand_id")).count() == 0)
+    val again = Sampling.negativeSamples(
+      queries.repartition(7), corpus.repartition(5), positives, 5, 4, "7")
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0)
+    // pool restriction: every draw comes from the query's hash pool
+    val pool = corpus.select(col("cand_id").as("neg_id"),
+      pmod(graft.functions.TextFunctions.hash60(
+        concat_ws(":", lit("7"), col("cand_id").cast("string"))), lit(4L)).as("p"))
+    assert(got.join(pool, "neg_id")
+      .where(col("p") =!= pmod(col("query_id"), lit(4L))).count() == 0)
+  }
 }

@@ -59,6 +59,51 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin as a real two-stream join: in-window pairs only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val vm = MemoryStream[(Long, Timestamp, Long)]
+    val cm = MemoryStream[(Long, Timestamp, Long)]
+    val views = vm.toDF().toDF("user_id", "ts", "event_id")
+    val clicks = cm.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStream.intervalJoin(views, clicks, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      vm.addData((7L, ts(0), 100L), (8L, ts(0), 101L))
+      cm.addData(
+        (7L, ts(5), 200L),  // in window  -> pair
+        (7L, ts(11), 201L), // past 10min -> no pair
+        (8L, ts(3), 202L),  // in window  -> pair
+        (9L, ts(4), 203L))  // other user -> no pair
+      q.processAllAvailable()
+      val out = s.sql("SELECT view_id, click_id, gap_us FROM ij")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((100L, 200L, 300000000L), (101L, 202L, 180000000L)))
+    } finally q.stop()
+  }
+
+  test("bucketed interval join equals the plain-join form on real events") {
+    val events = graft.sources.Tables.events(spark, sf())
+    val plain = EventStream.intervalJoin(
+      events.where(col("event_type") === "view"),
+      events.where(col("event_type") === "click"), "30 minutes")
+    val bucketed = EventStream.intervalJoinBucketed(
+      events, "view", "click", 1800000000L)
+    assert(bucketed.count() > 0)
+    assert(bucketed.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(bucketed).count() == 0)
+    // odd bucket width: equality must hold for ANY maxGapUs
+    val plain2 = EventStream.intervalJoin(
+      events.where(col("event_type") === "view"),
+      events.where(col("event_type") === "click"), "1723 seconds")
+    val bucketed2 = EventStream.intervalJoinBucketed(
+      events, "view", "click", 1723000000L)
+    assert(bucketed2.exceptAll(plain2).count() == 0)
+    assert(plain2.exceptAll(bucketed2).count() == 0)
+  }
+
   test("dedupeReplays keeps the first arrival and counts all of them") {
     val df = spark.createDataFrame(Seq(
       (1L, ts(0), 1.0), (1L, ts(2), 99.0), (1L, ts(1), 50.0),
