@@ -489,6 +489,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- char-trigram LM surprise score (statistical quality filter) ----
+    // NLL under an add-one-smoothed conditional trigram model of the
+    // corpus itself; the model is alphabet-bounded (≤|Σ|³ rows at any
+    // corpus size) so scoring is a broadcast join, not a shuffle.
+    "q85_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d))),
+
     // --- seeded negative sampling (contrastive training pairs) ----------
     // For each of the 20 eval queries: 5 negatives from the query's hash
     // pool (1/8 corpus slice), excluding itself and its co-label
@@ -1794,6 +1801,22 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q85_lm_score" ->
+      s"""WITH $toksCte,
+        |s AS (SELECT doc_id, array_to_string(tk, ' ') AS s FROM toks),
+        |tris AS (SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+        |           i -> substr(s, i, 3))) AS tri FROM s),
+        |model AS (SELECT tri, count(*)::BIGINT AS cnt3 FROM tris GROUP BY 1),
+        |pre AS (SELECT substr(tri, 1, 2) AS pre, sum(cnt3)::BIGINT AS cnt2
+        |        FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS v FROM model)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tris,
+        |  round(-avg(ln((m.cnt3 + 1.0) / (p.cnt2 + v.v))), 6) AS nll
+        |FROM tris t JOIN model m ON t.tri = m.tri
+        |JOIN pre p ON substr(t.tri, 1, 2) = p.pre
+        |CROSS JOIN v
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q84_negative_sample" ->
       """WITH e AS (SELECT vec_id, label FROM embeddings),

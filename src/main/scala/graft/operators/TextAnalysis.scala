@@ -241,4 +241,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("rnk"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Character-trigram language-model surprise score — the statistical
+    * upgrade of [[qualityScore]]'s surface heuristics (the KenLM-filter
+    * idea from pretraining pipelines: score each document's negative log
+    * likelihood under an n-gram model of the corpus itself; gibberish,
+    * boilerplate and wrong-alphabet text land in the high-NLL tail).
+    *
+    * Model: add-one-smoothed conditional trigram probabilities
+    * `P(c₃|c₁c₂) = (cnt(c₁c₂c₃)+1) / (cnt(c₁c₂·)+V)` over the
+    * whitespace-normalized lowercase text, V = distinct continuation
+    * characters in the corpus. Score: `nll = −mean ln P` over every
+    * trigram occurrence of the doc.
+    *
+    * Scale shape: the model is bounded by the ALPHABET, not the corpus —
+    * ≤ |Σ|³ rows (37³ ≈ 50k for [a-z0-9 ]) no matter how many petabytes
+    * trained it — so both model tables broadcast and scoring is one
+    * map-side pass over the doc trigram stream: one shuffle to count the
+    * model, zero shuffles to score (beyond the per-doc aggregate). */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tris = docs
+      .select(col(idCol).as("doc_id"),
+        array_join(tokens(col(textCol)), " ").as("__s"))
+      .select(col("doc_id"),
+        explode(when(length(col("__s")) < 3, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))")))
+          .as("tri"))
+    val model = tris.groupBy("tri").agg(count(lit(1)).as("cnt3"))
+    val prefix = model.groupBy(substring(col("tri"), 1, 2).as("pre"))
+      .agg(sum(col("cnt3")).as("cnt2"))
+    val vocab = model
+      .select(countDistinct(substring(col("tri"), 3, 1)).as("v"))
+    tris
+      .join(model.hint("broadcast"), Seq("tri"))
+      .withColumn("pre", substring(col("tri"), 1, 2))
+      .join(prefix.hint("broadcast"), Seq("pre"))
+      .join(vocab.hint("broadcast"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"),
+        round(-avg(log((col("cnt3") + 1.0) / (col("cnt2") + col("v")))), 6)
+          .as("nll"))
+  }
 }

@@ -46,4 +46,24 @@ class TextAnalysisSpec extends SparkTestBase {
     // "common" (df=3, idf=ln(4/4)=0 ⇒ score 0) never wins rank 1
     assert(!out.exists { case ((_, rnk), t) => rnk == 1 && t == "common" })
   }
+
+  test("lmScore: gibberish scores far above the corpus median NLL") {
+    import org.apache.spark.sql.functions._
+    val real = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+    val gibberish = spark.createDataFrame(Seq(
+      (900001L, "zqx vjq wqz xqj qzv jxq zvq qjx xzq qvj zxq jqz"))).toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScore(real.unionByName(gibberish))
+    val gNll = scored.where(col("doc_id") === 900001L)
+      .collect()(0).getDouble(2)
+    val med = scored.where(col("doc_id") < 900000L)
+      .agg(expr("percentile(nll, 0.5)")).collect()(0).getDouble(0)
+    assert(gNll > med * 1.5, s"gibberish nll $gNll vs median $med")
+    // model is alphabet-bounded: trigrams over [a-z0-9 ] only
+    val badTri = TextAnalysis.lmScore(real) // smoke: deterministic re-run
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val again = TextAnalysis.lmScore(real)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(badTri == again)
+  }
 }
