@@ -210,7 +210,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
-    var labels = ids.select(col("doc_id"), col("doc_id").as("component"))
+    // The iteration runs ONLY over nodes that carry evidence edges — in a
+    // dedup workload a sliver of the corpus — so per-round state scales
+    // with |near-dup subgraph|, not |corpus|. Every untouched doc is its
+    // own component by definition and joins back in one final pass.
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -241,7 +246,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    ids.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** End-to-end dedup keep-list: union exact-dup and MinHash-LSH
