@@ -502,6 +502,68 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- weekly cohort retention (the OLAP funnel dashboard query) ------
+    // Cohort = week of first signup; activity = any event in week w;
+    // rate = active users / cohort size per (cohort, offset). Two
+    // distinct-aggregates + one join, all equi-keyed on user/week.
+    "q88_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(date_trunc("week", col("ts"))).as("cw"))
+      val act = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("aw")).distinct()
+      val coh = su.groupBy("cw").agg(countDistinct("user_id").as("n_cohort"))
+      su.join(act, Seq("user_id")).where(col("aw") >= col("cw"))
+        .withColumn("week_offset",
+          (datediff(col("aw"), col("cw")) / 7).cast("long"))
+        .groupBy("cw", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(coh, Seq("cw"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+            .as("rate"))
+    }),
+
+    // --- per-label centroids + distance-to-prototype (outlier score) ----
+    // Element-wise mean embedding per label (posexplode → one (label,
+    // pos) aggregate → deterministic re-assembly), then every vector's
+    // cosine to its own class prototype — the embedding-space outlier /
+    // label-noise detector. Centroid table is |labels| rows → broadcast.
+    "q89_label_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      e.join(cent.hint("broadcast"), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(graft.functions.VectorFunctions.cosine(col("v"), col("centroid")), 6)
+            .as("cos_centroid"))
+    }),
+
+    // --- cross-doc duplicate-span coverage (memorization risk) ----------
+    // Per doc: fraction of its 8-gram occurrences that appear in ≥1
+    // other document — the relational form of the suffix-array dedup
+    // metric; flags boilerplate even when no pair crosses a Jaccard
+    // threshold. Corpus carries planted copies (doc_id+3·10^6 for every
+    // 101st doc) whose coverage must be 1.0 — and it is, by the oracle.
+    "q86_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      Dedup.dupSpanCoverage(docs.unionByName(planted), 8)
+    }),
+
+    // --- sketch-guided heavy hitters (exact-verified) -------------------
+    // freqItems nominates ≤1/support candidates in one pass; exact
+    // counts over candidates keep the true >3% terms. The sketch only
+    // accelerates — the output is exact and plain-SQL-replayable.
+    "q87_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), 0.03)),
+
     // --- char-trigram LM surprise score (statistical quality filter) ----
     // NLL under an add-one-smoothed conditional trigram model of the
     // corpus itself; the model is alphabet-bounded (≤|Σ|³ rows at any
@@ -1813,6 +1875,57 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q88_retention" ->
+      """WITH su AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+        |coh AS (SELECT cw, count(DISTINCT user_id) AS n_cohort FROM su GROUP BY 1),
+        |j AS (SELECT su.user_id, su.cw, act.aw,
+        |        date_diff('day', su.cw, act.aw) // 7 AS week_offset
+        |      FROM su JOIN act USING (user_id) WHERE act.aw >= su.cw),
+        |g AS (SELECT cw, week_offset, count(DISTINCT user_id) AS n_active
+        |      FROM j GROUP BY 1, 2)
+        |SELECT strftime(g.cw, '%Y-%m-%d') AS cohort_week,
+        |  g.week_offset::BIGINT AS week_offset, g.n_active::BIGINT AS n_active,
+        |  coh.n_cohort::BIGINT AS n_cohort,
+        |  round(g.n_active::DOUBLE / coh.n_cohort::DOUBLE, 6) AS rate
+        |FROM g JOIN coh ON g.cw = coh.cw""".stripMargin,
+
+    "q89_label_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY i) AS cent FROM p GROUP BY 1)
+        |SELECT vec_id, e.label, round(${cosSql("e.v", "c.cent")}, 6) AS cos_centroid
+        |FROM e JOIN c ON e.label = c.label""".stripMargin,
+
+    "q86_dup_spans" ->
+      s"""WITH $toksCte,
+        |base AS (SELECT doc_id, tk FROM toks
+        |         UNION ALL
+        |         SELECT doc_id + 3000000 AS doc_id, tk FROM toks WHERE doc_id % 101 = 0),
+        |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' ')) END) AS gram
+        |  FROM base),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+        |per AS (SELECT o.doc_id, count(*)::BIGINT AS n_grams,
+        |    count(CASE WHEN df.df >= 2 THEN 1 END)::BIGINT AS n_dup
+        |  FROM occ o JOIN df ON o.gram = df.gram GROUP BY 1)
+        |SELECT b.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(per.n_dup, 0)::BIGINT AS n_dup,
+        |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+        |       ELSE round(per.n_dup::DOUBLE / per.n_grams::DOUBLE, 6) END AS dup_ratio
+        |FROM (SELECT DISTINCT doc_id FROM base) b
+        |LEFT JOIN per ON b.doc_id = per.doc_id""".stripMargin,
+
+    "q87_heavy_hitters" ->
+      s"""WITH $toksCte,
+        |t AS (SELECT unnest(tk) AS term FROM toks),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM t GROUP BY 1)
+        |SELECT term, cnt, round(cnt::DOUBLE / n_total::DOUBLE, 6) AS freq
+        |FROM c CROSS JOIN n WHERE cnt > 0.03 * n_total""".stripMargin,
 
     "q85_lm_score" ->
       s"""WITH $toksCte,

@@ -356,6 +356,45 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Cross-document duplicate-span coverage — the memorization-risk
+    * metric behind suffix-array dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * the fraction of its n-gram OCCURRENCES that also appear in at least
+    * one other document. High coverage = boilerplate / templated /
+    * copied text even when no single pair crosses a Jaccard threshold.
+    *
+    * Relational rendering of the suffix-array idea: every n-gram
+    * occurrence becomes a posting keyed by its md5 (narrow shuffle
+    * rows); one aggregate computes cross-doc document frequency; a join
+    * back marks each occurrence as shared/unique. Two shuffles total
+    * (df + per-doc rollup), both equi-keyed — no suffix array needed
+    * because the span length is fixed.
+    *
+    * Output: (doc_id, n_grams, n_dup, dup_ratio) — docs shorter than n
+    * tokens report 0 grams. */
+  def dupSpanCoverage(docs: DataFrame, n: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    val occ = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))
+          .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val df = occ.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val perDoc = occ.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup").cast("double") /
+            col("n_grams").cast("double"), 6)).as("dup_ratio"))
+  }
+
   /** Embedding near-duplicates: exact threshold pairs (brute force). The
     * verification baseline; the scale path blocks by an LSH/IVF cell
     * column first (see ContentRetriever/Lsh). */

@@ -284,4 +284,31 @@ object TextAnalysis {
         round(-avg(log((col("cnt3") + 1.0) / (col("cnt2") + col("v")))), 6)
           .as("nll"))
   }
+
+  /** Sketch-guided heavy hitters over the token stream: `freqItems`
+    * (Karp et al. frequent-items, one streaming pass, mergeable across
+    * partitions) nominates every term that COULD exceed `support` — a
+    * strict superset of the truth, ≤ 1/support candidates, driver-safe —
+    * and an exact count over just the candidate terms (the `isin`
+    * pushes into the scan) keeps exactly the true heavy hitters. Two
+    * bounded-output passes instead of a full-vocabulary aggregate: at
+    * 100 TB the vocabulary is billions of terms, the candidate set is
+    * ≤ 1/support regardless of corpus size.
+    *
+    * Output: (term, cnt, freq) for terms with cnt > support·N — exact
+    * values, so a plain SQL oracle replays it (the sketch only
+    * accelerates; it cannot change the answer). */
+  def heavyHitters(docs: DataFrame, support: Double,
+                   textCol: String = "text"): DataFrame = {
+    val terms = docs.select(explode(tokens(col(textCol))).as("term"))
+    val cands = terms.stat.freqItems(Array("term"), support)
+      .collect()(0).getSeq[String](0)
+    terms.where(col("term").isInCollection(cands))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(terms.agg(count(lit(1)).as("__n")).hint("broadcast"))
+      .where(col("cnt") > lit(support) * col("__n"))
+      .select(col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n").cast("double"), 6)
+          .as("freq"))
+  }
 }

@@ -137,4 +137,19 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dupSpanCoverage: full copy = 1.0, unique doc = 0.0, short doc = 0 grams") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g h i j"),          // original
+      (2L, "a b c d e f g h i j"),          // full copy -> both 1.0
+      (3L, "q w e r t y u i o p z x c v"),  // unique -> 0.0
+      (4L, "too short")))                   // < 8 tokens -> 0 grams
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 1.0) && out(2L) == (3L, 1.0))
+    assert(out(3L)._2 == 0.0 && out(3L)._1 == 7L)
+    assert(out(4L) == (0L, 0.0))
+  }
 }

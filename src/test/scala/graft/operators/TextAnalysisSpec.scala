@@ -66,4 +66,20 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(badTri == again)
   }
+
+  test("heavyHitters: exact answer — equals the brute-force count filter") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+    val got = TextAnalysis.heavyHitters(docs, 0.03)
+    val terms = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val n = terms.count()
+    val brute = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 0.03 * n)
+      .select(col("term"), col("cnt"),
+        round(col("cnt").cast("double") / n.toDouble, 6).as("freq"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0)
+  }
 }
