@@ -502,6 +502,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- statistical curation gate: round-4 filters composed ------------
+    // kept = English ∧ surface-quality ∧ LM-plausible (nll ≤ 0.82) ∧
+    // not boilerplate (dup-span ratio < 0.9) ∧ decontaminated (no
+    // 13-gram overlap with the every-89th-doc eval slice, eval docs
+    // themselves excluded). q53 gates the dedup-side composition; this
+    // is the statistical side — one plan, five filters, each also
+    // individually oracle-proven (q19/q20/q85/q86/q82).
+    "q90_curation_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val lang = TextAnalysis.langId(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("lang_ok"))
+      val qual = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), (col("quality") >= 0.5).as("quality_ok"))
+      val lm = TextAnalysis.lmScore(docs)
+        .select(col("doc_id"), (col("nll") <= 0.82).as("nll_ok"))
+      val dup = Dedup.dupSpanCoverage(docs, 8)
+        .select(col("doc_id"), (col("dup_ratio") < 0.9).as("dup_ok"))
+      val bench = docs.where(col("doc_id") % 89 === 0)
+      val contaminated = Dedup.decontaminateBloom(
+        docs.where(col("doc_id") % 89 =!= 0), bench, 13)
+        .select(col("doc_id"), lit(true).as("__hit"))
+      docs.select(col("doc_id"))
+        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+        .join(lm, Seq("doc_id")).join(dup, Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("clean", col("doc_id") % 89 =!= 0 && col("__hit").isNull)
+        .drop("__hit")
+        .withColumn("kept", col("lang_ok") && col("quality_ok") &&
+          col("nll_ok") && col("dup_ok") && col("clean"))
+    }),
+
     // --- weekly cohort retention (the OLAP funnel dashboard query) ------
     // Cohort = week of first signup; activity = any event in week w;
     // rate = active users / cohort size per (cohort, offset). Two
@@ -1875,6 +1906,60 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q90_curation_gate" ->
+      s"""WITH $toksCte,
+        |lang AS (SELECT doc_id,
+        |  len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::BIGINT AS h_en,
+        |  len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], t)))::BIGINT AS h_de,
+        |  len(list_filter(tk, t -> list_contains(['le','la','les','et','est','un','une','dans'], t)))::BIGINT AS h_fr,
+        |  len(list_filter(tk, t -> list_contains(['el','la','los','y','es','un','una','en'], t)))::BIGINT AS h_es
+        |  FROM toks),
+        |lok AS (SELECT doc_id, (greatest(h_en, h_de, h_fr, h_es) > 0
+        |                        AND h_en = greatest(h_en, h_de, h_fr, h_es)) AS lang_ok FROM lang),
+        |qc AS (SELECT d.doc_id, len(t.tk)::BIGINT AS n_tokens, length(d.text) AS n_char,
+        |  length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+        |  length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+        |  CASE WHEN len(t.tk) = 0 THEN 0.0 ELSE list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE / len(t.tk)::DOUBLE END AS mtl
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |qok AS (SELECT doc_id,
+        |  ((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE alpha_chars::DOUBLE / n_char::DOUBLE END) >= 0.6 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE punct_chars::DOUBLE / n_char::DOUBLE END) <= 0.1 THEN 0.25 ELSE 0.0 END) >= 0.5) AS quality_ok
+        |  FROM qc),
+        |sN AS (SELECT doc_id, array_to_string(tk, ' ') AS s FROM toks),
+        |tris AS (SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+        |           i -> substr(s, i, 3))) AS tri FROM sN),
+        |model AS (SELECT tri, count(*)::BIGINT AS cnt3 FROM tris GROUP BY 1),
+        |pre AS (SELECT substr(tri, 1, 2) AS pre, sum(cnt3)::BIGINT AS cnt2 FROM model GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS v FROM model),
+        |nok AS (SELECT t.doc_id,
+        |    (round(-avg(ln((m.cnt3 + 1.0) / (p.cnt2 + vv.v))), 6) <= 0.82) AS nll_ok
+        |  FROM tris t JOIN model m ON t.tri = m.tri
+        |  JOIN pre p ON substr(t.tri, 1, 2) = p.pre CROSS JOIN vv
+        |  GROUP BY t.doc_id),
+        |occ8 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' ')) END) AS gram FROM toks),
+        |df8 AS (SELECT gram, count(DISTINCT doc_id) AS df FROM occ8 GROUP BY 1),
+        |dok AS (SELECT o.doc_id,
+        |    (count(CASE WHEN df8.df >= 2 THEN 1 END)::DOUBLE / count(*)::DOUBLE < 0.9) AS dup_ok
+        |  FROM occ8 o JOIN df8 ON o.gram = df8.gram GROUP BY 1),
+        |g13 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 13 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(range(1, len(tk) - 11),
+        |      i -> array_to_string(tk[i:i+12], ' '))) END) AS gram FROM toks),
+        |contam AS (SELECT DISTINCT c.doc_id FROM g13 c
+        |           JOIN (SELECT gram FROM g13 WHERE doc_id % 89 = 0) b ON c.gram = b.gram
+        |           WHERE c.doc_id % 89 != 0)
+        |SELECT d.doc_id, lok.lang_ok, qok.quality_ok, nok.nll_ok, dok.dup_ok,
+        |  (d.doc_id % 89 != 0 AND contam.doc_id IS NULL) AS clean,
+        |  (lok.lang_ok AND qok.quality_ok AND nok.nll_ok AND dok.dup_ok
+        |   AND d.doc_id % 89 != 0 AND contam.doc_id IS NULL) AS kept
+        |FROM documents d
+        |JOIN lok USING (doc_id) JOIN qok USING (doc_id)
+        |JOIN nok USING (doc_id) JOIN dok USING (doc_id)
+        |LEFT JOIN contam ON d.doc_id = contam.doc_id""".stripMargin,
 
     "q88_retention" ->
       """WITH su AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
