@@ -502,6 +502,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- Z-order (Morton) layout key -----------------------------------
+    // The Delta/Iceberg ZORDER BY primitive as plain Catalyst arithmetic:
+    // interleave (user_id, minutes-since-2024) bits so range-partitioned
+    // files get tight min/max stats on BOTH columns (LayoutSpec proves
+    // per-file spans shrink in the two dimensions simultaneously). The
+    // oracle replays all 42 shift/mask terms exactly.
+    "q91_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        expr("(unix_micros(ts) - 1704067200000000) div 60000000").as("m"))
+      ev.withColumn("zval", Layout.zValue(col("user_id"), col("m")))
+    }),
+
     // --- statistical curation gate: round-4 filters composed ------------
     // kept = English ∧ surface-quality ∧ LM-plausible (nll ≤ 0.82) ∧
     // not boilerplate (dup-span ratio < 0.9) ∧ decontaminated (no
@@ -1301,6 +1313,12 @@ object SparkEntry {
       |      FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2),
       |sym AS (SELECT src, dst, weight FROM e
       |        UNION ALL SELECT dst AS src, src AS dst, weight FROM e)""".stripMargin
+  /** The 42 Morton shift/mask terms of Layout.zValue as DuckDB SQL. */
+  private def zSql(a: String, b: String): String =
+    (0 until 21).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   private def cosSql(a: String, b: String): String =
     s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) = 0 THEN 0.0 " +
       s"ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"
@@ -1906,6 +1924,12 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q91_zorder" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+        |  (epoch_us(ts) - 1704067200000000) // 60000000 AS m FROM events)
+        |SELECT event_id, user_id, m, (${zSql("user_id", "m")})::BIGINT AS zval
+        |FROM e""".stripMargin,
 
     "q90_curation_gate" ->
       s"""WITH $toksCte,
