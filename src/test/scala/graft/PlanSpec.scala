@@ -63,4 +63,26 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected map-side plan, got $exchanges exchanges:\n$p")
   }
+
+  test("round-4 joins stay keyed: no cartesian/NLJ in q83/q84/q86/q91") {
+    for (q <- Seq("q83_interval_join", "q84_negative_sample",
+        "q86_dup_spans", "q91_zorder")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("q85 LM scoring joins broadcast (alphabet-bounded model)") {
+    val p = planOf("q85_lm_score")
+    assert(p.contains("BroadcastHashJoin"), "model/prefix joins should broadcast")
+  }
+
+  test("q81 PQ serving: ADC hot loop is the codegen'd expression, probe side broadcasts") {
+    val df = SparkEntry.queries("q81_pq_serve")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("adcscore") || p.contains("AdcScore") ||
+      p.toLowerCase.contains("adc"), "AdcScore expression missing from plan")
+    assert(p.contains("BroadcastHashJoin"), "probed-query join should broadcast")
+  }
 }
