@@ -961,6 +961,25 @@ object SparkEntry {
           (max(col("selfhit")) === 0).as("self_excluded"))
     }),
 
+    // --- PQ batch serving at the q43 contract ---------------------------
+    // The q43 amortization story served from CODES: 1000 queries probe
+    // the same IVF cells, ADC-score 16-byte codes (codegen'd AdcScore),
+    // refine the 50-deep shortlist exactly. Same invariant gates as q43
+    // (exact k rows per query, self excluded) — directly comparable
+    // ms/query between the float index and the 21×-compressed one.
+    "q92_pq_serve_batch" -> ((s, d) => {
+      val model = IvfIndexStore.loadModel({ IvfIndexStore.ensure(s, d); d })
+      val served = Pq.topKRefined(pqEncodedFor(s, d),
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        pqModelFor(s, d), model, queryVecs(s, d, 1000), 10, 50, 4)
+      served.groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("query_id") === col("vec_id"), 1).otherwise(0)).as("selfhit"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n")) === 10 && max(col("n")) === 10).as("rows_ok"),
+          (max(col("selfhit")) === 0).as("self_excluded"))
+    }),
+
     // --- incremental index maintenance: upsert ≡ rebuild ----------------
     // Build the cell-partitioned index on half the corpus, APPEND the
     // other half with the same quantizer (Ivf.upsertIndex — new files
@@ -1298,6 +1317,7 @@ object SparkEntry {
     "q70_ann_dedup" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q71_sq8_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q81_pq_serve" -> ((s, d) => { IvfIndexStore.ensure(s, d); pqEncodedFor(s, d); () }),
+    "q92_pq_serve_batch" -> ((s, d) => { IvfIndexStore.ensure(s, d); pqEncodedFor(s, d); () }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2305,6 +2325,10 @@ object SparkEntry {
         |  true AS mean_overlap_ok, true AS min_overlap_ok""".stripMargin,
 
     "q43_ivf_serve_batch" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 1000)::BIGINT AS n_queries,
+        |  true AS rows_ok, true AS self_excluded""".stripMargin,
+
+    "q92_pq_serve_batch" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 1000)::BIGINT AS n_queries,
         |  true AS rows_ok, true AS self_excluded""".stripMargin,
 

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 // ColumnBridge: Java shim over spark.sql.classic.ExpressionUtils
@@ -172,6 +172,94 @@ case class AdcScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd PQ ADC lookup-table builder: for a (normalized, double)
+  * query vector, `lut[j][c] = Σ_t v[j·dsub+t] · books[j][c][t]` against
+  * codebooks CAPTURED IN THE EXPRESSION (shipped once per task as a
+  * reference object, not re-read per row).
+  *
+  * The higher-order-function rendering of this table costs m·ksub
+  * interpreted lambda dispatches per query row — at a 1000-query batch
+  * that's ~10⁸ interpreted evals and it dominated the PQ serve; this
+  * fused loop brings the probe side into codegen alongside [[AdcScore]].
+  */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut needs array<double>, got $dt")
+    }
+
+  @transient private lazy val dsub = books(0)(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = books.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val lut = new Array[Double](book.length)
+      var c = 0
+      while (c < book.length) {
+        val center = book(c)
+        var s = 0.0
+        var t = 0
+        while (t < dsub) { s += v.getDouble(j * dsub + t) * center(t); t += 1 }
+        lut(c) = s
+        c += 1
+      }
+      out(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val ds = ctx.freshName("ds")
+      val out = ctx.freshName("out")
+      val lut = ctx.freshName("lut")
+      val book = ctx.freshName("book")
+      s"""
+         |final int $m = $booksRef.length;
+         |final int $ds = $booksRef[0][0].length;
+         |final Object[] $out = new Object[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final double[][] $book = $booksRef[$j];
+         |  final double[] $lut = new double[$book.length];
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double $s = 0.0;
+         |    for (int $t = 0; $t < $ds; $t++) {
+         |      $s += $v.getDouble($j * $ds + $t) * $book[$c][$t];
+         |    }
+         |    $lut[$c] = $s;
+         |  }
+         |  $out[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd cosine similarity in [-1, 1]. */
   def cosineSim(a: Column, b: Column): Column =
@@ -182,4 +270,8 @@ object VectorExpressions {
   def adcScore(codes: Column, lut: Column): Column =
     ColumnBridge.column(AdcScore(
       ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
+  /** Column wrapper: codegen'd PQ LUT builder (codebooks captured). */
+  def pqLut(nq: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(nq), books))
 }

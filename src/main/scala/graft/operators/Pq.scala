@@ -158,11 +158,16 @@ object Pq {
     }: _*))
 
   /** The query-side ADC lookup table: `lut[j][c] = q̂_j · codebook_j_c`,
-    * m·ksub doubles per query, computed map-side against literal array
-    * data. `nqCol` must be a MATERIALIZED column holding the normalized
-    * query (an inline `l2Normalize` would be re-evaluated inside the
-    * m·ksub lambda iterations — the interpreted-HOF trap). */
+    * m·ksub doubles per query — one fused codegen'd loop
+    * ([[graft.functions.expressions.PqLut]]; the HOF rendering cost
+    * m·ksub interpreted lambda dispatches per row and dominated the
+    * 1000-query batch serve). `nqCol` must hold the normalized query as
+    * array<double>. */
   private def lutOf(model: PqModel, nqCol: Column): Column =
+    graft.functions.expressions.VectorExpressions.pqLut(nqCol, model.codebooks)
+
+  /** HOF reference rendering of [[lutOf]] — kept for the parity spec. */
+  private[operators] def lutOfHof(model: PqModel, nqCol: Column): Column =
     array((0 until model.m).map { j =>
       val sub = slice(nqCol, j * model.dsub + 1, model.dsub)
       transform(bookLit(model, j), c => dot(sub, c))

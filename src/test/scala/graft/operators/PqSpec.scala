@@ -68,6 +68,16 @@ class PqSpec extends SparkTestBase {
     assert(oob.collect()(0).isNullAt(0))
   }
 
+  test("PqLut expression matches the HOF rendering bit-identically") {
+    val pq = Pq.fit(emb, 64, 8, 4)
+    val nq = emb.select(
+      graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nq"))
+    val expr = nq.select(
+      graft.functions.expressions.VectorExpressions.pqLut(col("nq"), pq.codebooks).as("lut"))
+    val hof = nq.select(Pq.lutOfHof(pq, col("nq")).as("lut"))
+    assert(expr.exceptAll(hof).count() == 0 && hof.exceptAll(expr).count() == 0)
+  }
+
   test("refined top-k with full-coverage shortlist equals the exact probed serve") {
     val model = Ivf.fit(emb, 4)
     val index = Ivf.assign(model, emb)
