@@ -85,7 +85,11 @@ object GraftExtensions {
           classOf[RollingFingerprint]),
         (args: Seq[Expression]) => {
           arity("rolling_fingerprint", args, 1); RollingFingerprint(args.head)
-        }))
+        }),
+      (FunctionIdentifier("adc_score"),
+        info("adc_score", "_FUNC_(codes, lut) - PQ asymmetric-distance score: sum of lut[j][codes[j]]",
+          classOf[AdcScore]),
+        (args: Seq[Expression]) => { arity("adc_score", args, 2); AdcScore(args(0), args(1)) }))
 
   /** Register the same function set on an already-constructed session.
     * Idempotent: `registerFunction` replaces an existing binding. */

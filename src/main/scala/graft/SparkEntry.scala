@@ -502,6 +502,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- data mixing: per-language quotas (corpus rebalancing) ----------
+    // Target mix en:60 de:25 fr:15 (es dropped — no quota), drawn
+    // deterministically by md5 rank so the oracle replays the exact
+    // selection; the salted two-phase keeps a dominant language from
+    // becoming one straggler task.
+    "q93_domain_mix" -> ((s, d) =>
+      Sampling.domainMix(Tables.documents(s, d), "lang", "doc_id",
+        Seq("en" -> 60, "de" -> 25, "fr" -> 15), 42L)),
+
     // --- Z-order (Morton) layout key -----------------------------------
     // The Delta/Iceberg ZORDER BY primitive as plain Catalyst arithmetic:
     // interleave (user_id, minutes-since-2024) bits so range-partitioned
@@ -1944,6 +1953,15 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q93_domain_mix" ->
+      """WITH q AS (SELECT * FROM (VALUES ('en', 60), ('de', 25), ('fr', 15)) v(stratum, quota)),
+        |r AS (SELECT d.lang AS stratum, d.doc_id AS key, q.quota,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5('42:' || d.doc_id::VARCHAR), d.doc_id) AS rnk
+        |  FROM documents d JOIN q ON d.lang = q.stratum)
+        |SELECT stratum, key, rnk, quota::BIGINT AS quota
+        |FROM r WHERE rnk <= quota""".stripMargin,
 
     "q91_zorder" ->
       s"""WITH e AS (SELECT event_id, user_id,

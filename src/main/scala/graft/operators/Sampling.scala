@@ -97,6 +97,38 @@ object Sampling {
       split.as("split"))
   }
 
+  /** Exact data-mixing draw — [[stratifiedSample]] generalized to
+    * per-stratum QUOTAS: the "data mixing" step that rebalances a corpus
+    * to target domain/language proportions before training (quota_s docs
+    * from stratum s, deterministic md5-rank selection, strata without a
+    * quota dropped). Same salted two-phase shape, so a dominant stratum
+    * never becomes a single-task straggler; the phase-1 window keeps the
+    * LITERAL max-quota bound (WindowGroupLimit pushdown needs a
+    * constant), the exact per-stratum quota filters after the broadcast
+    * quota join. */
+  def domainMix(df: DataFrame, stratumCol: String, keyCol: String,
+                quotas: Seq[(String, Int)], seed: Long,
+                salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = quotas.toDF("stratum", "quota")
+    val maxK = quotas.map(_._2).max
+    val rank = md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
+    val salted = df
+      .select(col(stratumCol).as("stratum"), col(keyCol).as("key"),
+        rank.as("__rk"),
+        pmod(crc32(col(keyCol).cast("string")), lit(salts)).as("__salt"))
+      .join(broadcast(q), Seq("stratum"))
+    val w1 = Window.partitionBy("stratum", "__salt").orderBy(col("__rk"), col("key"))
+    val w2 = Window.partitionBy("stratum").orderBy(col("__rk"), col("key"))
+    salted
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= maxK && col("__r1") <= col("quota"))
+      .withColumn("rnk", row_number().over(w2)).where(col("rnk") <= col("quota"))
+      .select(col("stratum"), col("key"), col("rnk"), col("quota").cast("long").as("quota"))
+  }
+
   /** Seeded negative sampling — the contrastive-training-pair builder:
     * for each query, exactly k "negatives" drawn deterministically from
     * the corpus, excluding the query itself and its known positives.

@@ -80,4 +80,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("word_shingles") ||
       e.getCause != null && e.getCause.getMessage.contains("word_shingles"))
   }
+
+  test("adc_score is SQL-callable and matches the hand sum") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT adc_score(array(0, 2), array(array(1.0d, 2.0d, 3.0d),
+        |                                    array(4.0d, 5.0d, 6.0d))) AS s""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(r == 1.0 + 6.0)
+  }
 }
