@@ -502,6 +502,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- DIRECTED PageRank with dangling-mass redistribution ------------
+    // The q63 contract excluded dangling nodes (symmetrized input); this
+    // runs on the raw src<dst basket DAG where most nodes have no
+    // out-edges — the dangling term keeps total mass at 1 (the general
+    // directed-graph form). 10-round chained-CTE oracle with the same
+    // dangling arithmetic.
+    "q94_pagerank_directed" -> ((s, d) =>
+      PageRank.runDirected(CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)))),
+
     // --- data mixing: per-language quotas (corpus rebalancing) ----------
     // Target mix en:60 de:25 fr:15 (es dropped — no quota), drawn
     // deterministically by md5 rank so the oracle replays the exact
@@ -1953,6 +1962,37 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q94_pagerank_directed" -> {
+      // MATERIALIZED: DuckDB otherwise inlines each CTE per reference
+      // and the 10-round chain re-opens the lineitem scan enough times
+      // to exhaust file handles.
+      val rounds = (1 to 10).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank * e.frac) AS m
+           |  FROM norm e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+           |d$i AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm
+           |  FROM r${i - 1} r SEMI JOIN dangset g ON r.node = g.node),
+           |r$i AS MATERIALIZED (SELECT nd.node,
+           |    bb.base + 0.85 * (coalesce(c.m, 0.0) + d$i.dm / bb.n) AS rank
+           |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
+           |  CROSS JOIN d$i CROSS JOIN bb)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+        |      FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |deg AS MATERIALIZED (SELECT src, sum(weight) AS w FROM e GROUP BY 1),
+        |norm AS MATERIALIZED (SELECT s.src, s.dst, s.weight::DOUBLE / d.w AS frac
+        |         FROM e s JOIN deg d USING (src)),
+        |dangset AS MATERIALIZED (SELECT node FROM nodes
+        |         WHERE node NOT IN (SELECT src FROM deg)),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |bb AS MATERIALIZED (SELECT (1.0 - 0.85) / n AS base, n FROM nn),
+        |r0 AS MATERIALIZED (SELECT nd.node, 1.0 / bb.n AS rank FROM nodes nd CROSS JOIN bb),
+        |$rounds
+        |SELECT r10.node, round(r10.rank * bb.n, 6) AS pr_scaled
+        |FROM r10 CROSS JOIN bb""".stripMargin
+    },
 
     "q93_domain_mix" ->
       """WITH q AS (SELECT * FROM (VALUES ('en', 60), ('de', 25), ('fr', 15)) v(stratum, quota)),

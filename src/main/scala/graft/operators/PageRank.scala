@@ -53,4 +53,51 @@ object PageRank {
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
   }
+
+  /** General DIRECTED PageRank — [[run]] without the no-dangling-nodes
+    * contract: nodes with no out-edges redistribute their mass uniformly
+    * (the standard dangling-mass term), so total rank stays 1 on any
+    * edge set. Per iteration: the same contrib join + groupBy(dst), plus
+    * a filter-aggregate producing the ONE-ROW dangling mass (broadcast
+    * back — no extra wide shuffle) and a left join so nodes with no
+    * in-edges still receive base + dangling share. The dangling FLAG is
+    * topology, computed once outside the loop; the node table is hash-
+    * partitioned on the join key before materializing so the per-round
+    * merge zips partitions instead of re-exchanging. */
+  def runDirected(edges: DataFrame, iterations: Int = 10,
+                  damping: Double = 0.85): DataFrame = {
+    val frac = edges
+      .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("__w")).as("frac"))
+      .localCheckpoint()
+    val srcs = frac.select(col("src").as("node"), lit(true).as("__has")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .join(srcs, Seq("node"), "left")
+      .select(col("node"), col("__has").isNull.as("dang"))
+      .repartition(col("node"))
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
+    for (i <- 1 to iterations) {
+      val contrib = frac.join(ranks.select("node", "rank"),
+          frac("src") === col("node"))
+        .groupBy(frac("dst").as("node"))
+        .agg(sum(col("frac") * col("rank")).as("m"))
+      val dang = ranks.where(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dang.hint("broadcast"))
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("m"), lit(0.0)) + col("dm") / n)).as("rank"),
+          col("dang"))
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
+  }
 }

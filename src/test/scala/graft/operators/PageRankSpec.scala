@@ -29,4 +29,19 @@ class PageRankSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pr(1L) > pr(3L) && pr(2L) > pr(3L))
   }
+
+  test("runDirected: dangling mass redistributed, total rank conserved") {
+    import spark.implicits._
+    // chain 1→2→3 plus sink 4 (1→4): nodes 3 and 4 dangle
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val pr = PageRank.runDirected(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 4)
+    // scaled ranks sum to n (mass 1 before scaling)
+    assert(math.abs(pr.values.sum - 4.0) < 1e-4, s"mass not conserved: $pr")
+    // the chain's middle/sink nodes receive mass; source 1 only gets
+    // base + dangling share, so it ranks below its successors
+    assert(pr(2L) > pr(1L) && pr(3L) > pr(1L))
+  }
 }
