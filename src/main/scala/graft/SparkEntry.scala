@@ -502,6 +502,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- semi-structured props: JSON extraction + rollup ----------------
+    // events.props is a JSON string; from_json with an explicit schema
+    // (codegen'd Jackson parse, no UDF) extracts k map-side and one
+    // aggregate rolls it up — the semi-structured ingestion path every
+    // event pipeline needs.
+    "q95_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))),
+
+    // --- windowed z-score anomaly flags ---------------------------------
+    // Per user, each value against the mean/stddev of its 8 PRECEDING
+    // events (frame excludes current row — no self-inflation); |z| > 2
+    // flags the anomaly. One user_id exchange, incremental frame.
+    "q96_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("__t"), col("event_id")).rowsBetween(-8, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("__t"), col("value"))
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("z", when(col("sd").isNull || col("sd") === 0.0, lit(null))
+          .otherwise(round((col("value") - col("mu")) / col("sd"), 6)))
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("mu"), 6).as("mu"), col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+    }),
+
     // --- DIRECTED PageRank with dangling-mass redistribution ------------
     // The q63 contract excluded dangling nodes (symmetrized input); this
     // runs on the raw src<dst basket DAG where most nodes have no
@@ -1962,6 +1996,26 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q95_json_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q96_anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+        |s AS (SELECT user_id, event_id, value,
+        |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, value, round(mu, 6) AS mu,
+        |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |       ELSE round((value - mu) / sd, 6) END AS z,
+        |  coalesce(abs(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |                    ELSE round((value - mu) / sd, 6) END) > 2.0, false)
+        |    AS is_anomaly
+        |FROM s""".stripMargin,
 
     "q94_pagerank_directed" -> {
       // MATERIALIZED: DuckDB otherwise inlines each CTE per reference
