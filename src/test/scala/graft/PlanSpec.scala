@@ -73,6 +73,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q96 z-score rides ONE user_id exchange (both window aggs share the sort)") {
+    val p = planOf("q96_anomaly_zscore")
+    val exchanges = "Exchange".r.findAllIn(
+      SparkEntry.queries("q96_anomaly_zscore")(spark, sf())
+        .queryExecution.executedPlan.toString).length
+    assert(exchanges <= 2, s"expected one window exchange (+fan-out), got $exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q85 LM scoring joins broadcast (alphabet-bounded model)") {
     val p = planOf("q85_lm_score")
     assert(p.contains("BroadcastHashJoin"), "model/prefix joins should broadcast")
