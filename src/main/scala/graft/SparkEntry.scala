@@ -154,24 +154,9 @@ object SparkEntry {
     * train (m seeded KMeans fits over a bounded sample) — memoized per
     * sf dir so serve queries never refit; registered as a setup so the
     * bench measures ADC serving, not codebook training. */
-  private val pqModels =
-    scala.collection.concurrent.TrieMap.empty[String, Pq.PqModel]
-  private def pqModelFor(s: SparkSession, d: String): Pq.PqModel =
-    pqModels.getOrElseUpdate(d,
-      Pq.fit(Tables.embeddings(s, d), dim = 64, m = 16, ksub = 64))
-
-  /** The PQ-encoded index is a BUILD artifact (the reference's analogue:
-    * ChromaDB's index construction is outside its timed serve loop), and
-    * its pitch is RAM-resident codes: materialized once per sf dir as
-    * localCheckpoint blocks (ContextCleaner-freed, not a pinned cache).
-    * Registered as q81's setup so the bench times ADC serving. */
-  private val pqEncodedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def pqEncodedFor(s: SparkSession, d: String): DataFrame =
-    pqEncodedCache.getOrElseUpdate(d,
-      Pq.encode(pqModelFor(s, d),
-        IvfIndexStore.indexFrame(s, d).select("vec_id", "embedding", "cell"))
-        .localCheckpoint())
+  // PQ build artifacts (codebooks + cell-partitioned codes) persist via
+  // PqIndexStore — built once per sf dir in setups (untimed, the
+  // reference's build/serve split), served from disk by any JVM.
 
   /** The e2 corpus as a parsed product DataFrame. */
   private def e2Products(s: SparkSession): DataFrame = {
@@ -1020,10 +1005,7 @@ object SparkEntry {
     // (exact k rows per query, self excluded) — directly comparable
     // ms/query between the float index and the 21×-compressed one.
     "q92_pq_serve_batch" -> ((s, d) => {
-      val model = IvfIndexStore.loadModel({ IvfIndexStore.ensure(s, d); d })
-      val served = Pq.topKRefined(pqEncodedFor(s, d),
-        Tables.embeddings(s, d).select("vec_id", "embedding"),
-        pqModelFor(s, d), model, queryVecs(s, d, 1000), 10, 50, 4)
+      val served = PqIndexStore.serve(s, d, queryVecs(s, d, 1000), 10, 50, 4)
       served.groupBy("query_id")
         .agg(count(lit(1)).as("n"),
           max(when(col("query_id") === col("vec_id"), 1).otherwise(0)).as("selfhit"))
@@ -1258,13 +1240,9 @@ object SparkEntry {
     // loss (the IVF probe is identical in both arms); measured 1.0/1.0
     // at sf0.01 and sf0.1 — gates carry q34-style headroom.
     "q81_pq_serve" -> ((s, d) => {
-      val model = IvfIndexStore.loadModel({ IvfIndexStore.ensure(s, d); d })
-      val pq = pqModelFor(s, d)
+      IvfIndexStore.ensure(s, d)
       val q = queryVecs(s, d)
-      val encoded = pqEncodedFor(s, d)
-      val approx = Pq.topKRefined(encoded,
-        Tables.embeddings(s, d).select("vec_id", "embedding"),
-        pq, model, q, 10, 200, 4)
+      val approx = PqIndexStore.serve(s, d, q, 10, 200, 4)
       val full = IvfIndexStore.serve(s, d, q, 10, 4)
       approx.select(col("query_id"), col("vec_id"), lit(1).as("in_p"))
         .join(full.select(col("query_id"), col("vec_id"), lit(1).as("in_f")),
@@ -1368,8 +1346,8 @@ object SparkEntry {
     "q66_ivf_upsert" -> ((s, d) => { ensureUpsertedIndex(s, d); () }),
     "q70_ann_dedup" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q71_sq8_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
-    "q81_pq_serve" -> ((s, d) => { IvfIndexStore.ensure(s, d); pqEncodedFor(s, d); () }),
-    "q92_pq_serve_batch" -> ((s, d) => { IvfIndexStore.ensure(s, d); pqEncodedFor(s, d); () }),
+    "q81_pq_serve" -> ((s, d) => PqIndexStore.ensure(s, d)),
+    "q92_pq_serve_batch" -> ((s, d) => PqIndexStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL

@@ -55,11 +55,20 @@ object Pq {
           vecCol: String = "embedding", maxTrain: Int = 50000): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
+    // Canonical sample order: collect() returns rows in partition order,
+    // which depends on cluster layout — sorting the sample on the driver
+    // makes the fit a pure function of (data, seed), so codebooks built
+    // by any session/parallelism are bit-identical (PqIndexStoreSpec).
     val sample: Array[Array[Double]] = emb
       .select(l2Normalize(col(vecCol)).as("__nv"))
       .limit(maxTrain)
       .collect()
       .map(r => r.getSeq[Double](0).toArray)
+      .sortWith { (a, b) =>
+        var i = 0
+        while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+        if (i < a.length && i < b.length) a(i) < b(i) else a.length < b.length
+      }
     val books = (0 until m).toArray.map { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       lloyd(pts, ksub, seed + j)
