@@ -487,6 +487,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- multimodal near-duplicate detection ----------------------------
+    // The media-dedup composition: blob → byte-histogram features
+    // (mapInPartitions batch, unit-normalized) → cosine pairs at 0.9999.
+    // Planted byte-identical copies (+4·10⁶) are the only pairs above
+    // the bar (measured natural max ≈ 0.9987 at sf0.1) — the decision a
+    // media pipeline makes before paying for perceptual hashing.
+    "q97_media_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 23 === 0)
+      val planted = base.select((col("doc_id") + 4000000L).as("doc_id"),
+        col("text"))
+      val feats = Multimodal.featuresBatched(
+          Multimodal.withBlob(base.unionByName(planted))).toDF()
+        .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      Dedup.cosinePairs(feats, 0.9999)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+    }),
+
     // --- semi-structured props: JSON extraction + rollup ----------------
     // events.props is a JSON string; from_json with an explicit schema
     // (codegen'd Jackson parse, no UDF) extracts k map-side and one
@@ -1974,6 +1992,28 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q97_media_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0),
+        |u AS (SELECT doc_id, text FROM base
+        |      UNION ALL SELECT doc_id + 4000000 AS doc_id, text FROM base),
+        |pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM u),
+        |b AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bin FROM pos),
+        |h AS (SELECT doc_id, bin, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM h GROUP BY 1),
+        |grid AS (SELECT u.doc_id, bb.bin FROM u
+        |         CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bb),
+        |v AS (SELECT g.doc_id,
+        |        list(CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 0.0
+        |                  ELSE coalesce(h.c, 0.0) / n.nrm END ORDER BY g.bin) AS vec
+        |      FROM grid g
+        |      LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
+        |      LEFT JOIN n ON g.doc_id = n.doc_id
+        |      GROUP BY g.doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  round(list_dot_product(x.vec, y.vec), 6) AS sim
+        |FROM v x JOIN v y ON x.doc_id < y.doc_id
+        |WHERE list_dot_product(x.vec, y.vec) >= 0.9999""".stripMargin,
 
     "q95_json_props" ->
       """SELECT event_type, count(*)::BIGINT AS n,
