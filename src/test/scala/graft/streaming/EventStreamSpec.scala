@@ -104,6 +104,29 @@ class EventStreamSpec extends SparkTestBase {
     assert(plain2.exceptAll(bucketed2).count() == 0)
   }
 
+  test("stream-static enrichment: a static dimension joins into the stream") {
+    // The third streaming join class (alongside stream-stream q83 and
+    // the windowed aggs): a static dim broadcasts into every micro-batch.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = events.join(dim, Seq("user_id"))
+      .groupBy("tier").agg(sum("value").as("sv"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try {
+      mem.addData((7L, ts(0), 1.0), (7L, ts(1), 2.0), (8L, ts(2), 5.0),
+        (9L, ts(3), 100.0)) // user 9 has no dim row -> dropped by inner join
+      q.processAllAvailable()
+      val out = s.sql("SELECT tier, sv FROM enriched")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(out == Map("gold" -> 3.0, "basic" -> 5.0))
+    } finally q.stop()
+  }
+
   test("dedupeReplays keeps the first arrival and counts all of them") {
     val df = spark.createDataFrame(Seq(
       (1L, ts(0), 1.0), (1L, ts(2), 99.0), (1L, ts(1), 50.0),
