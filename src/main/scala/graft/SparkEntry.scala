@@ -487,6 +487,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           count(when(col("cv"), 1)).as("n_converted"))),
 
+    // --- RAG retrieval capstone: chunk → embed → index → retrieve -------
+    // The full retrieval-augmentation prep pipeline in one plan: docs
+    // chunked (50/40), chunks embedded with ONE fitted TF-IDF pipeline,
+    // every 97th chunk re-embedded as a query string and retrieved.
+    // Contract (q51-style invariants): 10 rows per query, and the
+    // query's own chunk comes back with sim ≈ 1 — querying with a
+    // chunk's exact text must find that chunk (ties with the corpus' 8
+    // duplicate texts are why the gate is "self in top-10 at sim 1",
+    // not "rank 1").
+    "q98_rag_retrieve" -> ((s, d) => {
+      val chunks = TextAnalysis.chunkTexts(Tables.documents(s, d), 50, 40)
+        .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_id"))
+      val model = Embedder.fit(chunks, "chunk_text")
+      val emb = Embedder.embed(model, chunks)
+        .select(col("chunk_uid").as("vec_id"), col("embedding"))
+      val queries = Embedder.embed(model,
+          chunks.where(col("chunk_uid") % 97 === 0)
+            .select(col("chunk_uid"), col("chunk_text")))
+        .select(col("chunk_uid").as("query_id"), col("embedding").as("q_emb"))
+      ContentRetriever.topK(emb, queries, 10, excludeSelf = false)
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("vec_id") === col("query_id") && col("sim") >= 0.999999, 1)
+            .otherwise(0)).as("self_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n")) === 10 && max(col("n")) === 10).as("rows_ok"),
+          (min(col("self_hit")) === 1).as("self_found_at_sim1"))
+    }),
+
     // --- multimodal near-duplicate detection ----------------------------
     // The media-dedup composition: blob → byte-histogram features
     // (mapInPartitions batch, unit-normalized) → cosine pairs at 0.9999.
@@ -1992,6 +2021,14 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlap_grams,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY 1""".stripMargin,
+
+    "q98_rag_retrieve" ->
+      s"""WITH $toksCte,
+        |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 40)) AS start
+        |       FROM toks WHERE len(tk) > 0),
+        |ch AS (SELECT doc_id * 1000 + (start // 40) AS chunk_uid FROM st)
+        |SELECT (SELECT count(*) FROM ch WHERE chunk_uid % 97 = 0)::BIGINT AS n_queries,
+        |  true AS rows_ok, true AS self_found_at_sim1""".stripMargin,
 
     "q97_media_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0),

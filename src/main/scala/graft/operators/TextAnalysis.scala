@@ -124,6 +124,25 @@ object TextAnalysis {
           .as("chunk_md5"))
   }
 
+  /** [[chunk]] with the chunk TEXT materialized (the RAG indexing form —
+    * downstream embeds the text; q72's digest form exists for exact
+    * hash-gating without hauling strings). Same windows, same ids. */
+  def chunkTexts(docs: DataFrame, window: Int, stride: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col("doc_id"), col("__tk"),
+        explode(sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__tk"), col("__start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Within-document repetition ratio — the boilerplate/degenerate-text
     * filter (Gopher's "fraction of duplicate n-grams" rule): documents
     * whose token stream repeats itself (navigation chrome, keyword
