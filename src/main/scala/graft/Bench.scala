@@ -49,6 +49,12 @@ object Bench {
     //     values) sized to survive the tail window;
     //  2. BENCH_FULL.json in cwd: the same numbers with full query names.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // Short keys truncate at the first '_' — two query names sharing a
+    // qNN prefix would silently emit duplicate JSON keys and lose a
+    // measurement to whichever the parser keeps. Fail loudly instead.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
     val qsShort = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")

@@ -203,6 +203,10 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val m = books.length
+    // A query of the wrong dimensionality must surface as null (matching
+    // AdcScore's mismatch behavior), not as out-of-bounds reads — on
+    // UnsafeArrayData those read silent garbage, not an exception.
+    if (v.numElements() != m * dsub) return null
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
@@ -238,20 +242,24 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
       s"""
          |final int $m = $booksRef.length;
          |final int $ds = $booksRef[0][0].length;
-         |final Object[] $out = new Object[$m];
-         |for (int $j = 0; $j < $m; $j++) {
-         |  final double[][] $book = $booksRef[$j];
-         |  final double[] $lut = new double[$book.length];
-         |  for (int $c = 0; $c < $book.length; $c++) {
-         |    double $s = 0.0;
-         |    for (int $t = 0; $t < $ds; $t++) {
-         |      $s += $v.getDouble($j * $ds + $t) * $book[$c][$t];
+         |if ($v.numElements() != $m * $ds) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final Object[] $out = new Object[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    final double[][] $book = $booksRef[$j];
+         |    final double[] $lut = new double[$book.length];
+         |    for (int $c = 0; $c < $book.length; $c++) {
+         |      double $s = 0.0;
+         |      for (int $t = 0; $t < $ds; $t++) {
+         |        $s += $v.getDouble($j * $ds + $t) * $book[$c][$t];
+         |      }
+         |      $lut[$c] = $s;
          |    }
-         |    $lut[$c] = $s;
+         |    $out[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
          |  }
-         |  $out[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

@@ -345,6 +345,19 @@ object Dedup {
     // passes, never corpus scans.
     val nGrams = math.max(1L,
       bench.select(countDistinct(col("g"))).collect()(0).getLong(0))
+    // BloomFilterAggregate silently CLAMPS its sizing to
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems (4M),
+    // maxNumBits (~67M)} — at a 10M-gram eval suite the documented
+    // 10-bits/item FPR would silently degrade. Raise the caps to the
+    // requested sizing before the sketch is built (correctness is never
+    // at risk — the exact verify join removes all false positives — but
+    // the prefilter's selectivity is the whole point of this operator).
+    val conf = corpus.sparkSession.conf
+    def raiseTo(key: String, want: Long): Unit =
+      if (conf.get(key).toLong < want) conf.set(key, want.toString)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nGrams)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      nGrams * bitsPerItem)
     val bloom = bench.agg(
       BloomFunctions.bloomAgg(col("g"), nGrams, nGrams * bitsPerItem).as("bf"))
     val survivors = postings(corpus, "doc_id")

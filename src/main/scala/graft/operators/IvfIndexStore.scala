@@ -64,21 +64,24 @@ object IvfIndexStore {
     * serve; the memoized DataFrame keeps its FileIndex, and partition
     * pruning still applies per query through the pushed cell filter.
     * (A plain plan reference, NOT a cache — nothing is pinned.) */
+  // Keyed by (session, path): a memoized DataFrame is bound to its
+  // creating session, and a second SparkSession in the same process must
+  // not be handed a relation tied to a possibly-stopped one.
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Drop the memoized relation for a path whose FILES changed (called
     * by Ivf.upsertIndex): a pinned FileIndex would otherwise hide
     * appended rows from every subsequent serve of that path. */
   private[operators] def invalidateIndex(path: String): Unit =
-    indexCache.remove(path)
+    indexCache.keys.filter(_._2 == path).foreach(indexCache.remove)
 
   /** The persisted cell-assigned index as a DataFrame (built on first
     * touch, memoized relation). Callers that join rather than probe —
     * Ivf.knnJoin's corpus-scale query side — start here. */
   def indexFrame(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
-    indexCache.getOrElseUpdate(indexPath(sfDir),
+    indexCache.getOrElseUpdate((spark, indexPath(sfDir)),
       Ivf.loadIndex(spark, indexPath(sfDir)))
   }
 

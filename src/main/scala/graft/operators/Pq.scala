@@ -55,12 +55,17 @@ object Pq {
           vecCol: String = "embedding", maxTrain: Int = 50000): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    // Canonical sample order: collect() returns rows in partition order,
-    // which depends on cluster layout — sorting the sample on the driver
-    // makes the fit a pure function of (data, seed), so codebooks built
-    // by any session/parallelism are bit-identical (PqIndexStoreSpec).
+    // Canonical sample MEMBERSHIP and order: a bare limit(maxTrain)
+    // selects a partition-order-dependent subset once the corpus exceeds
+    // maxTrain, so the hash-ordered take picks the same maxTrain vectors
+    // on any cluster layout (TakeOrderedAndProject: map-side top-k +
+    // driver merge — never a full sort), and the driver-side sort below
+    // canonicalizes order. Together they make the fit a pure function of
+    // (data, seed): codebooks built by any session/parallelism are
+    // bit-identical (PqIndexStoreSpec).
     val sample: Array[Array[Double]] = emb
       .select(l2Normalize(col(vecCol)).as("__nv"))
+      .orderBy(xxhash64(col("__nv")), col("__nv"))
       .limit(maxTrain)
       .collect()
       .map(r => r.getSeq[Double](0).toArray)

@@ -61,14 +61,20 @@ object PqIndexStore {
       Pq.PqModel(Dim, m, ksub, books)
     })
 
+  // Keyed by (session, path): a DataFrame is bound to the session that
+  // created it, so a second SparkSession in the same process must not
+  // receive a relation tied to a possibly-stopped session. (The _BUILT
+  // marker + `synchronized` guard are likewise single-JVM/local-FS
+  // scoped — the build-coordination story for a shared cluster FS would
+  // be a Hadoop-FS atomic-rename marker, out of scope for local mode.)
   private val codesCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The persisted codes as a DataFrame (memoized relation, cell
     * partition column intact). */
   def codesFrame(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
-    codesCache.getOrElseUpdate(codesPath(sfDir),
+    codesCache.getOrElseUpdate((spark, codesPath(sfDir)),
       spark.read.parquet(codesPath(sfDir)))
   }
 

@@ -78,6 +78,23 @@ class PqSpec extends SparkTestBase {
     assert(expr.exceptAll(hof).count() == 0 && hof.exceptAll(expr).count() == 0)
   }
 
+  test("PqLut nulls on a query of the wrong dimensionality (no silent garbage)") {
+    import spark.implicits._
+    val pq = Pq.fit(emb, 64, 8, 4)
+    val short = Seq(Array.fill(16)(0.5)).toDF("nq").select(
+      graft.functions.expressions.VectorExpressions.pqLut(col("nq"), pq.codebooks).as("lut"))
+    assert(short.collect()(0).isNullAt(0))
+  }
+
+  test("fit sample membership is layout-independent when corpus > maxTrain") {
+    // With maxTrain below the corpus size, a bare limit() would pick a
+    // partition-order-dependent subset; the hash-ordered take must make
+    // codebooks identical across different partitionings.
+    val a = Pq.fit(emb.repartition(3), 64, 8, 4, maxTrain = 500)
+    val b = Pq.fit(emb.repartition(17, col("vec_id")), 64, 8, 4, maxTrain = 500)
+    assert(a.codebooks.flatten.flatten.toSeq == b.codebooks.flatten.flatten.toSeq)
+  }
+
   test("refined top-k with full-coverage shortlist equals the exact probed serve") {
     val model = Ivf.fit(emb, 4)
     val index = Ivf.assign(model, emb)
