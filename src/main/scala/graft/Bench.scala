@@ -49,6 +49,10 @@ object Bench {
     //     values) sized to survive the tail window;
     //  2. BENCH_FULL.json in cwd: the same numbers with full query names.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // stdout gets 2-dp values: at 104 queries the 3-dp line would brush
+    // the harness' ~2000-char tail window (full 3-dp numbers live in
+    // BENCH_FULL.json).
+    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     // Short keys truncate at the first '_' — two query names sharing a
     // qNN prefix would silently emit duplicate JSON keys and lose a
     // measurement to whichever the parser keeps. Fail loudly instead.
@@ -56,7 +60,7 @@ object Bench {
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
     val qsShort = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

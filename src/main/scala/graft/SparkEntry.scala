@@ -1376,6 +1376,90 @@ object SparkEntry {
           size(col("categories")).cast("long").as("n_categories"),
           size(col("similar")).cast("long").as("n_similar"))
     }),
+
+    // --- bucketed co-located fact-fact join ------------------------------
+    // lineitem ⋈ orders where BOTH sides are 100 TB-class: broadcast is
+    // impossible and a plain join shuffles every byte of both tables per
+    // run. The bucketed layout (BucketedStore, 8 buckets on the join key,
+    // written once as an untimed setup) makes the join exchange-FREE —
+    // PlanSpec asserts zero ShuffleExchange under forced sort-merge. The
+    // only shuffle left is the 5-group rollup above it.
+    "q99_bucket_join" -> ((s, d) => {
+      graft.sources.BucketedStore.ensure(s, d)
+      graft.sources.BucketedStore.lineitem(s, d)
+        .join(graft.sources.BucketedStore.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+
+    // --- BM25 ranked keyword retrieval (sparse search arm) ---------------
+    // Lexical top-k over the documents corpus for literal keyword
+    // queries — the sparse retrieval arm hybrid-search stacks pair with
+    // the reference's dense arm. Scores are fixed-point-summed so the
+    // oracle replays them bit-exactly.
+    "q100_bm25" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(("kq1", "spark join fast"), ("kq2", "vector table scan"),
+        ("kq3", "stream window agg")).toDF("query_id", "query_text")
+      Bm25.topK(Tables.documents(s, d), queries, 10)
+    }),
+
+    // --- hybrid search: dense ⊕ sparse via reciprocal-rank fusion --------
+    // The E2 hybrid re-expressed as modern hybrid SEARCH: for query docs
+    // (every 100th), the dense arm is exact cosine top-30 over the
+    // embeddings table and the sparse arm is BM25 top-30 on the doc's
+    // first-5-token keyword query; RRF fuses the two rank lists
+    // (q74's fusion, with a lexical arm instead of co-label CF).
+    "q101_hybrid_search" -> ((s, d) => {
+      val queries = Tables.tableRaw(s, d, "documents")
+        .where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5))
+            .as("query_text"))
+      val sparse = Bm25.topK(Tables.documents(s, d), queries, 30, excludeSelf = true)
+        .select(col("query_id"), col("doc_id").as("item"), col("rnk"))
+      val qv = Tables.embeddingsRaw(s, d).where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val dense = ContentRetriever.topK(Tables.embeddings(s, d), qv, 30)
+        .select(col("query_id"), col("vec_id").as("item"), col("rnk"))
+      HybridScorer.rrf(dense, sparse, 60, 10)
+        .select(col("query_id"), col("item"),
+          col("content_rnk").as("dense_rnk"), col("cf_rnk").as("sparse_rnk"),
+          round(col("rrf"), 6).as("rrf"), col("rnk"))
+    }),
+
+    // --- triangle count + clustering coefficient -------------------------
+    // Degree-ordered node-iterator over the co-purchase graph: wedge
+    // out-degree is bounded by O(√E), so no hub blows the join up.
+    "q102_triangles" -> ((s, d) =>
+      GraphMetrics.triangles(CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)))),
+
+    // --- single-pass column profiling (ingest audit) ----------------------
+    // Null/distinct/min/max per column in ONE scan; nulls planted in
+    // c_mktsegment (every 7th customer) so the null counter has work.
+    "q103_profile" -> ((s, d) => {
+      val c = Tables.customer(s, d).withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_mktsegment")))
+      DataQuality.profile(c, Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    }),
+
+    // --- referential-integrity audit (orphan counts) ----------------------
+    // Anti-join orphan counts per relationship; the third check audits
+    // against a customer SUBSET (every 10th dropped) so nonzero orphan
+    // counts are exercised, not just zeros.
+    "q104_fk_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      DataQuality.fkAudit(Seq(
+        DataQuality.FkCheck("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+        DataQuality.FkCheck("orders_customer", o, "o_custkey", cust, "c_custkey"),
+        DataQuality.FkCheck("orders_customer_subset", o, "o_custkey",
+          cust.where(col("c_custkey") % 10 =!= 0), "c_custkey")))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -1395,6 +1479,7 @@ object SparkEntry {
     "q71_sq8_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q81_pq_serve" -> ((s, d) => PqIndexStore.ensure(s, d)),
     "q92_pq_serve_batch" -> ((s, d) => PqIndexStore.ensure(s, d)),
+    "q99_bucket_join" -> ((s, d) => graft.sources.BucketedStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1419,6 +1504,37 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) = 0 THEN 0.0 " +
       s"ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"
+
+  /** BM25 CTE chain mirroring [[Bm25.topK]] operation-for-operation
+    * (every fractional literal carries ::DOUBLE so DuckDB never slips
+    * into DECIMAL arithmetic; per-term contributions snap to 1e-9 via
+    * floor(x+0.5) fixed-point exactly like the Spark side). Caller
+    * supplies the query-terms CTE `qt(query_id, term)`; the chain ends
+    * in `bmr(query_id, doc_id, score, rnk)` with rnk <= `k`. */
+  private def bm25Sql(qtCte: String, k: Int, excludeSelf: Boolean): String = {
+    val excl = if (excludeSelf) "WHERE doc_id != query_id " else ""
+    s"""$toksCte,
+      |bpost AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2),
+      |bdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM bpost GROUP BY 1),
+      |bdf AS (SELECT term, count(*)::BIGINT AS df FROM bpost GROUP BY 1),
+      |bst AS (SELECT count(*)::BIGINT AS n_docs,
+      |  sum(len(tk))::DOUBLE / count(*) AS avgdl FROM toks),
+      |$qtCte,
+      |bc AS (SELECT qt.query_id, p.doc_id,
+      |    ln(1.0::DOUBLE + (bst.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+      |      (p.tf * (1.2::DOUBLE + 1.0)) /
+      |      (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * bdl.dl) / bst.avgdl))
+      |    AS contrib
+      |  FROM bpost p JOIN bdf f USING (term) JOIN qt USING (term)
+      |  JOIN bdl ON p.doc_id = bdl.doc_id CROSS JOIN bst),
+      |bsc AS (SELECT query_id, doc_id,
+      |    sum(floor(contrib * 1e9 + 0.5::DOUBLE)::BIGINT)::BIGINT / 1e9 AS s
+      |  FROM bc ${excl}GROUP BY 1, 2),
+      |bmr AS (SELECT query_id, doc_id, round(s, 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+      |  FROM bsc QUALIFY rnk <= $k)""".stripMargin
+  }
 
   /** The q27 hybrid pipeline as a reusable CTE chain ending in `r`
     * (ranked blended candidates with rnk). */
@@ -2589,5 +2705,100 @@ object SparkEntry {
         |  ('A1', 'Alpha Beta', 'Book', 2::BIGINT, 2::BIGINT),
         |  ('A3', 'Gamma', '', 1::BIGINT, 0::BIGINT))
         |AS t(asin, title, "group", n_categories, n_similar)""".stripMargin,
+
+    "q99_bucket_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |  round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q100_bm25" ->
+      s"""WITH ${bm25Sql(
+        """qv AS (SELECT * FROM (VALUES ('kq1', 'spark join fast'),
+          |    ('kq2', 'vector table scan'), ('kq3', 'stream window agg'))
+          |    AS v(query_id, qtext)),
+          |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+          |    string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x != ''))) AS term
+          |  FROM qv)""".stripMargin, 10, excludeSelf = false)}
+        |SELECT query_id, doc_id, score, rnk FROM bmr""".stripMargin,
+
+    "q101_hybrid_search" ->
+      s"""WITH ${bm25Sql(
+        """qt AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:5])) AS term
+          |  FROM toks WHERE doc_id % 100 = 0)""".stripMargin, 30, excludeSelf = true)},
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qd AS (SELECT vec_id AS query_id, v AS qv2 FROM e WHERE vec_id % 100 = 0),
+        |dsc AS (SELECT qd.query_id, e.vec_id AS item, ${cosSql("qd.qv2", "e.v")} AS s
+        |  FROM qd CROSS JOIN e WHERE qd.query_id != e.vec_id),
+        |dense AS (SELECT query_id, item,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
+        |  FROM dsc QUALIFY rr <= 30),
+        |sp AS (SELECT query_id, doc_id AS item, rnk AS rr FROM bmr),
+        |fu AS (SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
+        |    coalesce(dn.item, sp.item) AS item,
+        |    coalesce(dn.rr, 0)::BIGINT AS dense_rnk,
+        |    coalesce(sp.rr, 0)::BIGINT AS sparse_rnk,
+        |    coalesce(1.0::DOUBLE / (60 + dn.rr), 0.0) +
+        |      coalesce(1.0::DOUBLE / (60 + sp.rr), 0.0) AS rrf
+        |  FROM dense dn FULL OUTER JOIN sp
+        |    ON dn.query_id = sp.query_id AND dn.item = sp.item),
+        |fr AS (SELECT query_id, item, dense_rnk, sparse_rnk, rrf,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, item) AS rnk
+        |  FROM fu)
+        |SELECT query_id, item, dense_rnk, sparse_rnk, round(rrf, 6) AS rrf, rnk
+        |FROM fr WHERE rnk <= 10""".stripMargin,
+
+    "q102_triangles" ->
+      s"""WITH $basketCtes,
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM
+        |    (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        |  GROUP BY 1),
+        |o AS (SELECT CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN src ELSE dst END AS lo,
+        |             CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dst ELSE src END AS hi
+        |      FROM (SELECT e.src, e.dst, d1.deg AS ds, d2.deg AS dd
+        |            FROM e JOIN deg d1 ON e.src = d1.node
+        |            JOIN deg d2 ON e.dst = d2.node)),
+        |tri AS (SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+        |        FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi != w2.hi
+        |        JOIN o c ON c.lo = w1.hi AND c.hi = w2.hi),
+        |pn AS (SELECT node, count(*)::BIGINT AS n_tri FROM
+        |    (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+        |     UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg, coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN d.deg < 2 THEN 0.0
+        |       ELSE round(2.0::DOUBLE * coalesce(pn.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+        |  END AS clustering
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node""".stripMargin,
+
+    "q103_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val per = cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val FROM c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |$per""".stripMargin
+    },
+
+    "q104_fk_audit" ->
+      """SELECT 'lineitem_orders' AS relation,
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_orphans
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |  (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |UNION ALL
+        |SELECT 'orders_customer_subset',
+        |  (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey % 10 != 0
+        |       AND c.c_custkey = o.o_custkey))::BIGINT""".stripMargin,
   )
 }

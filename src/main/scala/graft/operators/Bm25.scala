@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked keyword retrieval — the SPARSE arm of hybrid search.
+  *
+  * The reference retrieves by dense embedding similarity plus
+  * co-purchase behavior (`Hybrid_Recom_vecdb.py:172-231`); production
+  * hybrid-search stacks pair that dense arm with lexical BM25 (what
+  * every vector DB ships as "hybrid search"). This operator supplies it
+  * relationally:
+  *
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+  *                 (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+  *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *
+  * Plan shape (all equi-keyed, no broadcast-or-bust):
+  *  1. postings `(term, doc_id, tf)` + doc lengths — one shuffle on
+  *     (doc, term), reusable across every query batch;
+  *  2. query terms semi-filter the postings ON TERM (the query side is
+  *     tiny and broadcasts; only postings of queried terms survive —
+  *     per-query cost ∝ Σ df(term), never corpus size);
+  *  3. per-(query, doc) score, top-k window per query.
+  *
+  * At 100 TB the df of stop-like terms makes step 2's survivor set the
+  * cost driver — the classic answer is a df cap (stop filtering), same
+  * argument as [[Dedup.ngramJaccard]]'s maxDf, exposed as `maxDf`.
+  *
+  * Cross-engine determinism: the per-term contribution is bit-identical
+  * double math given identical (tf, df, dl, avgdl); the SUM across a
+  * query's terms is made order-free by summing in fixed-point (each term
+  * rounded to 1e-9 and accumulated as a long), so the DuckDB oracle can
+  * replay scores and ranks exactly.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Token postings `(doc_id, term, tf)` with doc length `dl`. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+
+  /** Top-k docs per keyword query. `queries` = (query_id, query_text);
+    * query terms are the DISTINCT tokens of the query text. Output
+    * (query_id, doc_id, score, rnk), tie order (score DESC, doc_id ASC).
+    * `maxDf` drops terms whose document frequency exceeds it (0 = no
+    * cap) — the stop-term guard for web-scale corpora. */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double = K1, b: Double = B, maxDf: Long = 0L,
+           excludeSelf: Boolean = false,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val stats = docStats(docs, idCol, textCol)
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfKept = if (maxDf > 0) df.where(col("df") <= maxDf) else df
+    val qterms = queries.select(col("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col("query_text")))).as("term"))
+    val perTerm = post
+      .join(dfKept, Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))))
+    // fixed-point sum: each term's contribution snaps to 1e-9 via
+    // floor(x+0.5) (the cross-engine-stable half convention) and
+    // accumulates as a long — order-free, so SQL replays scores exactly
+    val scored = perTerm
+      .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
+      .groupBy("query_id", "doc_id")
+      .agg((sum(floor(col("contrib") * 1e9 + 0.5).cast("long")) / 1e9).as("__s"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__s").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("__s"), 6).as("score"), col("rnk"))
+  }
+
+  /** Corpus stats (N, avgdl) as one broadcastable row. avgdl is an
+    * exact-integer ratio (sum of long lengths / long count) so both
+    * engines compute the identical double. */
+  private def docStats(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+}

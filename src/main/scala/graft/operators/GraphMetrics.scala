@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting + local clustering coefficient over the
+  * co-purchase graph — the graph-quality metrics a recommender computes
+  * on the same edges the CF retriever serves from
+  * (`/root/reference/Hybrid_Recom_vecdb.py:88-105` builds the adjacency;
+  * density metrics are what you monitor before trusting its
+  * neighborhoods).
+  *
+  * The naive 3-way edge self-join enumerates every wedge — Σ deg², which
+  * a single hub node turns into a quadratic blow-up. This uses the
+  * degree-ordered node-iterator instead (the MapReduce-classic from
+  * Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+  * Reducer", WWW'11): orient every undirected edge from its
+  * lower-degree endpoint to its higher-degree one (ties by id), then
+  * count directed paths u→v, u→w closed by v→w. Out-degree in the
+  * oriented DAG is bounded by O(√E), so the wedge join is
+  * O(E^1.5) worst-case TOTAL — and every step is an equi-keyed
+  * join/aggregate that shuffles on node ids, never a cross product.
+  *
+  * Output per node: degree, triangle count, clustering coefficient
+  * 2T/(deg·(deg−1)) — exact, SQL-replayable.
+  */
+object GraphMetrics {
+
+  /** `edges` = undirected (src, dst) with src < dst, one row per edge
+    * (the [[CoPurchaseGraph.fromOrders]] shape; weights ignored). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient: lower (deg, id) endpoint -> higher
+    val oriented = e
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "ds"), Seq("src"))
+      .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dd"), Seq("dst"))
+      .select(
+        when(col("ds") < col("dd") ||
+             (col("ds") === col("dd") && col("src") < col("dst")), col("src"))
+          .otherwise(col("dst")).as("lo"),
+        when(col("ds") < col("dd") ||
+             (col("ds") === col("dd") && col("src") < col("dst")), col("dst"))
+          .otherwise(col("src")).as("hi"))
+    // wedges lo->a, lo->b (a != b) closed by an oriented edge a->b
+    val w1 = oriented.select(col("lo").as("pivot"), col("hi").as("a"))
+    val w2 = oriented.select(col("lo").as("pivot"), col("hi").as("b"))
+    val tri = w1.join(w2, Seq("pivot")).where(col("a") =!= col("b"))
+      .join(oriented.select(col("lo").as("a"), col("hi").as("b")), Seq("a", "b"))
+      .select(col("pivot").as("x"), col("a").as("y"), col("b").as("z"))
+    // each triangle found exactly once; credit all three corners
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))), 6)).as("clustering"))
+  }
+}

@@ -87,6 +87,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "model/prefix joins should broadcast")
   }
 
+  test("bucketed fact-fact join is exchange-free under forced sort-merge (q99)") {
+    // The BucketedStore contract: both scans are pre-partitioned on the
+    // join key, so even with broadcast forbidden the join needs NO
+    // shuffle — the 100 TB co-location story, asserted structurally.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.BucketedStore.ensure(spark, sf())
+      val joined = graft.sources.BucketedStore.lineitem(spark, sf())
+        .join(graft.sources.BucketedStore.orders(spark, sf()),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() ===
+        graft.sources.Tables.lineitem(spark, sf()).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q81 PQ serving: ADC hot loop is the codegen'd expression, probe side broadcasts") {
     val df = SparkEntry.queries("q81_pq_serve")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Profiling and FK-audit semantics on planted data. */
+class DataQualitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("profile: one row per column with exact null/distinct/min/max") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "tag")
+    val p = DataQuality.profile(df, Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = p("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 0L && id.getLong(3) == 4L)
+    assert(id.getString(4) == "1" && id.getString(5) == "4")
+    val tag = p("tag")
+    assert(tag.getLong(1) == 4L && tag.getLong(2) == 1L && tag.getLong(3) == 2L)
+    assert(tag.getString(4) == "a" && tag.getString(5) == "b")
+  }
+
+  test("profile is one scan: a single aggregate over the input") {
+    val df = graft.sources.Tables.customer(spark, sf())
+    val plan = DataQuality.profile(df, Seq("c_custkey", "c_mktsegment"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"profile should read the table once:\n$plan")
+  }
+
+  test("fkAudit counts orphans, including null child keys") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = DataQuality.fkAudit(Seq(
+      DataQuality.FkCheck("c_p", child, "k", parent, "pk"))).collect()(0)
+    assert(row.getString(0) == "c_p")
+    assert(row.getLong(1) == 4L)
+    assert(row.getLong(2) == 2L) // 99 dangling + null key
+  }
+
+  test("fkAudit stacks multiple relations with independent counts") {
+    val a = Seq(1L, 2L).toDF("k"); val b = Seq(1L).toDF("pk")
+    val out = DataQuality.fkAudit(Seq(
+      DataQuality.FkCheck("r1", a, "k", b, "pk"),
+      DataQuality.FkCheck("r2", b, "pk", a, "k"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("r1") == ((2L, 1L)))
+    assert(out("r2") == ((1L, 0L)))
+  }
+}

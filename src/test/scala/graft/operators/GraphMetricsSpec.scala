@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Triangle counts / clustering coefficients on hand-checkable graphs,
+  * plus the degree-orientation invariant that makes the plan hub-safe. */
+class GraphMetricsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("triangle + pendant: counts and coefficients are exact") {
+    // 1-2, 1-3, 2-3 form a triangle; 3-4 is a pendant edge.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val m = GraphMetrics.triangles(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((2L, 1L, 1.0)))
+    assert(m(2L) == ((2L, 1L, 1.0)))
+    assert(m(3L) == ((3L, 1L, 0.333333)))
+    assert(m(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("K4 clique: every node sits on C(3,2)=3 triangles, coefficient 1") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = (for (a <- nodes; b <- nodes if a < b) yield (a, b)).toDF("src", "dst")
+    val rows = GraphMetrics.triangles(edges).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L &&
+      r.getDouble(3) == 1.0))
+  }
+
+  test("star graph (hub) has zero triangles — and zero wedges survive orientation") {
+    // hub 0 connected to 1..10: naive wedge enumeration would emit 45
+    // hub wedges; degree orientation points every edge AT the hub, so
+    // the oriented out-degree of the hub is 0.
+    val edges = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val m = GraphMetrics.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m.values.forall(_ == 0L))
+    assert(m(0L) == 0L)
+  }
+
+  test("matches the co-purchase q102 shape: total triangle mass divisible by 3") {
+    val g = CoPurchaseGraph.fromOrders(graft.sources.Tables.lineitem(spark, sf()))
+    val total = GraphMetrics.triangles(g).agg(sum("n_tri")).collect()(0).getLong(0)
+    assert(total % 3 == 0, s"per-node triangle credits must sum to 3x triangles, got $total")
+  }
+}
