@@ -1446,6 +1446,17 @@ object SparkEntry {
       DataQuality.profile(c, Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
     }),
 
+    // --- graded ranking metrics: NDCG@10 / MRR / Recall@10 ----------------
+    // Completes the E3 evaluation family beyond Precision@K: the hybrid
+    // top-10 scored against co-label truth with position-weighted gain.
+    // DCG discounts enter as exact nano-unit integers (the same literals
+    // in the oracle), so DCG/IDCG are exact long sums and every metric
+    // is one identical double division — no float-summation order.
+    "q105_rank_metrics" -> ((s, d) =>
+      Evaluation.rankMetrics(
+        hybridTopK(s, d).select(col("query_id"), col("item"), col("rnk")),
+        coLabelTruth(s, d))),
+
     // --- referential-integrity audit (orphan counts) ----------------------
     // Anti-join orphan counts per relationship; the third check audits
     // against a customer SUBSET (every 10th dropped) so nonzero orphan
@@ -2782,6 +2793,37 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
         |  FROM customer)
         |$per""".stripMargin
+    },
+
+    "q105_rank_metrics" -> {
+      val wt = Evaluation.DcgNanoWeights
+        .map { case (r, w) => s"($r, ${w}::BIGINT)" }.mkString(", ")
+      val ideal = Evaluation.DcgNanoWeights
+        .scanLeft(0 -> 0L) { case ((_, acc), (r, w)) => r -> (acc + w) }.tail
+        .map { case (r, s) => s"($r, ${s}::BIGINT)" }.mkString(", ")
+      s"""WITH $hybridCtes,
+        |$truthCte,
+        |ranked AS (SELECT query_id, item, rnk FROM r WHERE rnk <= 10),
+        |wt AS (SELECT * FROM (VALUES $wt) AS w(rnk, w_n)),
+        |ideal AS (SELECT * FROM (VALUES $ideal) AS i(n_cap, idcg_n)),
+        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1),
+        |rel AS (SELECT rk.query_id, rk.rnk, w.w_n,
+        |    CASE WHEN t.item IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM ranked rk JOIN wt w USING (rnk)
+        |  LEFT JOIN truth t ON rk.query_id = t.query_id AND rk.item = t.item),
+        |pq AS (SELECT query_id,
+        |    sum(CASE WHEN hit = 1 THEN w_n ELSE 0 END)::BIGINT AS dcg_n,
+        |    min(CASE WHEN hit = 1 THEN rnk END) AS first_hit,
+        |    count(CASE WHEN hit = 1 THEN 1 END)::BIGINT AS n_hits
+        |  FROM rel GROUP BY 1)
+        |SELECT p.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+        |  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+        |       ELSE round(p.dcg_n::DOUBLE / i.idcg_n, 6) END AS ndcg10,
+        |  coalesce(round(1.0::DOUBLE / p.first_hit, 6), 0.0) AS mrr,
+        |  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+        |       ELSE round(p.n_hits::DOUBLE / n.n_rel, 6) END AS recall10
+        |FROM pq p LEFT JOIN nrel n ON p.query_id = n.query_id
+        |LEFT JOIN ideal i ON i.n_cap = least(coalesce(n.n_rel, 0), 10)""".stripMargin
     },
 
     "q104_fk_audit" ->

@@ -42,4 +42,57 @@ object Evaluation {
   def meanPrecision(perQuery: DataFrame): DataFrame =
     perQuery.groupBy("k").agg(avg("precision").as("mean_precision"),
       count(lit(1)).as("n_queries"))
+
+  /** DCG rank discounts 1/log2(r+1) for r = 1..10, in exact nano-units
+    * (round(1e9/log2(r+1))): the discount enters both engines as the
+    * SAME integer literal, so DCG/IDCG accumulate as exact longs and
+    * NDCG is a single identical double division — no float-summation
+    * order anywhere. */
+  val DcgNanoWeights: Seq[(Int, Long)] = Seq(
+    1 -> 1000000000L, 2 -> 630929754L, 3 -> 500000000L, 4 -> 430676558L,
+    5 -> 386852807L, 6 -> 356207187L, 7 -> 333333333L, 8 -> 315464877L,
+    9 -> 301029996L, 10 -> 289064826L)
+
+  /** Graded ranking metrics at K=10 with binary relevance — the
+    * evaluation triple Precision@K (above) doesn't cover:
+    * NDCG@10 (rank-position-weighted), MRR (first-hit reciprocal rank)
+    * and Recall@10 (coverage of the truth set).
+    *
+    * @param ranked (query_id, item, rnk) — rnk 1-based, rnk <= 10
+    * @param truth  (query_id, item)      — ground-truth positives
+    * @return (query_id, n_rel, ndcg10, mrr, recall10), one row per
+    *         query that appears in `ranked`; metrics are 0 when the
+    *         query has no ground truth.
+    */
+  def rankMetrics(ranked: DataFrame, truth: DataFrame): DataFrame = {
+    val spark = ranked.sparkSession
+    val wtab = spark.createDataFrame(DcgNanoWeights).toDF("rnk", "w_n")
+    val nrel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // ideal DCG for a truth set of size n: prefix sum of the first
+    // min(n, 10) discounts — a 10-row broadcast against n_rel
+    val ideal = spark.createDataFrame(
+      DcgNanoWeights.scanLeft(0 -> 0L) { case ((_, acc), (r, w)) => r -> (acc + w) }
+        .tail).toDF("n_cap", "idcg_n")
+    val rel = ranked
+      .join(wtab.hint("broadcast"), Seq("rnk"))
+      .join(truth.select(col("query_id"), col("item"), lit(1).as("__hit")),
+        Seq("query_id", "item"), "left")
+    val perQuery = rel.groupBy("query_id")
+      .agg(sum(when(col("__hit") === 1, col("w_n")).otherwise(0L)).as("dcg_n"),
+        min(when(col("__hit") === 1, col("rnk"))).as("first_hit"),
+        count(when(col("__hit") === 1, 1)).as("n_hits"))
+    perQuery
+      .join(nrel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("n_cap", least(col("n_rel"), lit(10L)).cast("int"))
+      .join(ideal.hint("broadcast"), Seq("n_cap"), "left")
+      .select(col("query_id"), col("n_rel"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("dcg_n").cast("double") / col("idcg_n"), 6))
+          .as("ndcg10"),
+        coalesce(round(lit(1.0) / col("first_hit"), 6), lit(0.0)).as("mrr"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_rel"), 6))
+          .as("recall10"))
+  }
 }
