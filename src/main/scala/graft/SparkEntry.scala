@@ -1457,6 +1457,18 @@ object SparkEntry {
         hybridTopK(s, d).select(col("query_id"), col("item"), col("rnk")),
         coLabelTruth(s, d))),
 
+    // --- per-group winsorization (exact-percentile outlier capping) ------
+    // Feature prep: clamp value to its event_type's [p01, p99]. The
+    // percentile is exact R-7 interpolation computed via window rank —
+    // never `percentile()`'s whole-group aggregation buffer, so a mega
+    // group spills instead of OOMing (FeaturePrep Scaladoc).
+    "q106_winsorize" -> ((s, d) =>
+      FeaturePrep.winsorize(
+        Tables.events(s, d).select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", 0.01, 0.99, Seq("event_id"))
+        .select(col("event_type"), col("event_id"),
+          round(col("value_w"), 6).as("value_w"), col("clipped"))),
+
     // --- referential-integrity audit (orphan counts) ----------------------
     // Anti-join orphan counts per relationship; the third check audits
     // against a customer SUBSET (every 10th dropped) so nonzero orphan
@@ -2825,6 +2837,14 @@ object SparkEntry {
         |FROM pq p LEFT JOIN nrel n ON p.query_id = n.query_id
         |LEFT JOIN ideal i ON i.n_cap = least(coalesce(n.n_rel, 0), 10)""".stripMargin
     },
+
+    "q106_winsorize" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi FROM events GROUP BY 1)
+        |SELECT e.event_type, e.event_id,
+        |  round(greatest(b.lo, least(b.hi, e.value)), 6) AS value_w,
+        |  (e.value < b.lo OR e.value > b.hi) AS clipped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
 
     "q104_fk_audit" ->
       """SELECT 'lineitem_orders' AS relation,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature preparation: per-group winsorization (percentile clamping) —
+  * the outlier-capping step a training pipeline applies to continuous
+  * features before normalization (the batch complement of q96's
+  * windowed z-score flags).
+  *
+  * The obvious rendering — `percentile(value, p)` per group — is exact
+  * but buffers EVERY group value in the aggregation buffer: a mega
+  * group OOMs its task at 100 TB (the q29-sessionize hazard class, and
+  * why q64 gates the approx sketch instead). This computes the SAME
+  * exact linear-interpolated percentile (the R-7 convention shared by
+  * Spark's `percentile` and DuckDB's `quantile_cont`) relationally:
+  *
+  *  1. rank values per group with a window sort (spillable — no
+  *     in-memory group array) and count the group size;
+  *  2. keep only the ≤4 rows per group whose ranks bracket the two
+  *     target positions h = p·(n−1);
+  *  3. one aggregate interpolates v[⌊h⌋+1] + (v[⌊h⌋+2] − v[⌊h⌋+1])·frac
+  *     — the same arithmetic Spark's Percentile.getPercentile applies,
+  *     proven equal in FeaturePrepSpec;
+  *  4. bounds broadcast back and each row clamps map-side.
+  *
+  * Two exchanges total (the rank sort and the bounds aggregate), both
+  * keyed on the group column; the clamp join broadcasts |groups| rows.
+  */
+object FeaturePrep {
+
+  /** Clamp `valCol` to its per-group [pLo, pHi] exact percentile range.
+    * Output: every `keep` column plus `__lo`/`__hi` (the bounds),
+    * `value_w` (clamped value) and `clipped`. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double, pHi: Double, keep: Seq[String]): DataFrame = {
+    val bounds = percentileBounds(df, groupCol, valCol, pLo, pHi)
+    df.join(broadcast(bounds), Seq(groupCol))
+      .select((groupCol +: keep).map(col) ++ Seq(
+        col("__lo"), col("__hi"),
+        greatest(col("__lo"), least(col("__hi"), col(valCol))).as("value_w"),
+        (col(valCol) < col("__lo") || col(valCol) > col("__hi")).as("clipped")): _*)
+  }
+
+  /** Exact interpolated percentiles per group, window-rank form:
+    * (groupCol, __lo, __hi). */
+  def percentileBounds(df: DataFrame, groupCol: String, valCol: String,
+                       pLo: Double, pHi: Double): DataFrame = {
+    val ranked = df.select(col(groupCol), col(valCol))
+      .withColumn("__r",
+        row_number().over(Window.partitionBy(groupCol).orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1)
+    def at(p: Double, off: Int): Column =
+      col("__r") === (floor(pos(p)) + off + 1)
+    val needed = ranked.where(
+      at(pLo, 0) || at(pLo, 1) || at(pHi, 0) || at(pHi, 1))
+    // Spark's Percentile.getPercentile interpolation form, exactly:
+    // (ceil−pos)·v[⌊h⌋+1] + (pos−floor)·v[⌈h⌉+1], v[⌊h⌋+1] when whole —
+    // FeaturePrepSpec asserts bit-equality with the percentile() agg.
+    def interp(p: Double, a: Column, b: Column): Column = {
+      val h = pos(p)
+      when(ceil(h) === floor(h), a)
+        .otherwise((ceil(h) - h) * a + (h - floor(h)) * coalesce(b, a))
+    }
+    needed
+      .groupBy(groupCol)
+      .agg(
+        max(when(at(pLo, 0), col(valCol))).as("lo1"),
+        max(when(at(pLo, 1), col(valCol))).as("lo2"),
+        max(when(at(pHi, 0), col(valCol))).as("hi1"),
+        max(when(at(pHi, 1), col(valCol))).as("hi2"),
+        max(col("__n")).as("__n"))
+      .select(col(groupCol),
+        interp(pLo, col("lo1"), col("lo2")).as("__lo"),
+        interp(pHi, col("hi1"), col("hi2")).as("__hi"))
+  }
+}
