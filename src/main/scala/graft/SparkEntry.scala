@@ -1483,6 +1483,62 @@ object SparkEntry {
         DataQuality.FkCheck("orders_customer_subset", o, "o_custkey",
           cust.where(col("c_custkey") % 10 =!= 0), "c_custkey")))
     }),
+
+    // --- hourly gap-fill + forward fill (dense time series) ---------------
+    // resample('1H').ffill() as one declarative plan: per-user hourly
+    // fixed-point sums, a per-user hour grid (sequence bounded by each
+    // user's own span), and a running last(ignoreNulls) carrying the
+    // value across gap hours.
+    "q107_gapfill" -> ((s, d) =>
+      Timeseries.gapFill(
+        Tables.events(s, d).where(col("user_id") % 10 === 0),
+        "user_id", "ts", "value")
+        .select(col("user_id"), col("hour"), col("n_events"),
+          round(col("value_filled"), 6).as("value_filled"), col("is_gap"))),
+
+    // --- SCD Type-2 validity intervals (gaps-and-islands) -----------------
+    // Each user's event_type stream compressed to one row per run of
+    // consecutive equal values with [valid_from, valid_to) bounds — the
+    // dimension-history build of a warehouse load, open intervals closed
+    // at a high-date sentinel so no NULL ever reaches a range scan.
+    "q108_scd2" -> ((s, d) =>
+      Timeseries.scd2(
+        Tables.events(s, d).where(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("attr").as("segment"),
+          col("valid_from"), col("valid_to"), col("n_obs"), col("is_current"))),
+
+    // --- next-item prediction examples (sequential recommender prep) ------
+    // (context = previous 3 items oldest→newest, target = current item)
+    // per event with ≥1 predecessor: a bounded lag stack, never a
+    // collect_list, so per-row state is O(historyLen) at any user size.
+    "q109_next_item" -> ((s, d) =>
+      Timeseries.nextItemExamples(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        "user_id", "event_type", "ts", "event_id", historyLen = 3)),
+
+    // --- ROC AUC of the hybrid scorer (Mann-Whitney rank-sum) -------------
+    // Threshold-free discrimination over the FULL fused candidate set
+    // (not just top-10): does the blend rank any co-label positive above
+    // any negative? Scores snap to 1e-9 fixed point before ranking so
+    // tie groups are identical across engines; all rank arithmetic is
+    // integral and the one division happens at the end.
+    "q110_auc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecs(s, d)
+      val content = ContentRetriever.topK(emb, q, 60)
+        .select(col("query_id"), col("vec_id").as("item"),
+          clamp01(col("sim")).as("cs"))
+      val cf = coLabelCf(s, d, q)
+        .select(col("src").as("query_id"), col("dst").as("item"),
+          col("norm").as("fs"))
+      val scored = HybridScorer.blend(content, cf, 0.6, 200)
+        .select(col("query_id"), col("item"),
+          floor(col("final") * lit(1e9) + lit(0.5)).cast("long").as("score"))
+      Evaluation.auc(scored, coLabelTruth(s, d))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -2862,5 +2918,71 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey % 10 != 0
         |       AND c.c_custkey = o.o_custkey))::BIGINT""".stripMargin,
+
+    "q107_gapfill" ->
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    sum(floor(value * 1e6 + 0.5::DOUBLE)::BIGINT)::BIGINT / 1e6 AS v,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM h GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span)
+        |SELECT g.user_id, g.hour, coalesce(h.n, 0)::BIGINT AS n_events,
+        |  round(last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS value_filled,
+        |  h.n IS NULL AS is_gap
+        |FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
+
+    "q108_scd2" ->
+      """WITH src AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id % 10 = 0),
+        |flg AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+        |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs0 AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS version
+        |  FROM flg),
+        |runs AS (SELECT user_id, version, max(event_type) AS segment,
+        |    min(ts) AS valid_from, count(*)::BIGINT AS n_obs
+        |  FROM runs0 GROUP BY 1, 2)
+        |SELECT user_id, version, segment, valid_from,
+        |  coalesce(lead(valid_from) OVER wv,
+        |    TIMESTAMP_NS '2100-01-01 00:00:00') AS valid_to,
+        |  n_obs, lead(valid_from) OVER wv IS NULL AS is_current
+        |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)""".stripMargin,
+
+    "q109_next_item" ->
+      """WITH w0 AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER w AS position,
+        |    lag(event_type, 3) OVER w AS l3, lag(event_type, 2) OVER w AS l2,
+        |    lag(event_type, 1) OVER w AS l1
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, position,
+        |  concat_ws(' > ', l3, l2, l1) AS context, event_type AS target
+        |FROM w0 WHERE l1 IS NOT NULL""".stripMargin,
+
+    "q110_auc" ->
+      s"""WITH $hybridCtes,
+        |$truthCte,
+        |cand AS (SELECT query_id, item,
+        |    floor(fin * 1e9 + 0.5::DOUBLE)::BIGINT AS score
+        |  FROM r WHERE rnk <= 200),
+        |lab AS (SELECT c.query_id, c.item, c.score,
+        |    CASE WHEN t.item IS NOT NULL THEN 1 ELSE 0 END AS pos
+        |  FROM cand c LEFT JOIN truth t
+        |    ON c.query_id = t.query_id AND c.item = t.item),
+        |rk AS (SELECT *, 2 * rank() OVER (PARTITION BY query_id ORDER BY score ASC)
+        |    + count(*) OVER (PARTITION BY query_id, score) - 1 AS two_avg
+        |  FROM lab),
+        |ag AS (SELECT query_id, sum(pos)::BIGINT AS n_pos,
+        |    (count(*) - sum(pos))::BIGINT AS n_neg,
+        |    sum(CASE WHEN pos = 1 THEN two_avg END)::BIGINT AS s2
+        |  FROM rk GROUP BY 1)
+        |SELECT query_id, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE round((s2 - n_pos * (n_pos + 1))::DOUBLE /
+        |                  (2.0::DOUBLE * n_pos * n_neg), 6) END AS auc
+        |FROM ag""".stripMargin,
   )
 }

@@ -95,4 +95,47 @@ object Evaluation {
           .otherwise(round(col("n_hits").cast("double") / col("n_rel"), 6))
           .as("recall10"))
   }
+
+  /** ROC AUC per query via the Mann-Whitney rank-sum — the
+    * threshold-free discrimination metric the Precision@K / NDCG family
+    * doesn't cover: does the scorer rank ANY positive above ANY negative?
+    *
+    * AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos · n_neg), with the
+    * tie-corrected average rank. All rank arithmetic stays integral
+    * (2·avgrank = 2·minrank + ties − 1), so the metric is one exact
+    * integer expression divided once at the end — no float accumulation
+    * anywhere, hence bit-reproducible across engines and partitionings.
+    *
+    * Shape: one exchange on query_id, two windows (rank + tie count) over
+    * it, one aggregate. A query's candidate list sorts within its
+    * partition and spills if huge; nothing buffers per-query state.
+    * Queries with no positives or no negatives report NULL (AUC is
+    * undefined there), never a fake 0.5.
+    *
+    * @param scored (query_id, item, score) — every scored candidate,
+    *               positives and negatives together
+    * @param truth  (query_id, item) ground-truth positives
+    */
+  def auc(scored: DataFrame, truth: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc)
+    val tiew = Window.partitionBy("query_id", "score")
+    val lab = scored
+      .join(truth.select(col("query_id"), col("item"), lit(1L).as("__pos")),
+        Seq("query_id", "item"), "left")
+      .withColumn("__pos", coalesce(col("__pos"), lit(0L)))
+      .withColumn("__two_avg",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tiew) - lit(1L))
+    lab.groupBy("query_id")
+      .agg(sum(col("__pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("__pos"))).as("n_neg"),
+        sum(when(col("__pos") === 1L, col("__two_avg"))).as("__s2"))
+      .select(col("query_id"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(
+            (col("__s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .cast("double").as("auc"))
+  }
 }

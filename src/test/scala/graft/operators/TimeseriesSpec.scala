@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Hand-computed cases for the three time-series preps: grid coverage +
+  * carry-forward semantics of gapFill, run compression and interval
+  * chaining of scd2, and context windows of nextItemExamples. */
+class TimeseriesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFill: every hour in the span appears once; gaps carry the last value") {
+    val df = Seq(
+      (1L, ts("2024-01-01 05:10:00"), 10.0),
+      (1L, ts("2024-01-01 05:40:00"), 2.0),   // same hour -> sums to 12
+      (1L, ts("2024-01-01 08:05:00"), 7.0),   // 06:00 and 07:00 are gaps
+      (2L, ts("2024-01-01 00:00:00"), 1.0)    // single-hour user: no gaps
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFill(df, "user_id", "ts", "value")
+      .orderBy("user_id", "hour").collect()
+    assert(out.length == 5) // user 1: 05,06,07,08; user 2: 00
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getTimestamp(1).toString.substring(11, 13)).toSeq ==
+      Seq("05", "06", "07", "08"))
+    assert(u1.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L))          // n_events
+    assert(u1.map(_.getDouble(3)).toSeq == Seq(12.0, 12.0, 12.0, 7.0)) // ffill
+    assert(u1.map(_.getBoolean(4)).toSeq == Seq(false, true, true, false))
+  }
+
+  test("scd2: consecutive equal values compress; intervals chain and close") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "a", ts("2024-01-02 00:00:00"), 2L),
+      (1L, "b", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "a", ts("2024-01-04 00:00:00"), 4L) // returns to a: NEW version
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Timeseries.scd2(df, "user_id", "event_type", "ts", "event_id")
+      .orderBy("version").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "b", "a"))
+    assert(out.map(_.getLong(5)).toSeq == Seq(2L, 1L, 1L)) // n_obs
+    // each interval closes exactly where the next opens
+    assert(out(0).getTimestamp(4) == out(1).getTimestamp(3))
+    assert(out(1).getTimestamp(4) == out(2).getTimestamp(3))
+    assert(out(2).getTimestamp(4) == ts(Timeseries.HighDate))
+    assert(out.map(_.getBoolean(6)).toSeq == Seq(false, false, true))
+  }
+
+  test("nextItemExamples: short prefixes shrink; first event emits nothing") {
+    val df = Seq(
+      (1L, "x", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "y", ts("2024-01-02 00:00:00"), 2L),
+      (1L, "z", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "w", ts("2024-01-04 00:00:00"), 4L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Timeseries.nextItemExamples(
+      df, "user_id", "event_type", "ts", "event_id", historyLen = 3)
+      .orderBy("position").collect()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("x", "x > y", "x > y > z")) // oldest -> newest, grows to 3
+    assert(out.map(_.getString(4)).toSeq == Seq("y", "z", "w"))
+    assert(out.map(_.getInt(2)).toSeq == Seq(2, 3, 4))
+  }
+
+  test("auc: hand-computed rank-sum with ties and degenerate guards") {
+    // scores: pos {4, 2}, neg {3, 2, 1} -> pairs: (4 beats all 3) +
+    // (2 beats 1, loses to 3, ties 2 -> 0.5) = 4.5 / 6 = 0.75
+    val scored = Seq((1L, 10L, 4L), (1L, 11L, 2L), (1L, 20L, 3L),
+      (1L, 21L, 2L), (1L, 22L, 1L),
+      (2L, 10L, 5L), (2L, 11L, 6L) // all positive -> undefined
+    ).toDF("query_id", "item", "score")
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("query_id", "item")
+    val rows = Evaluation.auc(scored, truth).orderBy("query_id").collect()
+    assert(rows(0).getDouble(rows(0).fieldIndex("auc")) == 0.75)
+    assert(rows(0).getLong(rows(0).fieldIndex("n_pos")) == 2L)
+    assert(rows(0).getLong(rows(0).fieldIndex("n_neg")) == 3L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("auc")))
+  }
+}
