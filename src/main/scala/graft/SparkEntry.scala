@@ -1539,6 +1539,45 @@ object SparkEntry {
           floor(col("final") * lit(1e9) + lit(0.5)).cast("long").as("score"))
       Evaluation.auc(scored, coLabelTruth(s, d))
     }),
+
+    // --- fuzzy entity resolution (blocked levenshtein) ---------------------
+    // A dirty feed (every part name with its 3rd character dropped)
+    // resolved against the canonical name catalog: prefix-blocked
+    // candidate join + length-band filter + exact edit-distance verify +
+    // per-probe argmin — never |probes|×|catalog| pairs.
+    "q111_fuzzy_match" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val catalog = part.groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("cand_id"))
+        .select(col("cand_id"), col("name"))
+      val probes = part.select(col("p_partkey").as("probe_id"),
+        concat(substring(col("p_name"), 1, 2),
+          substring(col("p_name"), 4, 10000)).as("name"))
+      FuzzyJoin.resolve(probes, catalog, maxDist = 2)
+    }),
+
+    // --- weighted sampling without replacement (A-ES) ----------------------
+    // Importance draw over documents with weight = n_chars: inclusion
+    // probability ∝ length, priorities md5-derived so the DuckDB oracle
+    // replays the identical selection.
+    "q112_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("key"), col("n_chars").cast("double").as("weight")),
+        "key", "weight", 50, "w42")),
+
+    // --- PSI drift audit (train-vs-serve distribution shift) --------------
+    // Population Stability Index of the purchase-value distribution
+    // against the click-value reference, 10 fixed-width bins from the
+    // reference range — the feature-store drift alarm; edges need only a
+    // min/max aggregate, never a global percentile sort.
+    "q113_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      DataQuality.psi(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        "value", 10)
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -2984,5 +3023,58 @@ object SparkEntry {
         |       ELSE round((s2 - n_pos * (n_pos + 1))::DOUBLE /
         |                  (2.0::DOUBLE * n_pos * n_neg), 6) END AS auc
         |FROM ag""".stripMargin,
+
+    "q111_fuzzy_match" ->
+      """WITH cat AS (SELECT min(p_partkey)::BIGINT AS cand_id, p_name AS name
+        |  FROM part GROUP BY p_name),
+        |pr AS (SELECT p_partkey AS probe_id,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS name FROM part),
+        |cand AS (SELECT pr.probe_id, cat.cand_id,
+        |    levenshtein(lower(pr.name), lower(cat.name))::BIGINT AS dist
+        |  FROM pr JOIN cat
+        |    ON substr(lower(pr.name), 1, 2) = substr(lower(cat.name), 1, 2)
+        |   AND abs(len(pr.name) - len(cat.name)) <= 2
+        |  WHERE levenshtein(lower(pr.name), lower(cat.name)) <= 2)
+        |SELECT probe_id, cand_id, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY dist, cand_id) AS rn FROM cand)
+        |WHERE rn = 1""".stripMargin,
+
+    "q112_weighted_sample" ->
+      """WITH w AS (SELECT doc_id AS key, n_chars::DOUBLE AS weight,
+        |    ln(CAST('0x' || substr(md5('w42:' || doc_id::VARCHAR), 1, 15) AS BIGINT)::DOUBLE
+        |       / 1152921504606846976.0::DOUBLE) / n_chars::DOUBLE AS es
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT key, weight,
+        |    row_number() OVER (ORDER BY es DESC, key) AS rnk FROM w)
+        |SELECT key, weight, rnk FROM r WHERE rnk <= 50""".stripMargin,
+
+    "q113_psi_drift" ->
+      """WITH ref AS (SELECT value::DOUBLE AS v FROM events WHERE event_type = 'click'),
+        |cur AS (SELECT value::DOUBLE AS v FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+        |br AS (SELECT least(9, greatest(0, CASE WHEN e.hi = e.lo THEN 0
+        |      ELSE floor((v - e.lo) / (e.hi - e.lo) * 10)::BIGINT END))::BIGINT AS bin
+        |  FROM ref CROSS JOIN e),
+        |bc AS (SELECT least(9, greatest(0, CASE WHEN e.hi = e.lo THEN 0
+        |      ELSE floor((v - e.lo) / (e.hi - e.lo) * 10)::BIGINT END))::BIGINT AS bin
+        |  FROM cur CROSS JOIN e),
+        |nr AS (SELECT bin, count(*)::BIGINT AS n_ref FROM br GROUP BY 1),
+        |nc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM bc GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10))::BIGINT AS bin),
+        |cnt AS (SELECT s.bin, coalesce(nr.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(nc.n_cur, 0)::BIGINT AS n_cur
+        |  FROM spine s LEFT JOIN nr ON s.bin = nr.bin LEFT JOIN nc ON s.bin = nc.bin),
+        |tot AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc FROM cnt),
+        |ctb AS (SELECT bin, n_ref, n_cur,
+        |    floor(((n_cur + 0.5::DOUBLE) / (tc + 5.0::DOUBLE)
+        |         - (n_ref + 0.5::DOUBLE) / (tr + 5.0::DOUBLE)) *
+        |      ln(((n_cur + 0.5::DOUBLE) / (tc + 5.0::DOUBLE)) /
+        |         ((n_ref + 0.5::DOUBLE) / (tr + 5.0::DOUBLE))) * 1e9
+        |      + 0.5::DOUBLE)::BIGINT AS c_n
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT bin, n_ref, n_cur, round(c_n / 1e9, 6) AS psi_contrib,
+        |  round(sum(c_n) OVER () / 1e9, 6) AS psi_total
+        |FROM ctb""".stripMargin,
   )
 }

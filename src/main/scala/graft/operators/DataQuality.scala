@@ -58,4 +58,65 @@ object DataQuality {
         .select(lit(fk.relation).as("relation"), col("n_child"),
           col("n_orphans"))
     }.reduce(_ unionAll _)
+
+  /** Population Stability Index between a reference and a current sample
+    * of one numeric column — the standard drift alarm a feature store
+    * runs between training-time and serving-time distributions
+    * (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted).
+    *
+    * Bins are EQUAL-WIDTH over the reference min/max (plus one overflow
+    * bin clamping values outside the reference range). Fixed-width — not
+    * quantile — binning is the deliberate scale choice: edges come from
+    * one min/max aggregate (two scans total, no global sort), whereas
+    * decile edges need an exact global percentile, a single-partition
+    * hazard at 100 TB (the q64 GK sketch is the approximate route).
+    * Fixed bins are also what monitoring deployments freeze in practice,
+    * so consecutive runs stay comparable.
+    *
+    * Proportions are Laplace-smoothed ((n + 0.5) / (N + 0.5·bins)) so an
+    * empty bin never produces ln(0). Per-bin contributions snap to 1e-9
+    * fixed point before the total sum, so `psi_total` is independent of
+    * summation order.
+    *
+    * @return one row per bin: (bin, n_ref, n_cur, psi_contrib,
+    *         psi_total) — psi_total repeated on every row. */
+  def psi(ref: DataFrame, cur: DataFrame, valCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins >= 2")
+    val spark = ref.sparkSession
+    val edges = ref.agg(min(col(valCol)).cast("double").as("__lo"),
+      max(col(valCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.select(col(valCol).cast("double").as("__v"))
+        .crossJoin(broadcast(edges))
+        .select(least(lit(bins - 1L), greatest(lit(0L),
+          when(col("__hi") === col("__lo"), lit(0L)) // degenerate range
+            .otherwise(floor((col("__v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * bins)))).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"n_$side"))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val counts = spine
+      .join(binned(ref, "ref"), Seq("bin"), "left")
+      .join(binned(cur, "cur"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    def prop(n: Column, tot: Column): Column =
+      (n.cast("double") + lit(0.5)) / (tot.cast("double") + lit(0.5 * bins))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withTotals = counts
+      .withColumn("__tr", sum(col("n_ref")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
+      .withColumn("__contrib_n", floor(
+        (prop(col("n_cur"), col("__tc")) - prop(col("n_ref"), col("__tr"))) *
+          log(prop(col("n_cur"), col("__tc")) / prop(col("n_ref"), col("__tr"))) *
+          lit(1e9) + lit(0.5)).cast("long"))
+    withTotals
+      .withColumn("psi_total", round(sum(col("__contrib_n")).over(w) / lit(1e9), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__contrib_n") / lit(1e9), 6).as("psi_contrib"),
+        col("psi_total"))
+  }
 }

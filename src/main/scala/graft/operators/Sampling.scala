@@ -171,6 +171,41 @@ object Sampling {
       .select(col("query_id"), col("cand_id").as("neg_id"), col("rnk"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * the top-k rows by priority u^(1/w) with u uniform per key — each
+    * row's inclusion probability proportional to its weight, the
+    * importance-sampling draw a curation pipeline uses to up-weight
+    * high-quality documents without hard thresholds.
+    *
+    * Priorities compare in the log domain (ln(u)/w, same order, no
+    * clustering of u^(1/w) against 1.0 for large weights) and u is the
+    * md5-derived uniform (`hash60(seed:key) / 2^60`) — a pure function
+    * of (seed, key) like every other draw here, so the selection is
+    * partition-layout-independent and any engine replays it.
+    *
+    * Scale: map-side priority + global top-k = TakeOrderedAndProject
+    * (per-partition bounded heaps, driver merges k·P candidates); for
+    * corpora where that merge drowns, the [[exactSampleLarge]]
+    * pre-filter trick applies unchanged. Non-positive weights are
+    * excluded (their inclusion probability is 0 by definition).
+    *
+    * @return (key, weight, rnk) — rnk 1..k by descending priority. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.functions.TextFunctions.hash60(
+      concat_ws(":", lit(seed), col(keyCol).cast("string")))
+      .cast("double") / lit(1152921504606846976L).cast("double") // 2^60
+    val top = df.where(col(weightCol) > 0)
+      .select(col(keyCol).as("key"), col(weightCol).as("weight"),
+        (log(u) / col(weightCol)).as("__es"))
+      .orderBy(col("__es").desc, col("key"))
+      .limit(k)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("__es").desc, col("key"))))
+      .select(col("key"), col("weight"), col("rnk"))
+  }
+
   /** Invariant summary used by the correctness harness: the sample's size,
     * key-distinctness and key-range containment — properties a seeded
     * sample must satisfy regardless of which rows the seed picked. */

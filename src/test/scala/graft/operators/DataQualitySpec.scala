@@ -48,4 +48,30 @@ class DataQualitySpec extends SparkTestBase {
     assert(out("r1") == ((2L, 1L)))
     assert(out("r2") == ((1L, 0L)))
   }
+
+  test("psi: identical distributions score ~0; a hard shift scores large") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    val same = DataQuality.psi(ref, ref, "v").collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getDouble(4) == same(0).getDouble(4))) // total repeated
+    assert(math.abs(same(0).getDouble(4)) < 1e-9)
+    // current sample collapsed into the top decile of the reference range
+    val cur = (1 to 1000).map(i => 95.0 + (i % 5)).toDF("v")
+    val shifted = DataQuality.psi(ref, cur, "v").collect()
+    assert(shifted(0).getDouble(4) > 0.25) // "drifted" per the standard scale
+    // out-of-range current values clamp into the edge bins, never vanish
+    val oob = Seq(-50.0, 500.0).toDF("v")
+    val withOob = DataQuality.psi(ref, oob, "v").collect()
+    assert(withOob.map(_.getLong(2)).sum == 2L)
+  }
+
+  test("psi: empty bins are Laplace-smoothed, never NaN/Inf") {
+    import spark.implicits._
+    val ref = Seq(0.0, 100.0).toDF("v") // only bins 0 and 9 populated
+    val cur = Seq(50.0).toDF("v")       // only bin 5
+    val rows = DataQuality.psi(ref, cur, "v").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
 }

@@ -78,4 +78,30 @@ class SamplingSpec extends SparkTestBase {
     assert(got.join(pool, "neg_id")
       .where(col("p") =!= pmod(col("query_id"), lit(4L))).count() == 0)
   }
+
+  test("weightedSample: exact size, deterministic, layout-independent") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i % 7 + 1).toDouble)).toDF("k", "w")
+    val got = Sampling.weightedSample(df, "k", "w", 40, "s1")
+    assert(got.count() == 40)
+    assert(got.select("key").distinct().count() == 40)
+    assert(got.agg(max("rnk")).collect()(0).getInt(0) == 40)
+    val again = Sampling.weightedSample(df.repartition(13), "k", "w", 40, "s1")
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0)
+  }
+
+  test("weightedSample: inclusion tracks weight; non-positive weights excluded") {
+    import spark.implicits._
+    // one overwhelming weight among hundreds of tiny ones: P(miss) is
+    // astronomically small (u^(1/1e12) ≈ 1 − 1e-12·(−ln u))
+    val df = ((1L to 400L).map(i => (i, 0.001)) :+ ((999L, 1e12)))
+      .toDF("k", "w")
+    val got = Sampling.weightedSample(df, "k", "w", 5, "s2")
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(got.contains(999L))
+    val withZero = df.union(Seq((1000L, 0.0), (1001L, -3.0)).toDF("k", "w"))
+    val keys = Sampling.weightedSample(withZero, "k", "w", 500, "s2")
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(!keys.contains(1000L) && !keys.contains(1001L))
+  }
 }
