@@ -1578,6 +1578,31 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase"),
         "value", 10)
     }),
+
+    // --- ALS matrix factorization (model-based CF arm) ---------------------
+    // MLlib's blocked ALS over the customer×part interaction set with
+    // PLANTED additive structure (rating = user%7 + item%5 + 1 — rank-2,
+    // the q55 planted-signal pattern): the contract is RECOVERY, ALS's
+    // held-out RMSE under half the global-mean baseline's. Counts are
+    // hash-split-deterministic and oracle-replayed; RMSE itself is
+    // float-reduction noisy and never exposed.
+    "q114_als_mf" -> ((s, d) => {
+      val interactions = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .distinct()
+      val ratings = interactions.withColumn("rating",
+        (col("user") % 7 + col("item") % 5 + lit(1)).cast("double"))
+      AlsCf.fitEval(ratings)
+    }),
+
+    // --- exact-arithmetic correlation matrix (profiling audit) ------------
+    // Pearson correlations over the lineitem money/quantity columns with
+    // DECIMAL(38,0) sufficient statistics: bit-identical across runs and
+    // partitionings, unlike corr()'s float accumulator.
+    "q115_corr_matrix" -> ((s, d) =>
+      DataQuality.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 100.0)),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3076,5 +3101,47 @@ object SparkEntry {
         |SELECT bin, n_ref, n_cur, round(c_n / 1e9, 6) AS psi_contrib,
         |  round(sum(c_n) OVER () / 1e9, 6) AS psi_total
         |FROM ctb""".stripMargin,
+
+    // Counts replay the deterministic hash split exactly; the recovery
+    // boolean is the in-plan contract (TRUE literal here, computed there).
+    "q114_als_mf" ->
+      """WITH inter AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT u, i, CAST('0x' || substr(md5('als:' || u::VARCHAR
+        |    || ':' || i::VARCHAR), 1, 15) AS BIGINT) % 100 AS bk FROM inter),
+        |tr AS (SELECT u, i FROM b WHERE bk < 80),
+        |te AS (SELECT u, i FROM b WHERE bk >= 80),
+        |ev AS (SELECT te.u, te.i FROM te
+        |  SEMI JOIN (SELECT DISTINCT u FROM tr) tu ON te.u = tu.u
+        |  SEMI JOIN (SELECT DISTINCT i FROM tr) ti ON te.i = ti.i)
+        |SELECT (SELECT count(*) FROM tr)::BIGINT AS n_train,
+        |  (SELECT count(*) FROM te)::BIGINT AS n_test,
+        |  (SELECT count(*) FROM ev)::BIGINT AS n_eval,
+        |  TRUE AS als_beats_baseline""".stripMargin,
+
+    "q115_corr_matrix" ->
+      """WITH f AS (SELECT floor(l_quantity * 100 + 0.5::DOUBLE)::BIGINT AS q,
+        |    floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT AS p,
+        |    floor(l_discount * 100 + 0.5::DOUBLE)::BIGINT AS d FROM lineitem),
+        |s AS (SELECT count(*)::HUGEINT AS n,
+        |    sum(q::HUGEINT) AS sq, sum(p::HUGEINT) AS sp, sum(d::HUGEINT) AS sd,
+        |    sum((q*q)::HUGEINT) AS sqq, sum((p*p)::HUGEINT) AS spp,
+        |    sum((d*d)::HUGEINT) AS sdd, sum((q*p)::HUGEINT) AS sqp,
+        |    sum((q*d)::HUGEINT) AS sqd, sum((p*d)::HUGEINT) AS spd
+        |  FROM f)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n::BIGINT AS n,
+        |  round((n*sqp - sq*sp)::DOUBLE /
+        |    (sqrt((n*sqq - sq*sq)::DOUBLE) * sqrt((n*spp - sp*sp)::DOUBLE)), 6) AS corr
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', n::BIGINT,
+        |  round((n*sqd - sq*sd)::DOUBLE /
+        |    (sqrt((n*sqq - sq*sq)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE)), 6)
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n::BIGINT,
+        |  round((n*spd - sp*sd)::DOUBLE /
+        |    (sqrt((n*spp - sp*sp)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE)), 6)
+        |FROM s""".stripMargin,
   )
 }

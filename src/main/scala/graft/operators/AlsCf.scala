@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Matrix-factorization CF arm — the model-based upgrade of the
+  * reference's co-occurrence CF (`build_user_item_matrix` +
+  * `recommend_collaborative`, `Hybrid_Recom_vecdb.py:150-178`): where
+  * co-occurrence only scores items with a shared-basket path to the
+  * query, factorization generalizes across the whole user-item matrix.
+  *
+  * MLlib ALS is the canonical distributed factorizer: ratings block by
+  * (user-block, item-block), each sweep solves per-user/per-item normal
+  * equations inside a block join — O(rank²) state per entity, no step
+  * ever materializes the dense matrix. That blocked-join shape is why
+  * ALS (not SGD) is the 100 TB factorization.
+  *
+  * [[fitEval]] is the evaluation harness around it: a deterministic
+  * hash split (pure function of (user, item) — partition-layout-free,
+  * the q80 split), ALS on train, RMSE on the held-out pairs both arms
+  * can score (coldStartStrategy="drop" — unseen users/items are the
+  * content arm's job in a hybrid), against the global-mean baseline.
+  * ALS's internal float reductions make the third decimal of RMSE
+  * run-dependent, so the digest exposes COUNTS (exactly replayable by
+  * any engine) and a boolean margin contract (robust to reduction
+  * noise), never the raw RMSE.
+  */
+object AlsCf {
+
+  /** Train/eval digest: (n_train, n_test, n_eval, als_beats_baseline).
+    *
+    * @param ratings (user:int-safe, item:int-safe, rating:double)
+    * @param margin  contract: rmse_als < margin · rmse_baseline
+    */
+  def fitEval(ratings: DataFrame, seed: Long = 42L, rank: Int = 8,
+              maxIter: Int = 8, reg: Double = 0.1,
+              margin: Double = 0.5): DataFrame = {
+    val bucket = pmod(graft.functions.TextFunctions.hash60(
+      concat_ws(":", lit("als"), col("user").cast("string"),
+        col("item").cast("string"))), lit(100L))
+    val tagged = ratings.select(col("user").cast("int").as("user"),
+      col("item").cast("int").as("item"),
+      col("rating").cast("float").as("rating"), bucket.as("__b"))
+    val train = tagged.where(col("__b") < 80).drop("__b")
+    val test = tagged.where(col("__b") >= 80).drop("__b")
+    val als = new ALS().setRank(rank).setMaxIter(maxIter).setRegParam(reg)
+      .setSeed(seed).setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setColdStartStrategy("drop")
+    val model = als.fit(train)
+    val pred = model.transform(test)
+    val rmseAls = pred.agg(
+      sqrt(avg(pow(col("prediction") - col("rating"), 2))).as("r"),
+      count(lit(1)).as("n_eval"))
+    val base = train.agg(avg(col("rating")).as("mu"))
+    val rmseBase = test.crossJoin(broadcast(base))
+      .agg(sqrt(avg(pow(col("mu") - col("rating"), 2))).as("r"))
+    val counts = train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(test.agg(count(lit(1)).as("n_test")))
+    counts
+      .crossJoin(rmseAls.select(col("n_eval"), col("r").as("__ra")))
+      .crossJoin(rmseBase.select(col("r").as("__rb")))
+      .select(col("n_train"), col("n_test"), col("n_eval"),
+        (col("__ra") < lit(margin) * col("__rb")).as("als_beats_baseline"))
+  }
+}

@@ -119,4 +119,46 @@ object DataQuality {
         round(col("__contrib_n") / lit(1e9), 6).as("psi_contrib"),
         col("psi_total"))
   }
+
+  /** Pearson correlation matrix over fixed-decimal columns in ONE scan,
+    * with EXACT arithmetic: Spark's `corr` aggregate accumulates doubles,
+    * so its last digits depend on partition order — unacceptable for an
+    * audit that diffs runs. Here values snap to integers at `scale`
+    * (cents for money columns), all five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) — exact at
+    * any row count and any partitioning — and the textbook formula
+    * converts to double exactly once per pair:
+    * corr = (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
+    *
+    * Per-row products stay in LONG (scaled values ≤ ~1e9 ⇒ products
+    * ≤ ~1e18); only the sums get the 38-digit headroom.
+    *
+    * @return one row per unordered column pair: (col_x, col_y, n, corr).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Double = 100.0): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val snapped = df.select(cols.map(c =>
+      floor(col(c) * lit(scale) + lit(0.5)).cast("long").as(c)): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs: Seq[Column] =
+      cols.map(c => sum(dec(col(c))).as(s"__s_$c")) ++
+      cols.map(c => sum(dec(col(c) * col(c))).as(s"__ss_$c")) ++
+      pairs.map { case (x, y) => sum(dec(col(x) * col(y))).as(s"__sp_${x}_$y") }
+    val wide = snapped.agg(dec(count(lit(1))).as("__n"), aggs: _*)
+    val rows = pairs.map { case (x, y) =>
+      val n = col("__n")
+      val num = (n * col(s"__sp_${x}_$y") - col(s"__s_$x") * col(s"__s_$y"))
+        .cast("double")
+      val dx = (n * col(s"__ss_$x") - col(s"__s_$x") * col(s"__s_$x")).cast("double")
+      val dy = (n * col(s"__ss_$y") - col(s"__s_$y") * col(s"__s_$y")).cast("double")
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col("__n").cast("long").as("n"),
+        round(num / (sqrt(dx) * sqrt(dy)), 6).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

@@ -74,4 +74,43 @@ class DataQualitySpec extends SparkTestBase {
     assert(rows.length == 10)
     assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
   }
+
+  test("corrMatrix: exact ±1 on linear columns, known value on planted data") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val out = DataQuality.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.size == 3) // 3 columns -> 3 unordered pairs
+    assert(out(("x", "y")) == 1.0)   // y = 2x
+    assert(out(("x", "z")) == -1.0)  // z = -x
+    assert(out(("y", "z")) == -1.0)
+    // non-degenerate case against a hand-computed Pearson r
+    val df2 = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0))
+      .toDF("a", "b")
+    val r = DataQuality.corrMatrix(df2, Seq("a", "b")).collect()(0).getDouble(3)
+    // r = (4*33 - 10*11) / (sqrt(4*30-100) * sqrt(4*39-121)) = 22/sqrt(700)
+    assert(r == math.floor(22.0 / math.sqrt(700.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("corrMatrix is partition-invariant: decimal sums, not float corr()") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i =>
+      (i * 0.01, math.sin(i) * 100 + i * 0.003, (i % 97) * 1.0))
+    val df = rows.toDF("x", "y", "z")
+    val a = DataQuality.corrMatrix(df.repartition(1), Seq("x", "y", "z"))
+      .collect().map(_.toString).sorted
+    val b = DataQuality.corrMatrix(df.repartition(13), Seq("x", "y", "z"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("corrMatrix is one scan: a single aggregate over the input") {
+    val df = graft.sources.Tables.lineitem(spark, sf())
+    val plan = DataQuality.corrMatrix(df,
+      Seq("l_quantity", "l_extendedprice", "l_discount"), 100.0)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"corrMatrix should read the table once:\n$plan")
+  }
 }
