@@ -1603,6 +1603,25 @@ object SparkEntry {
     "q115_corr_matrix" -> ((s, d) =>
       DataQuality.corrMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount"), 100.0)),
+
+    // --- MMR diversity rerank (serve-time) --------------------------------
+    // Top-20 content retrieval per query, then greedy Maximal Marginal
+    // Relevance to 10 picks at λ=0.7. Inputs snap to 1e-6 before the
+    // greedy trace, so the oracle's unrolled 10-stage argmax replays the
+    // selection bit-exactly.
+    "q116_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 40)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cands = ContentRetriever.topK(emb, queries, 20)
+        .select(col("query_id"), col("vec_id").as("item"),
+          col("sim").as("rel"), col("embedding"))
+      // floor-snap, not round(,6): the raw score doubles are identical on
+      // both engines, but round()'s decimal re-parse can fork at a
+      // 7th-digit half; floor(x*1e6+0.5)/1e6 is pure IEEE on both.
+      Rerank.mmr(cands, 10, 0.7)
+        .withColumn("mmr", floor(col("mmr") * lit(1e6) + lit(0.5)) / lit(1e6))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3143,5 +3162,51 @@ object SparkEntry {
         |  round((n*spd - sp*sd)::DOUBLE /
         |    (sqrt((n*spp - sp*sp)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE)), 6)
         |FROM s""".stripMargin,
+
+    // Greedy MMR unrolled to 10 argmax stages (the q94 unrolled-iteration
+    // pattern): stage t scores the not-yet-picked candidates as
+    // λ·rel − (1−λ)·max sim to sel{t-1} over 1e-6-snapped inputs — the
+    // exact doubles the Spark greedy compares — and picks (score DESC,
+    // item ASC). The complement is (1.0-0.7) computed IN DOUBLES, not a
+    // 0.3 literal: they differ by 1 ulp and would fork the argmax.
+    "q116_mmr_rerank" -> {
+      val stages = (1 to 10).map { t =>
+        s"""ms$t AS (SELECT c.query_id, c.item,
+           |    0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) *
+           |      coalesce(mx.m, 0.0::DOUBLE) AS score
+           |  FROM cand c
+           |  LEFT JOIN (SELECT p.query_id, p.i, max(p.sim) AS m
+           |      FROM pair p JOIN sel${t - 1} s
+           |        ON p.query_id = s.query_id AND p.j = s.item
+           |      GROUP BY 1, 2) mx
+           |    ON c.query_id = mx.query_id AND c.item = mx.i
+           |  ANTI JOIN sel${t - 1} s2
+           |    ON c.query_id = s2.query_id AND c.item = s2.item),
+           |pk$t AS MATERIALIZED (SELECT query_id, item, score, $t AS rnk
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score DESC, item) AS rn FROM ms$t)
+           |  WHERE rn = 1),
+           |sel$t AS MATERIALIZED (SELECT query_id, item FROM sel${t - 1}
+           |  UNION ALL SELECT query_id, item FROM pk$t)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 to 10).map(t => s"SELECT * FROM pk$t")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 40),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s, e.v
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |cand AS MATERIALIZED (SELECT query_id, item, round(s, 6) AS rel, v,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
+        |  FROM sc QUALIFY rr <= 20),
+        |pair AS MATERIALIZED (SELECT a.query_id, a.item AS i, b.item AS j,
+        |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.item != b.item),
+        |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS BIGINT) AS item WHERE false),
+        |$stages
+        |SELECT query_id, item, rnk,
+        |  floor(score * 1e6 + 0.5::DOUBLE) / 1e6 AS mmr FROM ($picks)""".stripMargin
+    },
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Diversity-aware rerank of retrieved candidates — Maximal Marginal
+  * Relevance (Carbonell & Goldstein, SIGIR'98).
+  *
+  * The reference serves its top-n by blended score alone
+  * (`recommend_hybrid`, `Hybrid_Recom_vecdb.py:200-235`), so near-identical
+  * items (co-edition products, reprints) crowd the list. MMR greedily picks
+  *   argmax over remaining c of  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+  * trading relevance against redundancy with what is already selected.
+  *
+  * Spark shape: this is a SERVE-TIME operator over an already-retrieved
+  * pool — per query at most n candidates (n ≤ 60, bounded by retrieval
+  * depth), never the corpus. The pairwise n² term is computed relationally
+  * (codegen'd cosine, one self-equi-join on query_id), then one shuffle
+  * groups each query's pool and the greedy O(k·n) selection runs in
+  * `flatMapGroups` — the idiomatic home for tiny sequential per-group
+  * state. At 100 TB the cost scales with |Q|·n², independent of corpus
+  * size, and partitions by query_id with no skew (every group ≤ n rows).
+  *
+  * Determinism contract: `rel` and the pairwise sims snap to 1e-6 BEFORE
+  * selection, scores combine them with fixed IEEE ops (λ·rel − (1−λ)·
+  * maxsim, the complement computed as 1.0−λ in doubles, NOT a decimal
+  * literal), and ties break on item id via a strict `>` over an
+  * item-ascending pool — so the greedy trace replays bit-exactly on any
+  * engine from the same rounded inputs.
+  */
+object Rerank {
+
+  /** One MMR selection: `rnk` is 1-based pick order, `mmr` the raw
+    * (unrounded) greedy score — callers round for display. */
+  final case class MmrPick(query_id: Long, item: Long, rnk: Int, mmr: Double)
+
+  /** Greedy MMR top-k per query.
+    *
+    * @param candidates (query_id, item, rel, embedding) — the retrieved
+    *                   pool; `rel` is the retrieval score (any scale).
+    * @return (query_id, item, rnk, mmr) with rnk = 1..k selection order.
+    */
+  def mmr(candidates: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(col("query_id").cast("long").as("query_id"),
+      col("item").cast("long").as("item"), round(col("rel"), 6).as("rel"),
+      col("embedding"))
+    // pairwise candidate-candidate sims, snapped to the contract grid
+    val a = cand.select(col("query_id").as("qa"), col("item").as("i"),
+      col("embedding").as("va"))
+    val b = cand.select(col("query_id").as("qb"), col("item").as("j"),
+      col("embedding").as("vb"))
+    val simAgg = a.join(b, col("qa") === col("qb") && col("i") =!= col("j"))
+      .select(col("qa"), col("i"),
+        struct(col("j"),
+          round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6)
+            .as("sim")).as("js"))
+      .groupBy(col("qa"), col("i")).agg(collect_list("js").as("sims"))
+    val withSims = cand.drop("embedding")
+      .join(simAgg, col("query_id") === col("qa") && col("item") === col("i"),
+        "left")
+      .select(col("query_id"), col("item"), col("rel"), col("sims"))
+
+    val mu = 1.0 - lambda
+    withSims.groupByKey(_.getLong(0)).flatMapGroups { (qid, rows) =>
+      // (item, rel, simTo): simTo maps co-candidate -> rounded cosine
+      val pool = rows.map { r =>
+        val simTo = if (r.isNullAt(3)) Map.empty[Long, Double]
+          else r.getSeq[Row](3).map(s => s.getLong(0) -> s.getDouble(1)).toMap
+        (r.getLong(1), r.getDouble(2), simTo)
+      }.toArray.sortBy(_._1)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      while (out.size < k && selected.size < pool.length) {
+        var bestItem = -1L; var bestScore = Double.NegativeInfinity
+        pool.foreach { case (item, rel, simTo) =>
+          if (!selected.contains(item)) {
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => simTo.getOrElse(s, 0.0)).max
+            val score = lambda * rel - mu * maxSim
+            // strict >: pool is item-ascending, so ties keep the lowest id
+            if (score > bestScore) { bestScore = score; bestItem = item }
+          }
+        }
+        selected += bestItem
+        out += MmrPick(qid, bestItem, selected.size, bestScore)
+      }
+      out
+    }.toDF()
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Greedy-MMR semantics on planted pools. */
+class RerankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // pool: i1 best rel; i2 a near-duplicate of i1 with high rel;
+  // i3 orthogonal with modest rel. MMR must demote the duplicate.
+  private def pool = Seq(
+    (7L, 1L, 0.95, Array(1.0, 0.0, 0.0)),
+    (7L, 2L, 0.80, Array(0.999, 0.01, 0.0)), // 0.7·0.8−0.3·~1 ≈ 0.26 < 0.35
+    (7L, 3L, 0.50, Array(0.0, 1.0, 0.0))
+  ).toDF("query_id", "item", "rel", "embedding")
+
+  test("mmr demotes near-duplicates below a diverse lower-rel candidate") {
+    val out = Rerank.mmr(pool, 3, 0.7).orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // pick 1 is pure relevance: lambda * rel
+    assert(math.abs(out(0).getDouble(3) - 0.7 * 0.95) < 1e-9)
+    // pick 2 chose i3 (orthogonal, maxsim 0) over i2 (sim ~1)
+    assert(math.abs(out(1).getDouble(3) - 0.7 * 0.5) < 1e-9)
+  }
+
+  test("mmr stops at pool size and ties break on the lower item id") {
+    val tied = Seq(
+      (1L, 10L, 0.8, Array(1.0, 0.0)),
+      (1L, 5L, 0.8, Array(0.0, 1.0))
+    ).toDF("query_id", "item", "rel", "embedding")
+    val out = Rerank.mmr(tied, 9, 0.7).orderBy("rnk").collect()
+    assert(out.length == 2)          // k=9 > pool of 2
+    assert(out(0).getLong(1) == 5L)  // equal rel: lowest id first
+  }
+
+  test("mmr is partition-invariant and per-query independent") {
+    val two = pool.union(Seq(
+      (8L, 4L, 0.9, Array(0.5, 0.5, 0.0)),
+      (8L, 6L, 0.3, Array(0.5, 0.5, 0.001))
+    ).toDF("query_id", "item", "rel", "embedding"))
+    val a = Rerank.mmr(two.repartition(1), 2, 0.7)
+      .collect().map(_.toString).sorted
+    val b = Rerank.mmr(two.repartition(5), 2, 0.7)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.length == 4) // 2 picks per query
+  }
+}
