@@ -1622,6 +1622,23 @@ object SparkEntry {
       Rerank.mmr(cands, 10, 0.7)
         .withColumn("mmr", floor(col("mmr") * lit(1e6) + lit(0.5)) / lit(1e6))
     }),
+
+    // --- blend-weight model selection (α sweep) ---------------------------
+    // Precision@10 of the q27 hybrid at six α values from ONE retrieval
+    // pass: the arms are fused once, a broadcast α cross-join inflates
+    // only the bounded candidate pool, and precision aggregates as exact
+    // integer hits with a single final division.
+    "q117_alpha_sweep" -> ((s, d) => {
+      val q = queryVecs(s, d)
+      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
+        .select(col("query_id"), col("vec_id").as("item"),
+          clamp01(col("sim")).as("cs"))
+      val cf = coLabelCf(s, d, q)
+        .select(col("src").as("query_id"), col("dst").as("item"),
+          col("norm").as("fs"))
+      HybridScorer.alphaSweep(content, cf, coLabelTruth(s, d),
+        Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0), 10)
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3208,5 +3225,30 @@ object SparkEntry {
         |SELECT query_id, item, rnk,
         |  floor(score * 1e6 + 0.5::DOUBLE) / 1e6 AS mmr FROM ($picks)""".stripMargin
     },
+
+    // The α-dependent blend re-ranks the SAME fused pool the q27 chain
+    // builds (`fu` carries zero-filled cs/fs); every α's complement is
+    // computed in doubles to match Spark's (1.0 - α) column op.
+    "q117_alpha_sweep" ->
+      s"""WITH $hybridCtes,
+        |al AS (SELECT unnest([0.0::DOUBLE, 0.2::DOUBLE, 0.4::DOUBLE,
+        |                      0.6::DOUBLE, 0.8::DOUBLE, 1.0::DOUBLE]) AS alpha),
+        |sa AS (SELECT al.alpha, f.query_id, f.item,
+        |    al.alpha * f.cs + (1.0::DOUBLE - al.alpha) * f.fs AS fin
+        |  FROM fu f CROSS JOIN al),
+        |ra AS (SELECT alpha, query_id, item,
+        |    row_number() OVER (PARTITION BY alpha, query_id
+        |      ORDER BY fin DESC, item) AS rnk
+        |  FROM sa QUALIFY rnk <= 10),
+        |$truthCte,
+        |h AS (SELECT r.alpha, count(*)::BIGINT AS sum_hits FROM ra r
+        |  SEMI JOIN truth t ON r.query_id = t.query_id AND r.item = t.item
+        |  GROUP BY 1),
+        |nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries FROM fu)
+        |SELECT al.alpha, coalesce(h.sum_hits, 0)::BIGINT AS sum_hits,
+        |  nq.n_queries,
+        |  coalesce(h.sum_hits, 0)::DOUBLE /
+        |    (10.0::DOUBLE * nq.n_queries::DOUBLE) AS precision
+        |FROM al LEFT JOIN h ON al.alpha = h.alpha CROSS JOIN nq""".stripMargin,
   )
 }

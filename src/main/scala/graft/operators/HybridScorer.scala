@@ -78,4 +78,56 @@ object HybridScorer {
       .orderBy(col("rrf").desc, col("item").asc)
     fused.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** Hyperparameter sweep over the blend weight α — model selection for
+    * the reference's hand-picked α=0.6 (`Hybrid_Recom_vecdb.py:25`),
+    * evaluated as Precision@k against ground truth for EVERY candidate α
+    * in ONE plan and ONE retrieval pass.
+    *
+    * Spark shape: the arms are fused once (the α-independent full-outer
+    * join), then a broadcast cross-join against the tiny α list inflates
+    * only the bounded candidate pool (≤ content+cf depth rows per query),
+    * one window ranks per (α, query_id), one semi-join scores hits. At
+    * 100 TB the sweep costs |Q|·depth·|alphas| — retrieval, the actual
+    * expensive step, is NOT repeated per α, which is the whole point
+    * versus re-running the pipeline per candidate value.
+    *
+    * Precision is aggregated exactly: integer hit counts summed over the
+    * fixed query set, ONE double division at the end — no float-mean
+    * accumulation order anywhere.
+    *
+    * @param content (query_id, item, cs)  content-arm scores
+    * @param cf      (query_id, item, fs)  CF-arm scores
+    * @param truth   (query_id, item)      ground-truth positives
+    * @return one row per α: (alpha, sum_hits, n_queries, precision) with
+    *         precision = sum_hits / (k · n_queries).
+    */
+  def alphaSweep(content: DataFrame, cf: DataFrame, truth: DataFrame,
+                 alphas: Seq[Double], k: Int): DataFrame = {
+    val spark = content.sparkSession
+    import spark.implicits._
+    val fused = content
+      .join(cf, Seq("query_id", "item"), "full_outer")
+      .select(col("query_id"), col("item"),
+        coalesce(col("cs"), lit(0.0)).as("cs"),
+        coalesce(col("fs"), lit(0.0)).as("fs"))
+    val adf = alphas.toDF("alpha")
+    val scored = fused.crossJoin(broadcast(adf))
+      .withColumn("fin",
+        col("alpha") * col("cs") + (lit(1.0) - col("alpha")) * col("fs"))
+    val w = Window.partitionBy("alpha", "query_id")
+      .orderBy(col("fin").desc, col("item").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+    val hits = ranked
+      .join(truth.select(col("query_id"), col("item")), Seq("query_id", "item"),
+        "left_semi")
+      .groupBy("alpha").agg(count(lit(1)).as("sum_hits"))
+    val nq = fused.agg(countDistinct("query_id").as("n_queries"))
+    adf.join(hits, Seq("alpha"), "left_outer")
+      .select(col("alpha"), coalesce(col("sum_hits"), lit(0L)).as("sum_hits"))
+      .crossJoin(broadcast(nq))
+      .withColumn("precision", col("sum_hits").cast("double") /
+        (lit(k).cast("double") * col("n_queries").cast("double")))
+  }
 }

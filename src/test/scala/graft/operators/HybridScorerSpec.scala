@@ -61,4 +61,31 @@ class HybridScorerSpec extends SparkTestBase {
       .collect().map(_.getInt(1)).toSet
     assert(perQ == Set(1))
   }
+
+  test("alphaSweep: boundary alphas reproduce single-arm precision") {
+    import spark.implicits._
+    // truth: q1 -> {11, 13} (cf-favored), q2 -> {20}
+    val truth = Seq((1L, 11L), (1L, 13L), (2L, 20L)).toDF("query_id", "item")
+    val out = HybridScorer.alphaSweep(content, cf, truth,
+      Seq(0.0, 1.0), 2).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(0.0, 1.0))
+    // alpha=0 (CF only): q1 picks {11,13} = 2 hits; q2 picks {20,12?}->
+    // q2 pool = {20}; 1 hit. total 3 of 2*2 slots
+    val (h0, n0, p0) = out(0.0)
+    assert(n0 == 2L && h0 == 3L && p0 == 3.0 / 4.0)
+    // alpha=1 (content only): q1 top-2 by cs = {10, 11} -> 1 hit; q2 {20} -> 1
+    val (h1, n1, p1) = out(1.0)
+    assert(n1 == 2L && h1 == 2L && p1 == 2.0 / 4.0)
+  }
+
+  test("alphaSweep: zero-hit alphas still emit a row") {
+    import spark.implicits._
+    val truth = Seq((1L, 999L)).toDF("query_id", "item") // never retrieved
+    val out = HybridScorer.alphaSweep(content, cf, truth, Seq(0.6), 10)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(3) == 0.0)
+  }
 }
