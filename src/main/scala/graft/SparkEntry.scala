@@ -1639,6 +1639,19 @@ object SparkEntry {
       HybridScorer.alphaSweep(content, cf, coLabelTruth(s, d),
         Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0), 10)
     }),
+
+    // --- out-of-fold target encoding (leakage-safe categorical) -----------
+    "q118_target_encode" -> ((s, d) => {
+      val df = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          (col("o_orderstatus") === "F").cast("int").as("label"))
+      FeaturePrep.targetEncode(df, "o_orderkey", "c_mktsegment", "label", 5, 10.0)
+    }),
+
+    // --- hashing-trick sparse features (no vocabulary pass) ---------------
+    "q119_feature_hash" -> ((s, d) =>
+      FeaturePrep.featureHash(Tables.documents(s, d), "doc_id", "text", 1024)),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3250,5 +3263,32 @@ object SparkEntry {
         |  coalesce(h.sum_hits, 0)::DOUBLE /
         |    (10.0::DOUBLE * nq.n_queries::DOUBLE) AS precision
         |FROM al LEFT JOIN h ON al.alpha = h.alpha CROSS JOIN nq""".stripMargin,
+
+    // te = ONE double division per row over exact integer sums; the prior
+    // mean is a single double both engines compute identically.
+    "q118_target_encode" ->
+      """WITH t AS (SELECT o_orderkey AS k, c_mktsegment AS cat,
+        |    (o_orderstatus = 'F')::BIGINT AS y,
+        |    CAST('0x' || substr(md5('te:' || o_orderkey::VARCHAR), 1, 15)
+        |      AS BIGINT) % 5 AS fold
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pf AS (SELECT cat, fold, sum(y)::BIGINT AS fs, count(*)::BIGINT AS fc
+        |  FROM t GROUP BY 1, 2),
+        |pc AS (SELECT cat, sum(fs)::BIGINT AS ts, sum(fc)::BIGINT AS tc
+        |  FROM pf GROUP BY 1),
+        |pr AS (SELECT sum(y)::DOUBLE / count(*)::DOUBLE AS mu FROM t)
+        |SELECT t.k AS o_orderkey, t.cat AS c_mktsegment, t.fold,
+        |  ((pc.ts - pf.fs)::DOUBLE + 10.0::DOUBLE * pr.mu) /
+        |    ((pc.tc - pf.fc)::DOUBLE + 10.0::DOUBLE) AS te
+        |FROM t JOIN pf ON t.cat = pf.cat AND t.fold = pf.fold
+        |JOIN pc ON t.cat = pc.cat CROSS JOIN pr""".stripMargin,
+
+    "q119_feature_hash" ->
+      s"""WITH $toksCte,
+        |x AS (SELECT doc_id, unnest(tk) AS tok FROM toks)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS idx,
+        |  count(*)::BIGINT AS cnt
+        |FROM x GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -76,4 +76,63 @@ object FeaturePrep {
         interp(pLo, col("lo1"), col("lo2")).as("__lo"),
         interp(pHi, col("hi1"), col("hi2")).as("__hi"))
   }
+
+  /** Out-of-fold target encoding — the leakage-safe categorical encoder
+    * for gradient-boosted / linear training sets: each row's category is
+    * replaced by the label mean computed WITHOUT the row's own fold, so
+    * the encoding never memorizes the row's label.
+    *
+    * Exactness: fold = hash60(key) mod nFolds (layout-free), per-
+    * (category, fold) label sums and counts are exact longs, the
+    * out-of-fold mean is ONE double division per row with an m-weighted
+    * global-mean prior:  te = (Σy_cat − Σy_fold + m·μ) / (n_cat − n_fold
+    * + m). Empty-out-of-fold categories degrade to the prior, never NaN
+    * (m > 0 guards the denominator).
+    *
+    * Scale: two tiny aggregates (|cats|·folds, then |cats|) broadcast
+    * back onto the fact table — one map-side pass over the 100 TB side,
+    * no fact-table shuffle at all.
+    */
+  def targetEncode(df: DataFrame, keyCol: String, catCol: String,
+                   labelCol: String, nFolds: Int = 5,
+                   smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0.0, "smoothing must be > 0 to guard empty folds")
+    val fold = pmod(graft.functions.TextFunctions.hash60(
+      concat_ws(":", lit("te"), col(keyCol).cast("string"))), lit(nFolds.toLong))
+    val t = df.select(col(keyCol), col(catCol),
+      col(labelCol).cast("long").as("__y"), fold.as("fold"))
+    val perFold = t.groupBy(col(catCol), col("fold"))
+      .agg(sum("__y").as("__fs"), count(lit(1)).as("__fc"))
+    val perCat = perFold.groupBy(col(catCol))
+      .agg(sum("__fs").as("__ts"), sum("__fc").as("__tc"))
+    val prior = t.agg(
+      (sum("__y").cast("double") / count(lit(1)).cast("double")).as("__mu"))
+    t.join(broadcast(perFold), Seq(catCol, "fold"))
+      .join(broadcast(perCat), Seq(catCol))
+      .crossJoin(broadcast(prior))
+      .select(col(keyCol), col(catCol), col("fold"),
+        (((col("__ts") - col("__fs")).cast("double")
+          + lit(smoothing) * col("__mu")) /
+          ((col("__tc") - col("__fc")).cast("double") + lit(smoothing)))
+          .as("te"))
+  }
+
+  /** Hashing-trick bag-of-words — fixed-dimension sparse features with no
+    * vocabulary pass (Weinberger et al., ICML'09): token t lands in
+    * bucket hash60(t) mod dim. Output is COO triplets (doc, idx, cnt) —
+    * the layout a distributed trainer consumes directly.
+    *
+    * One map-side explode + one shuffle on (doc, idx); no global state,
+    * so the 100 TB shape is embarrassingly parallel and the feature
+    * space never needs a driver-side dictionary (the failure mode of
+    * naive one-hot at web scale).
+    */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .withColumn("idx", pmod(graft.functions.TextFunctions.hash60(col("__tok")),
+        lit(dim.toLong)))
+      .groupBy(col(idCol), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -36,4 +36,48 @@ class FeaturePrepSpec extends SparkTestBase {
     assert(!mid.getBoolean(mid.fieldIndex("clipped")))
     assert(mid.getDouble(mid.fieldIndex("value_w")) == 50.0)
   }
+
+  test("targetEncode: own fold's labels never enter a row's encoding") {
+    // category A: fold-dependent labels; encode of a row must equal the
+    // mean over OTHER folds (+ smoothed prior), recomputed by hand
+    val df = (1 to 200).map(i => (i.toLong, "A", i % 2)).toDF("k", "cat", "y")
+    val out = FeaturePrep.targetEncode(df, "k", "cat", "y", 5, 10.0)
+    val rows = out.collect()
+    assert(rows.length == 200)
+    // recompute expectation for one row from the operator's own fold split
+    val folds = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ys = (1 to 200).map(i => i.toLong -> (i % 2).toLong).toMap
+    val mu = ys.values.sum.toDouble / 200.0
+    rows.take(20).foreach { r =>
+      val (k, f, te) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val oof = ys.filter { case (kk, _) => folds(kk) != f }
+      val expected = (oof.values.sum.toDouble + 10.0 * mu) / (oof.size + 10.0)
+      assert(math.abs(te - expected) < 1e-12, s"row $k")
+    }
+  }
+
+  test("targetEncode: a single-fold category degrades to the prior") {
+    // category B has ONE row: its own fold is excluded -> te = prior mean
+    val df = ((1 to 50).map(i => (i.toLong, "A", 1)) :+ ((99L, "B", 0)))
+      .toDF("k", "cat", "y")
+    val out = FeaturePrep.targetEncode(df, "k", "cat", "y", 5, 10.0)
+    val mu = 50.0 / 51.0
+    val b = out.where(col("cat") === "B").collect()(0).getDouble(3)
+    assert(math.abs(b - (10.0 * mu) / 10.0) < 1e-12) // (0 + m·μ)/(0 + m)
+  }
+
+  test("featureHash: counts land in stable buckets, dim bounds respected") {
+    val docs = Seq((1L, "the cat and the hat"), (2L, "cat cat cat"))
+      .toDF("doc_id", "text")
+    val out = FeaturePrep.featureHash(docs, "doc_id", "text", 64).collect()
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    // same token -> same bucket across docs; "cat" count is exact
+    val catIdx = spark.range(1)
+      .select(pmod(graft.functions.TextFunctions.hash60(lit("cat")), lit(64L)))
+      .collect()(0).getLong(0)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(1) == catIdx && d2(0).getLong(2) == 3L)
+    // doc 1: "the" appears twice -> one bucket carries cnt 2
+    assert(out.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum == 5L)
+  }
 }
