@@ -1652,6 +1652,44 @@ object SparkEntry {
     // --- hashing-trick sparse features (no vocabulary pass) ---------------
     "q119_feature_hash" -> ((s, d) =>
       FeaturePrep.featureHash(Tables.documents(s, d), "doc_id", "text", 1024)),
+
+    // --- IVF nprobe sweep: recall-vs-cost tuning curve --------------------
+    // Serves the SAME persisted index at nprobe ∈ {1,2,4,16} and scores
+    // recall@10 against the exact scan. The contracts are STRUCTURAL
+    // guarantees earned in-plan: hits are monotone in nprobe (a larger
+    // probed set can only displace a hit with a better hit, which is
+    // itself in the exact top-10) and the full probe (nprobe = nCells)
+    // IS the exact scan under the shared (sim DESC, vec_id) tie rule.
+    // Recall counts themselves depend on the trained k-means cells, so
+    // like q34 they are gated, never exposed.
+    "q120_nprobe_sweep" -> ((s, d) => {
+      val q = queryVecs(s, d)
+      val ex = ContentRetriever.topK(Tables.embeddings(s, d), q, 10)
+        .select("query_id", "vec_id")
+      val served = Seq(1, 2, 4, IvfIndexStore.NCells).map { p =>
+        IvfIndexStore.serve(s, d, q, 10, p)
+          .select(col("query_id"), col("vec_id")).withColumn("nprobe", lit(p))
+      }.reduce(_ unionByName _)
+      val perProbe = served
+        .join(ex.withColumn("in_ex", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_rows"),
+          sum(coalesce(col("in_ex"), lit(0))).as("sum_hits"))
+      val w = Window.orderBy("nprobe") // 4 rows: single-partition window OK
+      perProbe
+        .withColumn("prev_hits", lag("sum_hits", 1).over(w))
+        .select(col("nprobe"), col("n_queries"),
+          // partial probes may see cells with < k+1 vectors: bounded
+          // above; the FULL probe must return exactly k per query.
+          (col("n_rows") > 0 && col("n_rows") <= lit(10L) * col("n_queries") &&
+            (col("nprobe") =!= lit(IvfIndexStore.NCells) ||
+              col("n_rows") === lit(10L) * col("n_queries"))).as("rows_ok"),
+          (col("prev_hits").isNull || col("sum_hits") >= col("prev_hits"))
+            .as("monotone_ok"),
+          (col("nprobe") =!= lit(IvfIndexStore.NCells) ||
+            col("sum_hits") === col("n_rows")).as("full_probe_exact"))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -1668,6 +1706,7 @@ object SparkEntry {
     "q68_knn_join" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q66_ivf_upsert" -> ((s, d) => { ensureUpsertedIndex(s, d); () }),
     "q70_ann_dedup" -> ((s, d) => IvfIndexStore.ensure(s, d)),
+    "q120_nprobe_sweep" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q71_sq8_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q81_pq_serve" -> ((s, d) => PqIndexStore.ensure(s, d)),
     "q92_pq_serve_batch" -> ((s, d) => PqIndexStore.ensure(s, d)),
@@ -3290,5 +3329,11 @@ object SparkEntry {
         |  CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS idx,
         |  count(*)::BIGINT AS cnt
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Recall counts depend on the trained cells (q34 pattern): the oracle
+    // pins the sweep grid and the in-plan structural contracts.
+    "q120_nprobe_sweep" ->
+      """SELECT unnest([1, 2, 4, 16]) AS nprobe, 20::BIGINT AS n_queries,
+        |  true AS rows_ok, true AS monotone_ok, true AS full_probe_exact""".stripMargin,
   )
 }
