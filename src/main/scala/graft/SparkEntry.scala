@@ -3293,15 +3293,15 @@ object SparkEntry {
         |      ORDER BY fin DESC, item) AS rnk
         |  FROM sa QUALIFY rnk <= 10),
         |$truthCte,
-        |h AS (SELECT r.alpha, count(*)::BIGINT AS sum_hits FROM ra r
-        |  SEMI JOIN truth t ON r.query_id = t.query_id AND r.item = t.item
-        |  GROUP BY 1),
-        |nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries FROM fu)
-        |SELECT al.alpha, coalesce(h.sum_hits, 0)::BIGINT AS sum_hits,
-        |  nq.n_queries,
-        |  coalesce(h.sum_hits, 0)::DOUBLE /
-        |    (10.0::DOUBLE * nq.n_queries::DOUBLE) AS precision
-        |FROM al LEFT JOIN h ON al.alpha = h.alpha CROSS JOIN nq""".stripMargin,
+        |fl AS (SELECT r.alpha, r.query_id,
+        |    CASE WHEN t.query_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM ra r LEFT JOIN truth t
+        |    ON r.query_id = t.query_id AND r.item = t.item)
+        |SELECT alpha, sum(hit)::BIGINT AS sum_hits,
+        |  count(DISTINCT query_id)::BIGINT AS n_queries,
+        |  sum(hit)::DOUBLE /
+        |    (10.0::DOUBLE * count(DISTINCT query_id)::DOUBLE) AS precision
+        |FROM fl GROUP BY 1""".stripMargin,
 
     // te = ONE double division per row over exact integer sums; the prior
     // mean is a single double both engines compute identically.

@@ -119,14 +119,16 @@ object HybridScorer {
       .orderBy(col("fin").desc, col("item").asc)
     val ranked = scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
-    val hits = ranked
-      .join(truth.select(col("query_id"), col("item")), Seq("query_id", "item"),
-        "left_semi")
-      .groupBy("alpha").agg(count(lit(1)).as("sum_hits"))
-    val nq = fused.agg(countDistinct("query_id").as("n_queries"))
-    adf.join(hits, Seq("alpha"), "left_outer")
-      .select(col("alpha"), coalesce(col("sum_hits"), lit(0L)).as("sum_hits"))
-      .crossJoin(broadcast(nq))
+    // ONE aggregation yields hits AND the query count per α — a separate
+    // countDistinct off the fused pool would re-derive the whole
+    // retrieval subtree (Spark re-executes shared subtrees per sink).
+    ranked
+      .join(truth.select(col("query_id"), col("item"))
+          .dropDuplicates("query_id", "item").withColumn("__hit", lit(1)),
+        Seq("query_id", "item"), "left_outer")
+      .groupBy("alpha")
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("sum_hits"),
+        countDistinct("query_id").as("n_queries"))
       .withColumn("precision", col("sum_hits").cast("double") /
         (lit(k).cast("double") * col("n_queries").cast("double")))
   }
