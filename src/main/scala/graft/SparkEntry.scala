@@ -1690,6 +1690,33 @@ object SparkEntry {
           (col("nprobe") =!= lit(IvfIndexStore.NCells) ||
             col("sum_hits") === col("n_rows")).as("full_probe_exact"))
     }),
+
+    // --- equal-frequency quantile binning (exact edges) -------------------
+    // Per-returnflag price deciles via deterministic ntile over the
+    // (value, unique-key) total order — the empirical quantile table a
+    // trainer bakes into its feature map.
+    "q121_quantile_bins" -> ((s, d) =>
+      FeaturePrep.quantileBins(
+        Tables.lineitem(s, d).withColumn("__tie",
+          col("l_orderkey") * lit(8L) + col("l_linenumber")),
+        "l_extendedprice", "__tie", 10, Some("l_returnflag"))),
+
+    // --- score calibration audit (reliability bins) -----------------------
+    // Is final≈0.8 an ~80% hit rate? The full fused candidate pool (not
+    // just top-k) bins into score deciles; each bin's exact positive
+    // rate sits next to its fixed-point mean score.
+    "q122_calibration" -> ((s, d) => {
+      val q = queryVecs(s, d)
+      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
+        .select(col("query_id"), col("vec_id").as("item"),
+          clamp01(col("sim")).as("cs"))
+      val cf = coLabelCf(s, d, q)
+        .select(col("src").as("query_id"), col("dst").as("item"),
+          col("norm").as("fs"))
+      val scored = HybridScorer.blend(content, cf, 0.6, Int.MaxValue)
+        .select(col("query_id"), col("item"), col("final").as("score"))
+      Evaluation.reliabilityBins(scored, coLabelTruth(s, d), 10)
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3335,5 +3362,32 @@ object SparkEntry {
     "q120_nprobe_sweep" ->
       """SELECT unnest([1, 2, 4, 16]) AS nprobe, 20::BIGINT AS n_queries,
         |  true AS rows_ok, true AS monotone_ok, true AS full_probe_exact""".stripMargin,
+
+    "q121_quantile_bins" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice,
+        |    l_orderkey * 8 + l_linenumber AS tie FROM lineitem),
+        |b AS (SELECT l_returnflag, l_extendedprice,
+        |    ntile(10) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, tie) AS bin FROM t)
+        |SELECT l_returnflag, bin, count(*)::BIGINT AS cnt,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Bins over the RAW fin doubles (identical per-row arithmetic both
+    // engines); the mean score fixed-point sums 1e-6 micro-units.
+    "q122_calibration" ->
+      s"""WITH $hybridCtes,
+        |$truthCte,
+        |fl AS (SELECT f.query_id, f.item, f.fin AS score,
+        |    CASE WHEN t.query_id IS NULL THEN 0 ELSE 1 END AS pos
+        |  FROM fu f LEFT JOIN truth t
+        |    ON f.query_id = t.query_id AND f.item = t.item),
+        |nb AS (SELECT query_id, item, score, pos,
+        |    ntile(10) OVER (ORDER BY score, query_id, item) AS bin FROM fl)
+        |SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+        |  sum(floor(score * 1e6 + 0.5::DOUBLE)::BIGINT)::DOUBLE /
+        |    (1e6 * count(*)::DOUBLE) AS avg_score,
+        |  sum(pos)::DOUBLE / count(*)::DOUBLE AS pos_rate
+        |FROM nb GROUP BY 1""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Set-oriented Precision@K evaluation.
@@ -137,5 +138,43 @@ object Evaluation {
               .cast("double") /
               (lit(2.0) * col("n_pos") * col("n_neg")), 6))
           .cast("double").as("auc"))
+  }
+
+  /** Calibration / reliability table: does a score of ~0.8 mean an ~80%
+    * hit rate? Scores bin into `nBins` equal-frequency buckets (exact
+    * ntile over the (score, query_id, item) total order — deterministic
+    * on any engine), and each bin reports its exact positive rate next
+    * to its mean predicted score. A well-calibrated scorer tracks the
+    * diagonal; the hybrid blend (a heuristic mix) typically does not —
+    * which is precisely what this audit exposes before anyone treats
+    * `final` as a probability.
+    *
+    * Exactness: positives are integer counts; the mean score fixed-point
+    * sums 1e-6-snapped micro-units (exact longs) with ONE double
+    * division per bin. Global ntile = single-partition sort: fine for
+    * eval-sized pools (|Q|·depth rows); shard by query block for more.
+    *
+    * @param scored (query_id, item, score)
+    * @param truth  (query_id, item) positives
+    * @return (bin, n, n_pos, avg_score, pos_rate) — one row per bin.
+    */
+  def reliabilityBins(scored: DataFrame, truth: DataFrame,
+                      nBins: Int = 10): DataFrame = {
+    val flagged = scored.join(
+      truth.select(col("query_id"), col("item"))
+        .dropDuplicates("query_id", "item").withColumn("__pos", lit(1)),
+      Seq("query_id", "item"), "left_outer")
+    val w = Window.partitionBy()
+      .orderBy(col("score").asc, col("query_id").asc, col("item").asc)
+    flagged.withColumn("bin", ntile(nBins).over(w))
+      .withColumn("__s", floor(col("score") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("__pos"), lit(0))).as("n_pos"),
+        sum(col("__s")).as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__ss").cast("double") / (lit(1e6) * col("n").cast("double")))
+          .as("avg_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
   }
 }

@@ -135,4 +135,28 @@ object FeaturePrep {
         lit(dim.toLong)))
       .groupBy(col(idCol), col("idx"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Equal-frequency binning (quantile discretizer) with EXACT edges:
+    * ntile(n) over the total order (value, tie id) — deterministic on any
+    * engine, unlike approxQuantile-derived edges. Emits the per-bin
+    * summary (count, lo, hi) that IS the empirical quantile table a
+    * trainer bakes into its feature map.
+    *
+    * Scale: ntile needs a total order — a single-partition sort at 100 TB
+    * is the known limit of the EXACT form (same spill-safe caveat as
+    * q106's percentile ranks; the approximate path is q64's GK sketch).
+    * Per-GROUP binning (`groupCol != None`) partitions the sort and is
+    * the shape to prefer at scale.
+    */
+  def quantileBins(df: DataFrame, valCol: String, tieCol: String, n: Int,
+                   groupCol: Option[String] = None): DataFrame = {
+    val part = groupCol.map(g => Window.partitionBy(col(g)))
+      .getOrElse(Window.partitionBy())
+    val w = part.orderBy(col(valCol).asc, col(tieCol).asc)
+    val binned = df.withColumn("bin", ntile(n).over(w))
+    val keys = groupCol.toSeq.map(col) :+ col("bin")
+    binned.groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
 }

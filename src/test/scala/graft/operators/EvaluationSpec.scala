@@ -50,4 +50,34 @@ class EvaluationSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("mrr")) == 0.0)
     assert(r.getDouble(r.fieldIndex("recall10")) == 0.0)
   }
+
+  test("reliabilityBins: a perfectly calibrated scorer sits on the diagonal") {
+    import spark.implicits._
+    // 100 rows, score = i/100; positives planted so bin k has k/10 rate:
+    // row i positive iff (i mod 10) < ceil(i/10 / 1) * ... simpler: make
+    // positives the top-half scores: top 5 bins rate 1, bottom 5 rate 0
+    val scored = (1 to 100).map(i => (1L, i.toLong, i / 100.0))
+      .toDF("query_id", "item", "score")
+    val truth = (51 to 100).map(i => (1L, i.toLong)).toDF("query_id", "item")
+    val out = Evaluation.reliabilityBins(scored, truth, 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(out.size == 10)
+    assert(out.values.forall(_._1 == 10L)) // equal-frequency: 10 each
+    (1 to 5).foreach(b => assert(out(b)._3 == 0.0, s"bin $b"))
+    (6 to 10).foreach(b => assert(out(b)._3 == 1.0, s"bin $b"))
+    // mean score of bin 1 = mean(0.01..0.10) = 0.055 exactly (fixed-point)
+    val avg1 = Evaluation.reliabilityBins(scored, truth, 10).collect()
+      .find(_.getInt(0) == 1).get.getDouble(3)
+    assert(math.abs(avg1 - 0.055) < 1e-12)
+  }
+
+  test("reliabilityBins: duplicate truth pairs do not double-count") {
+    import spark.implicits._
+    val scored = Seq((1L, 1L, 0.9), (1L, 2L, 0.1)).toDF("query_id", "item", "score")
+    val truth = Seq((1L, 1L), (1L, 1L)).toDF("query_id", "item")
+    val out = Evaluation.reliabilityBins(scored, truth, 2).collect()
+    assert(out.map(_.getLong(1)).sum == 2L)   // still 2 scored rows
+    assert(out.map(_.getLong(2)).sum == 1L)   // one positive, counted once
+  }
 }

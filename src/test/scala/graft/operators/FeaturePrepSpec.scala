@@ -66,6 +66,20 @@ class FeaturePrepSpec extends SparkTestBase {
     assert(math.abs(b - (10.0 * mu) / 10.0) < 1e-12) // (0 + m·μ)/(0 + m)
   }
 
+  test("quantileBins: equal-frequency sizes, tight contiguous edges") {
+    val df = (1 to 103).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("grp", "id", "v")
+    val out = FeaturePrep.quantileBins(df, "v", "id", 10, Some("grp"))
+      .orderBy("bin").collect()
+    assert(out.length == 10)
+    // 103 rows into 10 bins: first 3 bins get 11, rest 10 (ntile rule)
+    assert(out.map(_.getLong(2)).toSeq == Seq(11L, 11L, 11L, 10L, 10L, 10L, 10L, 10L, 10L, 10L))
+    // edges tile the range contiguously: lo(next) = hi(prev) + 1
+    val his = out.map(_.getDouble(4)); val los = out.map(_.getDouble(3))
+    (1 until 10).foreach(i => assert(los(i) == his(i - 1) + 1.0))
+    assert(los(0) == 1.0 && his(9) == 103.0)
+  }
+
   test("featureHash: counts land in stable buckets, dim bounds respected") {
     val docs = Seq((1L, "the cat and the hat"), (2L, "cat cat cat"))
       .toDF("doc_id", "text")
