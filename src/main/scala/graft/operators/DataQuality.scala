@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality audits — the checks a 100 TB ingest runs before any
@@ -135,6 +136,44 @@ object DataQuality {
     *
     * @return one row per unordered column pair: (col_x, col_y, n, corr).
     */
+  /** Chi-squared feature-relevance audit: is a categorical feature
+    * independent of the label? One shuffle builds the exact integer
+    * contingency table; margins and expectations follow relationally.
+    * Per-cell: observed o, expected e = rowTot·colTot/N, contribution
+    * (o−e)²/e. The statistic itself fixed-point-sums 1e-9-snapped
+    * contributions (bm25-style), so the total never depends on float
+    * summation order — any engine replays it bit-exactly.
+    *
+    * Scale: the fact table is touched ONCE (groupBy cat×label); every
+    * later step runs on |cats|·|labels| rows. Skewed categories are a
+    * non-issue — the contingency aggregate is the only big-data step
+    * and it partial-aggregates map-side.
+    *
+    * @return one row per cell: (catCol, labelCol, o, e, contrib,
+    *         chi2_total) — chi2_total repeated on every row.
+    */
+  def chi2(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val o = df.groupBy(col(catCol), col(labelCol))
+      .agg(count(lit(1)).as("o"))
+    val rowT = o.groupBy(col(catCol)).agg(sum("o").as("__rt"))
+    val colT = o.groupBy(col(labelCol)).agg(sum("o").as("__ct"))
+    val tot = o.agg(sum("o").as("__n"))
+    val cells = o.join(broadcast(rowT), Seq(catCol))
+      .join(broadcast(colT), Seq(labelCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("__rt") * col("__ct")).cast("double") /
+        col("__n").cast("double"))
+      .withColumn("__c",
+        floor((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") * lit(1e9) + lit(0.5))
+          .cast("long"))
+    cells
+      .withColumn("__tot", sum("__c").over(Window.partitionBy()))
+      .select(col(catCol), col(labelCol), col("o"), col("e"),
+        (col("__c") / lit(1e9)).as("contrib"),
+        (col("__tot") / lit(1e9)).as("chi2_total"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  scale: Double = 100.0): DataFrame = {
     require(cols.size >= 2, "need at least two columns")

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA for embedding columns — the classic big-data shape: ONE distributed
+  * pass builds the exact d×d covariance (sufficient statistics, map-side
+  * partial aggregation), the d×d eigenproblem solves on the driver
+  * (microseconds for d = 64), and the projection is a broadcast
+  * matrix-multiply folded into codegen'd column expressions. No step
+  * materializes anything larger than d² on the driver or shuffles more
+  * than the 1-row wide aggregate — the 100 TB cost is exactly one scan
+  * plus one scan to project.
+  *
+  * Exactness: embedding values snap to a 1e-6 grid as longs, so all
+  * second-moment sums are DECIMAL(38,0)-exact and partition-invariant;
+  * the covariance is ONE double division per cell. (Scaling the grid
+  * rescales eigenvalues but leaves eigenvectors and explained-variance
+  * ratios unchanged.) The eigendecomposition itself is float (breeze
+  * eigSym on the driver) — its contracts are checked, not replayed.
+  */
+object Pca {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact upper-triangle covariance sufficient statistics:
+    * one row per dim pair (i ≤ j): (i, j, n, s_i, s_j, s_ij, cov) with
+    * cov = (n·Σxy − ΣxΣy) / (n·(n−1)) on the snapped grid. */
+  def covarianceStats(emb: DataFrame, embCol: String, dim: Int,
+                      scale: Double = 1e6): DataFrame = {
+    val snapped = emb.select((0 until dim).map(i =>
+      floor(col(embCol)(i) * lit(scale) + lit(0.5)).cast("long").as(s"f$i")): _*)
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val aggs = (0 until dim).map(i => sum(dec(col(s"f$i"))).as(s"s$i")) ++
+      pairs.map { case (i, j) =>
+        sum(dec(col(s"f$i") * col(s"f$j"))).as(s"p${i}_$j") }
+    val wide = snapped.agg(dec(count(lit(1))).as("n"), aggs: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        col("n").cast("long").as("n"),
+        col(s"s$i").cast("long").as("s_i"),
+        col(s"s$j").cast("long").as("s_j"),
+        col(s"p${i}_$j").cast("long").as("s_ij"),
+        ((col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j"))
+          .cast("double") /
+          (col("n") * (col("n") - lit(1))).cast("double")).as("cov"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Top-k principal components of the snapped-grid covariance,
+    * descending by eigenvalue: (components row-major k×dim,
+    * eigenvalues desc, trace). Driver-side d×d work. */
+  def fitComponents(emb: DataFrame, embCol: String, dim: Int, k: Int)
+      : (Array[Array[Double]], Array[Double], Double) = {
+    val stats = covarianceStats(emb, embCol, dim).collect()
+    val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    stats.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(6))
+      m(i, j) = c; m(j, i) = c
+    }
+    val es = breeze.linalg.eigSym(m)
+    // breeze returns ascending eigenvalues; take the top k, descending
+    val order = (0 until dim).sortBy(d => -es.eigenvalues(d)).take(k)
+    val comps = order.map(d =>
+      (0 until dim).map(r => es.eigenvectors(r, d)).toArray).toArray
+    val evs = order.map(es.eigenvalues(_)).toArray
+    (comps, evs, breeze.linalg.trace(m))
+  }
+
+  /** Project onto components: idCol plus pc0..pc{k-1}, each a codegen'd
+    * Σ_d emb[d]·v[c][d] — the broadcast side is just k·dim literals. */
+  def project(emb: DataFrame, idCol: String, embCol: String,
+              comps: Array[Array[Double]]): DataFrame = {
+    val dim = comps(0).length
+    val cols = comps.zipWithIndex.map { case (v, c) =>
+      (0 until dim).map(d => col(embCol)(d) * lit(v(d)))
+        .reduce(_ + _).as(s"pc$c")
+    }
+    emb.select(col(idCol) +: cols.toIndexedSeq: _*)
+  }
+
+  /** One-row digest for the full fit+project pipeline. Driver-checked:
+    * component orthonormality and eigenvalue ordering; in-plan: row
+    * preservation and Bessel's inequality (mean ‖proj‖² ≤ mean ‖x‖² —
+    * an orthonormal projection can never gain energy), both over the
+    * ACTUAL projected values. */
+  def pcaDigest(emb: DataFrame, idCol: String, embCol: String,
+                dim: Int, k: Int): DataFrame = {
+    val (comps, evs, trace) = fitComponents(emb, embCol, dim, k)
+    val orthonormal = (for { a <- 0 until k; b <- a until k } yield {
+      val dot = (0 until dim).map(d => comps(a)(d) * comps(b)(d)).sum
+      math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9
+    }).forall(identity)
+    val evDesc = evs.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+    // top-k eigenvalues each ≥ trace/dim ⇒ sum ≥ k/dim·trace is the
+    // structural floor; an eigensolver bug breaks it loudly
+    val varFloor = evs.sum >= (trace * k / dim) - 1e-6
+    val proj = project(emb, idCol, embCol, comps)
+    val pNorm = comps.indices.map(c => col(s"pc$c") * col(s"pc$c"))
+      .reduce(_ + _)
+    val xNorm = (0 until dim).map(d => col(embCol)(d) * col(embCol)(d))
+      .reduce(_ + _)
+    proj.join(emb.select(col(idCol), xNorm.as("__xn")), Seq(idCol))
+      .agg(count(lit(1)).as("n_rows"),
+        avg(pNorm).as("__pn"), avg(col("__xn")).as("__xn2"))
+      .select(col("n_rows"), lit(dim).as("dim_in"), lit(k).as("dim_out"),
+        lit(orthonormal).as("orthonormal_ok"),
+        lit(evDesc && varFloor).as("eigen_ok"),
+        (col("__pn") <= col("__xn2") + lit(1e-9)).as("bessel_ok"))
+  }
+}

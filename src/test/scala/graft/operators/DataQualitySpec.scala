@@ -75,6 +75,23 @@ class DataQualitySpec extends SparkTestBase {
     assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
   }
 
+  test("chi2: known 2x2 value; independence scores ~0") {
+    import spark.implicits._
+    // o = [[10,20],[20,10]]: all e = 15, chi2 = 4 * 25/15 = 6.666...
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("c", "l")
+    val rows = DataQuality.chi2(dep, "c", "l").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getDouble(3) == 15.0))
+    val expected = math.floor(25.0 / 15.0 * 1e9 + 0.5) * 4 / 1e9
+    assert(rows.forall(_.getDouble(5) == expected))
+    // perfectly proportional table -> chi2 exactly 0
+    val ind = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))).toDF("c", "l")
+    val t0 = DataQuality.chi2(ind, "c", "l").collect()(0).getDouble(5)
+    assert(t0 == 0.0)
+  }
+
   test("corrMatrix: exact ±1 on linear columns, known value on planted data") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
