@@ -1735,6 +1735,28 @@ object SparkEntry {
     // --- PCA 64→8: exact covariance → driver eigh → broadcast project ----
     "q125_pca" -> ((s, d) =>
       Pca.pcaDigest(Tables.embeddings(s, d), "vec_id", "embedding", 64, 8)),
+
+    // --- isotonic calibration (exact-integer PAV) -------------------------
+    // Fits the monotone step function to (blend score, co-label hit):
+    // the fix for the miscalibration q122 exposes. Merge decisions run
+    // in exact long cross-products; the oracle replays the closed-form
+    // max-min characterization of the same unique L2 projection.
+    "q126_isotonic" -> ((s, d) => {
+      val q = queryVecs(s, d)
+      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
+        .select(col("query_id"), col("vec_id").as("item"),
+          clamp01(col("sim")).as("cs"))
+      val cf = coLabelCf(s, d, q)
+        .select(col("src").as("query_id"), col("dst").as("item"),
+          col("norm").as("fs"))
+      val scored = HybridScorer.blend(content, cf, 0.6, Int.MaxValue)
+        .select(col("query_id"), col("item"), col("final").as("score"))
+      val flagged = scored
+        .join(coLabelTruth(s, d).dropDuplicates("query_id", "item")
+          .withColumn("__y", lit(1)), Seq("query_id", "item"), "left_outer")
+        .select(col("score"), coalesce(col("__y"), lit(0)).as("y"))
+      Calibrate.isotonic(flagged, "score", "y")
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3454,5 +3476,33 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
         |  64 AS dim_in, 8 AS dim_out, true AS orthonormal_ok,
         |  true AS eigen_ok, true AS bessel_ok""".stripMargin,
+
+    // PAV's unique solution via the closed-form max-min characterization:
+    // fitted(k) = max_{i<=k} min_{j>=k} avg(y[i..j]) over score-pooled
+    // blocks. avg ratios divide once into doubles; correctly-rounded
+    // division is monotone in the rationals, so min/max over the doubles
+    // equals the double of the rational min/max — bit-identical to the
+    // Spark PAV's single output division.
+    "q126_isotonic" ->
+      s"""WITH $hybridCtes,
+        |$truthCte,
+        |fli AS (SELECT f.fin AS score,
+        |    CASE WHEN t.query_id IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM fu f LEFT JOIN truth t
+        |    ON f.query_id = t.query_id AND f.item = t.item),
+        |blk AS (SELECT score, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+        |  FROM fli GROUP BY 1),
+        |ps AS (SELECT score, c, p,
+        |    row_number() OVER (ORDER BY score) AS r,
+        |    sum(c) OVER (ORDER BY score) AS cc,
+        |    sum(p) OVER (ORDER BY score) AS cp FROM blk),
+        |pairs AS (SELECT a.r AS i, b.r AS j,
+        |    (b.cp - a.cp + a.p)::DOUBLE / (b.cc - a.cc + a.c)::DOUBLE AS avgv
+        |  FROM ps a JOIN ps b ON a.r <= b.r),
+        |mm AS (SELECT i, j,
+        |    min(avgv) OVER (PARTITION BY i ORDER BY j DESC) AS m FROM pairs),
+        |ft AS (SELECT j AS r, max(m) AS fitted FROM mm GROUP BY 1)
+        |SELECT ps.score, ps.c AS n, ps.p AS n_pos, ft.fitted
+        |FROM ps JOIN ft USING (r)""".stripMargin,
   )
 }
