@@ -1757,6 +1757,24 @@ object SparkEntry {
         .select(col("score"), coalesce(col("__y"), lit(0)).as("y"))
       Calibrate.isotonic(flagged, "score", "y")
     }),
+
+    // --- k-core peeling (dense co-purchase backbone) ----------------------
+    "q127_kcore" -> ((s, d) =>
+      GraphMetrics.kcore(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)), 3, 10)),
+
+    // --- incremental aggregate maintenance (merge ≡ recompute) ------------
+    // Spark serves the MERGE of two disjoint partitions' summaries; the
+    // oracle recomputes from the full fact table. Hash-match proves the
+    // materialized-view fold is exact.
+    "q128_incremental_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val base = Incremental.stats(
+        li.where(col("l_orderkey") % 10 =!= 0), "l_partkey", "l_quantity")
+      val delta = Incremental.stats(
+        li.where(col("l_orderkey") % 10 === 0), "l_partkey", "l_quantity")
+      Incremental.merge(base, delta, "l_partkey")
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3504,5 +3522,31 @@ object SparkEntry {
         |ft AS (SELECT j AS r, max(m) AS fitted FROM mm GROUP BY 1)
         |SELECT ps.score, ps.c AS n, ps.p AS n_pos, ft.fitted
         |FROM ps JOIN ft USING (r)""".stripMargin,
+
+    // Synchronous peel unrolled to 10 rounds (q94 pattern); the final
+    // degree pass and convergence probe mirror the Spark operator.
+    "q127_kcore" -> {
+      val rounds = (1 to 10).map { t =>
+        s"""d$t AS MATERIALIZED (SELECT s.src AS node, count(*)::BIGINT AS deg
+           |  FROM sym s SEMI JOIN n${t - 1} a ON s.src = a.node
+           |  SEMI JOIN n${t - 1} b ON s.dst = b.node GROUP BY 1),
+           |n$t AS MATERIALIZED (SELECT node FROM d$t WHERE deg >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $basketCtes,
+        |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        |$rounds,
+        |df AS MATERIALIZED (SELECT s.src AS node, count(*)::BIGINT AS deg
+        |  FROM sym s SEMI JOIN n10 a ON s.src = a.node
+        |  SEMI JOIN n10 b ON s.dst = b.node GROUP BY 1)
+        |SELECT node, deg,
+        |  (SELECT count(*) FROM df) =
+        |    (SELECT count(*) FROM df WHERE deg >= 3) AS converged
+        |FROM df""".stripMargin
+    },
+
+    "q128_incremental_agg" ->
+      """SELECT l_partkey, count(*)::BIGINT AS n, sum(l_quantity) AS sum_v,
+        |  min(l_quantity) AS min_v, max(l_quantity) AS max_v
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

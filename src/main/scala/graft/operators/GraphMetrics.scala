@@ -61,4 +61,46 @@ object GraphMetrics {
           .otherwise(round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
             (col("deg") * (col("deg") - lit(1L))), 6)).as("clustering"))
   }
+
+  /** k-core peeling, `rounds` synchronous iterations: repeatedly drop
+    * nodes whose degree among survivors is < k. Survivors after a
+    * CONVERGED peel are the k-core (dense engagement subgraph — the
+    * co-purchase graph's "always bought together" backbone).
+    *
+    * Spark shape: each round is one semi-join pair (restrict edges to
+    * survivors) + one count aggregate — all equi-keyed; `localCheckpoint`
+    * every third round truncates the growing lineage (the PageRank.run
+    * discipline, GraphMetrics shares it). A fixed round budget keeps the
+    * operator deterministic and oracle-replayable (the q94 unrolled
+    * pattern); `converged` reports whether the fixpoint was reached, and
+    * the peel is monotone (survivor sets only shrink), so `rounds` can
+    * be raised until it is.
+    *
+    * @param edges undirected (src, dst), src < dst, one row per edge
+    * @return survivors: (node, deg) — degree within the surviving
+    *         subgraph — plus constant `converged`.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    def degrees(nodes: DataFrame): DataFrame = sym
+      .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var nodes = sym.select(col("src").as("node")).distinct()
+    var i = 0
+    while (i < rounds) {
+      nodes = degrees(nodes).where(col("deg") >= k).select("node")
+      if (i % 3 == 2) nodes = nodes.localCheckpoint()
+      i += 1
+    }
+    // materialize once: the degree frame feeds both the output and the
+    // convergence probe (and the loop's lineage ends here anyway)
+    val d = degrees(nodes).localCheckpoint()
+    // converged iff one more peel would remove nothing
+    val stable = d.agg(
+      (count(lit(1)) === coalesce(sum(when(col("deg") >= k, 1)), lit(0)))
+        .as("converged"))
+    d.crossJoin(broadcast(stable))
+  }
 }

@@ -45,4 +45,27 @@ class GraphMetricsSpec extends SparkTestBase {
     val total = GraphMetrics.triangles(g).agg(sum("n_tri")).collect()(0).getLong(0)
     assert(total % 3 == 0, s"per-node triangle credits must sum to 3x triangles, got $total")
   }
+
+  test("kcore: a clique survives, pendant chains peel away") {
+    import spark.implicits._
+    // K4 on 1..4 plus a tail 4-5-6: 2-core keeps only the clique after
+    // the chain peels end-inward
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = GraphMetrics.kcore(edges, 2, 5).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_.getLong(1) == 3L)) // each clique node keeps deg 3
+    assert(out.forall(_.getBoolean(2)), "5 rounds converge this graph")
+  }
+
+  test("kcore: too few rounds reports converged = false") {
+    import spark.implicits._
+    // a 6-chain needs 3 synchronous rounds to empty under k=2
+    val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("src", "dst")
+    val early = GraphMetrics.kcore(chain, 2, 1).collect()
+    assert(early.nonEmpty && early.forall(!_.getBoolean(2)))
+    val done = GraphMetrics.kcore(chain, 2, 3).collect()
+    assert(done.isEmpty) // chain fully peels; empty survivor set
+  }
 }
