@@ -1763,6 +1763,31 @@ object SparkEntry {
       GraphMetrics.kcore(
         CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)), 3, 10)),
 
+    // --- ALS top-N serving from the persisted factor store ----------------
+    // Completes the factorization loop: q114 proves the model learns;
+    // here the persisted factors serve ranked recommendations (broadcast
+    // user factors × streamed item factors, zip_with dot product,
+    // per-user window, seen-item anti-join) — gated by in-plan contracts.
+    "q129_als_serve" -> ((s, d) => {
+      val inter = AlsCf.Store.ratings(s, d).select(col("user"), col("item"))
+      val users = inter.select("user").distinct().where(col("user") < 50)
+      val served = AlsCf.serveTopN(users,
+        AlsCf.Store.userFactors(s, d), AlsCf.Store.itemFactors(s, d),
+        inter, 10)
+      served
+        .withColumn("prev", lag("score", 1).over(
+          Window.partitionBy("user").orderBy("rnk")))
+        .join(inter.withColumn("__seen", lit(1)), Seq("user", "item"), "left")
+        .agg(countDistinct("user").as("n_users"), count(lit(1)).as("n_rows"),
+          sum(when(col("prev").isNotNull && col("prev") < col("score"), 1)
+            .otherwise(0)).as("__bad_sort"),
+          sum(coalesce(col("__seen"), lit(0))).as("__seen_cnt"))
+        .select(col("n_users"),
+          (col("n_rows") === col("n_users") * 10).as("rows_ok"),
+          (col("__bad_sort") === 0).as("sorted_ok"),
+          (col("__seen_cnt") === 0).as("unseen_ok"))
+    }),
+
     // --- incremental aggregate maintenance (merge ≡ recompute) ------------
     // Spark serves the MERGE of two disjoint partitions' summaries; the
     // oracle recomputes from the full fact table. Hash-match proves the
@@ -1792,6 +1817,7 @@ object SparkEntry {
     "q66_ivf_upsert" -> ((s, d) => { ensureUpsertedIndex(s, d); () }),
     "q70_ann_dedup" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q120_nprobe_sweep" -> ((s, d) => IvfIndexStore.ensure(s, d)),
+    "q129_als_serve" -> ((s, d) => AlsCf.Store.ensure(s, d)),
     "q71_sq8_serve" -> ((s, d) => IvfIndexStore.ensure(s, d)),
     "q81_pq_serve" -> ((s, d) => PqIndexStore.ensure(s, d)),
     "q92_pq_serve_batch" -> ((s, d) => PqIndexStore.ensure(s, d)),
@@ -3548,5 +3574,13 @@ object SparkEntry {
       """SELECT l_partkey, count(*)::BIGINT AS n, sum(l_quantity) AS sum_v,
         |  min(l_quantity) AS min_v, max(l_quantity) AS max_v
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Factor values are training floats (q34 pattern): the oracle pins
+    // the query-user count; ranking/coverage/no-seen are earned in-plan.
+    "q129_als_serve" ->
+      """SELECT (SELECT count(DISTINCT o_custkey) FROM orders
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE o_custkey < 50)::BIGINT AS n_users,
+        |  true AS rows_ok, true AS sorted_ok, true AS unseen_ok""".stripMargin,
   )
 }

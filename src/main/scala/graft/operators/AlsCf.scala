@@ -63,4 +63,85 @@ object AlsCf {
       .select(col("n_train"), col("n_test"), col("n_eval"),
         (col("__ra") < lit(margin) * col("__rb")).as("als_beats_baseline"))
   }
+
+  /** Build-once/serve-many factor store (the IvfIndexStore discipline
+    * for the factorization arm): train ALS once per corpus dir, persist
+    * user/item factor tables, serve top-N forever after without
+    * touching the trainer. */
+  object Store {
+    private val LayoutVersion = "v1"
+
+    def root(sfDir: String): String = {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val src = new java.io.File(s"$sfDir/lineitem.parquet")
+      val fp = s"${src.length()}-${src.lastModified()}"
+      s"${System.getProperty("java.io.tmpdir")}/graft-als-$LayoutVersion-$tag-$fp"
+    }
+    private def donePath(sfDir: String) = s"${root(sfDir)}/_BUILT"
+
+    /** The q114 interaction set + planted rating over a corpus dir. */
+    def ratings(spark: org.apache.spark.sql.SparkSession,
+                sfDir: String): DataFrame = {
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val or = graft.sources.Tables.orders(spark, sfDir)
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .distinct()
+        .withColumn("rating",
+          (col("user") % 7 + col("item") % 5 + lit(1)).cast("double"))
+    }
+
+    def ensure(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String): Unit = synchronized {
+      if (new java.io.File(donePath(sfDir)).exists()) return
+      val r = ratings(spark, sfDir)
+        .select(col("user").cast("int").as("user"),
+          col("item").cast("int").as("item"),
+          col("rating").cast("float").as("rating"))
+      val model = new ALS().setRank(8).setMaxIter(8).setRegParam(0.1)
+        .setSeed(42L).setUserCol("user").setItemCol("item")
+        .setRatingCol("rating").fit(r)
+      model.userFactors.write.mode("overwrite")
+        .parquet(s"${root(sfDir)}/user_factors")
+      model.itemFactors.write.mode("overwrite")
+        .parquet(s"${root(sfDir)}/item_factors")
+      new java.io.File(donePath(sfDir)).createNewFile()
+    }
+
+    def userFactors(spark: org.apache.spark.sql.SparkSession,
+                    sfDir: String): DataFrame =
+      spark.read.parquet(s"${root(sfDir)}/user_factors")
+    def itemFactors(spark: org.apache.spark.sql.SparkSession,
+                    sfDir: String): DataFrame =
+      spark.read.parquet(s"${root(sfDir)}/item_factors")
+  }
+
+  /** Serve top-k items per user from the persisted factors: broadcast
+    * the (small) query-user factor rows against the item-factor table,
+    * score with a codegen'd zip_with dot product, rank per user, and
+    * anti-join out already-seen interactions. At catalog scale this is
+    * the standard factored-retrieval shape: cost |users|·|items|·rank
+    * with the item side streaming — or swap the scoring join for the
+    * IVF path by indexing item factors like any other embedding table.
+    *
+    * @return (user, item, score, rnk) — rnk 1..k by (score DESC, item).
+    */
+  def serveTopN(users: DataFrame, userF: DataFrame, itemF: DataFrame,
+                seen: DataFrame, k: Int): DataFrame = {
+    val uf = userF.join(users.select(col("user").as("id")).hint("broadcast"),
+      Seq("id"), "left_semi")
+      .select(col("id").as("user"), col("features").as("__uf"))
+    val score = itemF.select(col("id").as("item"), col("features").as("__if"))
+      .join(uf.hint("broadcast"))
+      .withColumn("score", aggregate(
+        zip_with(col("__uf"), col("__if"),
+          (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .join(seen.select(col("user"), col("item")), Seq("user", "item"),
+        "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user")
+      .orderBy(col("score").desc, col("item").asc)
+    score.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("user"), col("item"), col("score"), col("rnk"))
+  }
 }

@@ -37,6 +37,27 @@ class AlsCfSpec extends SparkTestBase {
       && a.getLong(2) == b.getLong(2))
   }
 
+  test("serveTopN: factor dot products rank, seen items excluded") {
+    // hand-planted rank-2 factors: user 1 aligned with items 10/11,
+    // user 2 with item 20; item 11 already seen by user 1
+    val uf = Seq((1, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 1.0f)))
+      .toDF("id", "features")
+    val itf = Seq((10, Seq(0.9f, 0.0f)), (11, Seq(0.8f, 0.0f)),
+      (20, Seq(0.0f, 0.7f)), (21, Seq(0.1f, 0.1f)))
+      .toDF("id", "features")
+    val users = Seq(1, 2).toDF("user")
+    val seen = Seq((1, 11)).toDF("user", "item")
+    val out = AlsCf.serveTopN(users, uf, itf, seen, 2).collect()
+      .groupBy(_.getInt(0))
+    val u1 = out(1).sortBy(_.getInt(3)).map(_.getInt(1)).toSeq
+    assert(u1 == Seq(10, 21)) // 11 excluded as seen; 0.9 > 0.1 > 0.0(20)... k=2
+    val u2 = out(2).sortBy(_.getInt(3)).map(_.getInt(1)).toSeq
+    assert(u2 == Seq(20, 21)) // 0.7 > 0.1 > 0
+    // scores are the exact dot products
+    val s10 = out(1).find(_.getInt(1) == 10).get.getDouble(2)
+    assert(math.abs(s10 - 0.9) < 1e-6)
+  }
+
   test("cold-start pairs are dropped from eval, not scored as NaN") {
     // items 90..99 appear ONLY in rows whose hash bucket lands in test:
     // force it by constructing a train-only item set vs a test-only item.
