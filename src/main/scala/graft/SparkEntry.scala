@@ -1788,6 +1788,51 @@ object SparkEntry {
           (col("__seen_cnt") === 0).as("unseen_ok"))
     }),
 
+    // --- LSH sketch-quality audit (candidates vs exact Jaccard) -----------
+    // The audit that justifies trusting MinHash at 100 TB where the
+    // exact join is unaffordable: precision/recall of the band-bucket
+    // candidates against the exact n-gram Jaccard pairs at τ=0.2, every
+    // count an exact integer, one division per metric.
+    "q130_lsh_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccard(docs, 3, 0.2, maxDf = 1000)
+        .select(col("a"), col("b")).withColumn("__e", lit(1))
+      val cand = Dedup.minhashCandidates(docs, 3, 16, 8)
+        .select(col("a"), col("b")).withColumn("__c", lit(1))
+      exact.join(cand, Seq("a", "b"), "full_outer")
+        .agg(sum(coalesce(col("__e"), lit(0))).as("n_exact"),
+          sum(coalesce(col("__c"), lit(0))).as("n_cand"),
+          sum(when(col("__e") === 1 && col("__c") === 1, 1).otherwise(0))
+            .as("n_hit"))
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
+    // --- star-schema denormalization (ETL flatten) ------------------------
+    // The warehouse flatten: bucketed fact-fact join on orderkey (zero
+    // fact shuffle) + broadcast joins for every dimension.
+    "q131_star_flatten" -> ((s, d) => {
+      val li = graft.sources.BucketedStore.lineitem(s, d)
+      val or = graft.sources.BucketedStore.orders(s, d)
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("o_orderpriority"), col("c_mktsegment"), col("n_name"),
+          col("r_name"), col("p_brand"), col("p_type"), col("s_name"))
+    }),
+
     // --- incremental aggregate maintenance (merge ≡ recompute) ------------
     // Spark serves the MERGE of two disjoint partitions' summaries; the
     // oracle recomputes from the full fact table. Hash-match proves the
@@ -1822,6 +1867,7 @@ object SparkEntry {
     "q81_pq_serve" -> ((s, d) => PqIndexStore.ensure(s, d)),
     "q92_pq_serve_batch" -> ((s, d) => PqIndexStore.ensure(s, d)),
     "q99_bucket_join" -> ((s, d) => graft.sources.BucketedStore.ensure(s, d)),
+    "q131_star_flatten" -> ((s, d) => graft.sources.BucketedStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3582,5 +3628,45 @@ object SparkEntry {
         |    JOIN lineitem ON l_orderkey = o_orderkey
         |    WHERE o_custkey < 50)::BIGINT AS n_users,
         |  true AS rows_ok, true AS sorted_ok, true AS unseen_ok""".stripMargin,
+
+    // Exact pairs at τ=0.2 (the q14 chain) vs band-bucket candidates
+    // (the q15 chain); INTERSECT of distinct pair sets, one division
+    // per metric.
+    "q130_lsh_quality" ->
+      s"""WITH $toksCte,
+        |$shCte,
+        |cards AS (SELECT doc_id, len(s)::BIGINT AS card FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |p1 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |      FROM inv x JOIN inv y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |ex AS (SELECT a, b FROM p1
+        |  JOIN cards ca ON p1.a = ca.doc_id JOIN cards cb ON p1.b = cb.doc_id
+        |  WHERE inter::DOUBLE / (ca.card + cb.card - inter)::DOUBLE >= 0.2),
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+        |    list_min(list_transform(s, x ->
+        |      (((j * 2654435761) % 2147483647 + 1) * (cast('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)
+        |        + ((j * 40503 + 11) % 2147483647)) % 2147483647))) AS sg
+        |  FROM sh WHERE len(s) > 0),
+        |keyed AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, 8), b -> b || ':' || array_to_string(sg[b*2+1:b*2+2], ','))) AS band_key
+        |  FROM sig),
+        |cd AS (SELECT x.doc_id AS a, y.doc_id AS b FROM keyed x
+        |  JOIN keyed y USING (band_key) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |cnt AS (SELECT (SELECT count(*) FROM ex) AS ne,
+        |  (SELECT count(*) FROM cd) AS nc,
+        |  (SELECT count(*) FROM (SELECT * FROM cd INTERSECT SELECT * FROM ex)) AS nh)
+        |SELECT ne::BIGINT AS n_exact, nc::BIGINT AS n_cand, nh::BIGINT AS n_hit,
+        |  nh::DOUBLE / nc::DOUBLE AS precision, nh::DOUBLE / ne::DOUBLE AS recall
+        |FROM cnt""".stripMargin,
+
+    "q131_star_flatten" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority,
+        |  c_mktsegment, n_name, r_name, p_brand, p_type, s_name
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
   )
 }
