@@ -1833,6 +1833,24 @@ object SparkEntry {
           col("r_name"), col("p_brand"), col("p_type"), col("s_name"))
     }),
 
+    // --- CUPED variance-reduced A/B readout -------------------------------
+    // Hash-assigned arms over event users; pre-period (Jan 1-14) value
+    // sums are the covariate, post-period the metric. Per-event values
+    // snap to cents BEFORE summing, so every sufficient statistic is an
+    // exact integer and θ/x̄/means are a fixed handful of double ops.
+    "q132_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val cents = floor(col("value") * lit(100) + lit(0.5)).cast("long")
+      val perUnit = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          pmod(graft.functions.TextFunctions.hash60(
+            concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+            .as("arm"))
+        .agg(sum(when(col("ts") < cut, cents).otherwise(lit(0L))).as("xs"),
+          sum(when(col("ts") >= cut, cents).otherwise(lit(0L))).as("ys"))
+      Experiment.cuped(perUnit, 100.0)
+    }),
+
     // --- incremental aggregate maintenance (merge ≡ recompute) ------------
     // Spark serves the MERGE of two disjoint partitions' summaries; the
     // oracle recomputes from the full fact table. Hash-match proves the
@@ -3668,5 +3686,28 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q132_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15)
+        |      AS BIGINT) % 2 AS arm,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |      THEN floor(value * 100 + 0.5::DOUBLE)::BIGINT ELSE 0 END) AS xs,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |      THEN floor(value * 100 + 0.5::DOUBLE)::BIGINT ELSE 0 END) AS ys
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT count(*)::HUGEINT AS n, sum(xs::HUGEINT) AS sx,
+        |  sum(ys::HUGEINT) AS sy, sum((xs*xs)::HUGEINT) AS sxx,
+        |  sum((xs*ys)::HUGEINT) AS sxy FROM pu),
+        |th AS (SELECT (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS theta,
+        |  sx::DOUBLE / n::DOUBLE AS xbar FROM g),
+        |a AS (SELECT arm, count(*)::BIGINT AS n_units, sum(xs)::BIGINT AS sax,
+        |  sum(ys)::BIGINT AS say FROM pu GROUP BY 1)
+        |SELECT arm, n_units,
+        |  (say::DOUBLE / n_units::DOUBLE) / 100.0::DOUBLE AS mean_y,
+        |  ((say::DOUBLE / n_units::DOUBLE) - th.theta *
+        |    ((sax::DOUBLE / n_units::DOUBLE) - th.xbar)) / 100.0::DOUBLE AS adj_mean,
+        |  th.theta AS theta
+        |FROM a CROSS JOIN th""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** CUPED adjustment semantics on hand-computed sufficient statistics. */
+class ExperimentSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("cuped: hand-computed theta and adjusted means") {
+    // y = 2x + arm: theta = 2.2, xbar = 2.5 (see the sums below)
+    val pu = Seq((0L, 1L, 2L), (0L, 3L, 6L), (1L, 2L, 5L), (1L, 4L, 9L))
+      .toDF("arm", "xs", "ys")
+    val out = Experiment.cuped(pu, 1.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // n=4, sx=10, sy=22, sxx=30, sxy=66 -> theta = 44/20, xbar = 2.5
+    val theta = 44.0 / 20.0
+    assert(out(0L).getDouble(4) == theta)
+    assert(out(0L).getDouble(2) == 4.0)                     // mean_y arm 0
+    assert(out(0L).getDouble(3) == 4.0 - theta * (2.0 - 2.5)) // 5.1
+    assert(out(1L).getDouble(2) == 7.0)
+    assert(out(1L).getDouble(3) == 7.0 - theta * (3.0 - 2.5)) // 5.9
+  }
+
+  test("cuped shrinks the covariate-driven gap between arms") {
+    // both arms share y ≈ 3x (pure covariate effect, NO real treatment):
+    // raw means differ because arm 1 happens to get high-x users; the
+    // adjusted means must land (exactly) on top of each other
+    val pu = Seq((0L, 1L, 3L), (0L, 2L, 6L), (1L, 3L, 9L), (1L, 4L, 12L))
+      .toDF("arm", "xs", "ys")
+    val out = Experiment.cuped(pu, 1.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rawGap = out(1L).getDouble(2) - out(0L).getDouble(2)
+    val adjGap = out(1L).getDouble(3) - out(0L).getDouble(3)
+    assert(rawGap == 6.0)
+    assert(math.abs(adjGap) < 1e-12, s"pure-covariate gap must vanish, got $adjGap")
+  }
+
+  test("cuped is partition-invariant (decimal statistics)") {
+    val pu = (1 to 400).map(i =>
+      ((i % 2).toLong, (i % 37).toLong, (2 * (i % 37) + i % 3).toLong))
+      .toDF("arm", "xs", "ys")
+    val a = Experiment.cuped(pu.repartition(1)).collect().map(_.toString).sorted
+    val b = Experiment.cuped(pu.repartition(11)).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
