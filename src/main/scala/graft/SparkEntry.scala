@@ -1833,6 +1833,22 @@ object SparkEntry {
           col("r_name"), col("p_brand"), col("p_type"), col("s_name"))
     }),
 
+    // --- Naive Bayes language classifier (training = relational algebra) --
+    // The model is two count tables, training one groupBy over the 80%
+    // hash split, inference a token⋈model join with fixed-point log
+    // sums; predictions replay bit-exactly on any engine.
+    "q133_naive_bayes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("nb:"), col("doc_id").cast("string"))), lit(5L))
+      NaiveBayes.classify(docs.where(bucket =!= 0), docs.where(bucket === 0),
+        "doc_id", "text", "lang")
+    }),
+
+    // --- Johnson-Lindenstrauss random projection (64→16, all-integer) -----
+    "q134_jl_project" -> ((s, d) =>
+      Pca.jlProject(Tables.embeddings(s, d), "vec_id", "embedding", 64, 16)),
+
     // --- CUPED variance-reduced A/B readout -------------------------------
     // Hash-assigned arms over event users; pre-period (Jan 1-14) value
     // sums are the covariate, post-period the metric. Per-event values
@@ -3686,6 +3702,60 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    // Training counts are exact integers; each Laplace log-likelihood is
+    // one ln on an integer-derived ratio, snapped to 1e-9 before the
+    // per-doc sum (the q85 ln-parity discipline); argmax ties on cls.
+    "q133_naive_bayes" ->
+      """WITH b AS (SELECT doc_id, text, lang,
+        |    CAST('0x' || substr(md5('nb:' || doc_id::VARCHAR), 1, 15)
+        |      AS BIGINT) % 5 AS bk FROM documents),
+        |trn AS (SELECT * FROM b WHERE bk != 0),
+        |tst AS (SELECT * FROM b WHERE bk = 0),
+        |ttk AS (SELECT lang AS cls,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok FROM trn),
+        |cnt AS (SELECT cls, tok, count(*)::BIGINT AS c FROM ttk GROUP BY 1, 2),
+        |tt AS (SELECT cls, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM cnt),
+        |pri AS (SELECT lang AS cls, count(*)::BIGINT AS nd FROM trn GROUP BY 1),
+        |nt AS (SELECT count(*)::BIGINT AS ntot FROM trn),
+        |cc AS (SELECT p.cls, tt.t, vv.v,
+        |    floor(ln(p.nd::DOUBLE / nt.ntot::DOUBLE) * 1e9
+        |      + 0.5::DOUBLE)::BIGINT AS prior_n
+        |  FROM pri p JOIN tt USING (cls) CROSS JOIN vv CROSS JOIN nt),
+        |stk AS (SELECT doc_id, lang AS actual,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok FROM tst),
+        |sc AS (SELECT k.doc_id, k.actual, cc.cls,
+        |    floor(ln((coalesce(c.c, 0) + 1)::DOUBLE / (cc.t + cc.v)::DOUBLE)
+        |      * 1e9 + 0.5::DOUBLE)::BIGINT AS ll_n
+        |  FROM stk k CROSS JOIN cc
+        |  LEFT JOIN cnt c ON c.cls = cc.cls AND c.tok = k.tok),
+        |ds AS (SELECT doc_id, actual, cls, sum(ll_n)::BIGINT AS ll
+        |  FROM sc GROUP BY 1, 2, 3),
+        |fin AS (SELECT ds.doc_id, ds.actual, ds.cls,
+        |    row_number() OVER (PARTITION BY ds.doc_id
+        |      ORDER BY ds.ll + c2.prior_n DESC, ds.cls) AS rn
+        |  FROM ds JOIN cc c2 ON ds.cls = c2.cls)
+        |SELECT doc_id, cls AS pred, actual, cls = actual AS correct
+        |FROM fin WHERE rn = 1""".stripMargin,
+
+    // The ±1 matrix regenerates from md5('jl:c:d'); on the snapped grid
+    // the projection is all-integer arithmetic.
+    "q134_jl_project" -> {
+      val comps = (0 until 16).map { c =>
+        s"""  list_sum(list_transform(range(0, 64), d -> f[d + 1] *
+           |    (CASE WHEN CAST('0x' || substr(md5('jl:$c:' || d::VARCHAR), 1, 15)
+           |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)))::BIGINT AS rp$c""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> floor(x * 1000000.0 + 0.5::DOUBLE)::BIGINT) AS f
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |$comps
+        |FROM e""".stripMargin
+    },
 
     "q132_cuped" ->
       """WITH pu AS (SELECT user_id,

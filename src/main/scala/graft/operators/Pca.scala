@@ -80,6 +80,40 @@ object Pca {
     emb.select(col(idCol) +: cols.toIndexedSeq: _*)
   }
 
+  /** Johnson-Lindenstrauss random projection — the DATA-INDEPENDENT
+    * dimensionality reduction (vs PCA's fitted one): a seeded ±1 sign
+    * matrix (Achlioptas, PODS'01) whose entries derive from the shared
+    * md5 hash, so the "random" matrix is a pure function of (c, d) that
+    * any engine regenerates. On the 1e-6 snapped grid the projection is
+    * ALL-INTEGER arithmetic — exact, partition-invariant, oracle-
+    * replayable — and needs no training pass at all: one map-side scan,
+    * zero shuffles, zero driver state.
+    *
+    * @return (idCol, rp0..rp{dimOut-1}) — long components on the
+    *         snapped grid (divide by `scale` for real units).
+    */
+  def jlProject(emb: DataFrame, idCol: String, embCol: String,
+                dimIn: Int, dimOut: Int, scale: Double = 1e6): DataFrame = {
+    val cols = (0 until dimOut).map { c =>
+      (0 until dimIn).map { d =>
+        val s = jlSign(c, d)
+        floor(col(embCol)(d) * lit(scale) + lit(0.5)).cast("long") *
+          lit(s.toLong)
+      }.reduce(_ + _).as(s"rp$c")
+    }
+    emb.select(col(idCol) +: cols: _*)
+  }
+
+  /** ±1 from the engine-shared md5-based hash60 of "jl:c:d" — the same
+    * value `cast('0x' || substr(md5(s),1,15) as bigint) % 2` yields in
+    * SQL, so the oracle regenerates the identical matrix. */
+  def jlSign(c: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$c:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
   /** One-row digest for the full fit+project pipeline. Driver-checked:
     * component orthonormality and eigenvalue ordering; in-plan: row
     * preservation and Bessel's inequality (mean ‖proj‖² ≤ mean ‖x‖² —

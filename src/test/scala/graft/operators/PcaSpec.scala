@@ -57,6 +57,30 @@ class PcaSpec extends SparkTestBase {
     assert(r.getBoolean(5), "bessel_ok")
   }
 
+  test("jlProject: deterministic signs, distances roughly preserved") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextGaussian() * 0.1))).toDF("vec_id", "embedding")
+    val out = Pca.jlProject(df, "vec_id", "embedding", 32, 16)
+    val a = out.collect().map(_.toString).sorted
+    val b = Pca.jlProject(df.repartition(5), "vec_id", "embedding", 32, 16)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b)) // pure function of input, integer arithmetic
+    // JL with ±1 signs preserves squared norms in expectation:
+    // E‖Rx‖² = dimOut·‖x‖². Check the ratio is within 2x on average.
+    val rows = out.collect()
+    val src = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).map(v => math.floor(v * 1e6 + 0.5)).toArray).toMap
+    val ratios = rows.map { r =>
+      val pn = (1 to 16).map(c => math.pow(r.getLong(c).toDouble, 2)).sum
+      val xn = src(r.getLong(0)).map(v => v * v).sum
+      pn / (16.0 * xn)
+    }
+    val meanRatio = ratios.sum / ratios.length
+    assert(meanRatio > 0.5 && meanRatio < 2.0,
+      s"norm preservation off: $meanRatio")
+  }
+
   test("project: k=dim orthonormal basis preserves norms (rotation)") {
     val (comps, _, _) = Pca.fitComponents(planted, "embedding", 2, 2)
     val proj = Pca.project(planted, "vec_id", "embedding", comps)
