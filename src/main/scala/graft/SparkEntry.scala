@@ -1849,6 +1849,29 @@ object SparkEntry {
     "q134_jl_project" -> ((s, d) =>
       Pca.jlProject(Tables.embeddings(s, d), "vec_id", "embedding", 64, 16)),
 
+    // --- training-feature-matrix capstone ---------------------------------
+    // The assembled per-order training row a downstream trainer reads:
+    // leakage-safe target encoding (q118's operator), per-segment price
+    // decile (exact ntile), basket size, binary label. One composition,
+    // fully oracle-replayed.
+    "q135_feature_matrix" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
+          (col("o_orderstatus") === "F").cast("int").as("label"))
+      val te = FeaturePrep.targetEncode(base, "o_orderkey", "c_mktsegment",
+        "label", 5, 10.0).select(col("o_orderkey"), col("te"))
+      val items = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      base.join(te, Seq("o_orderkey"))
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("price_bin", ntile(10).over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("te"),
+          col("price_bin"), col("n_items"), col("label"))
+    }),
+
     // --- CUPED variance-reduced A/B readout -------------------------------
     // Hash-assigned arms over event users; pre-period (Jan 1-14) value
     // sums are the covariate, post-period the metric. Per-event values
@@ -3756,6 +3779,29 @@ object SparkEntry {
         |$comps
         |FROM e""".stripMargin
     },
+
+    "q135_feature_matrix" ->
+      """WITH base AS (SELECT o_orderkey AS k, c_mktsegment AS cat,
+        |    o_totalprice, (o_orderstatus = 'F')::BIGINT AS y,
+        |    CAST('0x' || substr(md5('te:' || o_orderkey::VARCHAR), 1, 15)
+        |      AS BIGINT) % 5 AS fold
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pf AS (SELECT cat, fold, sum(y)::BIGINT AS fs, count(*)::BIGINT AS fc
+        |  FROM base GROUP BY 1, 2),
+        |pc AS (SELECT cat, sum(fs)::BIGINT AS ts, sum(fc)::BIGINT AS tc
+        |  FROM pf GROUP BY 1),
+        |pr AS (SELECT sum(y)::DOUBLE / count(*)::DOUBLE AS mu FROM base),
+        |it AS (SELECT l_orderkey, count(*)::BIGINT AS n_items
+        |  FROM lineitem GROUP BY 1)
+        |SELECT b.k AS o_orderkey, b.cat AS c_mktsegment,
+        |  ((pc.ts - pf.fs)::DOUBLE + 10.0::DOUBLE * pr.mu) /
+        |    ((pc.tc - pf.fc)::DOUBLE + 10.0::DOUBLE) AS te,
+        |  ntile(10) OVER (PARTITION BY b.cat
+        |    ORDER BY b.o_totalprice, b.k) AS price_bin,
+        |  it.n_items, b.y::INT AS label
+        |FROM base b JOIN pf ON b.cat = pf.cat AND b.fold = pf.fold
+        |JOIN pc ON b.cat = pc.cat CROSS JOIN pr
+        |JOIN it ON b.k = it.l_orderkey""".stripMargin,
 
     "q132_cuped" ->
       """WITH pu AS (SELECT user_id,
