@@ -3587,7 +3587,7 @@ object SparkEntry {
         |ct AS (SELECT lab, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
         |n AS (SELECT sum(o)::BIGINT AS n FROM o),
         |ce AS (SELECT o.cat, o.lab, o.o,
-        |    (rt.rt * ct.ct)::DOUBLE / n.n::DOUBLE AS e
+        |    (rt.rt::HUGEINT * ct.ct::HUGEINT)::DOUBLE / n.n::DOUBLE AS e
         |  FROM o JOIN rt USING (cat) JOIN ct USING (lab) CROSS JOIN n),
         |cc AS (SELECT cat, lab, o, e,
         |    floor((o::DOUBLE - e) * (o::DOUBLE - e) / e * 1e9

@@ -161,7 +161,11 @@ object DataQuality {
     val cells = o.join(broadcast(rowT), Seq(catCol))
       .join(broadcast(colT), Seq(labelCol))
       .crossJoin(broadcast(tot))
-      .withColumn("e", (col("__rt") * col("__ct")).cast("double") /
+      // margins widen to decimal BEFORE the product: two long row/col
+      // totals can each reach ~1e12 at full scale, and their long
+      // product would wrap silently
+      .withColumn("e", (col("__rt").cast("decimal(38,0)") *
+        col("__ct").cast("decimal(38,0)")).cast("double") /
         col("__n").cast("double"))
       .withColumn("__c",
         floor((col("o").cast("double") - col("e")) *
