@@ -1769,8 +1769,12 @@ object SparkEntry {
     // user factors × streamed item factors, zip_with dot product,
     // per-user window, seen-item anti-join) — gated by in-plan contracts.
     "q129_als_serve" -> ((s, d) => {
-      val inter = AlsCf.Store.ratings(s, d).select(col("user"), col("item"))
-      val users = inter.select("user").distinct().where(col("user") < 50)
+      // user filter FIRST: o_custkey < 50 pushes into the orders scan,
+      // so serve-time work scales with the query users, not the corpus
+      // (seen-item exclusion only needs THESE users' interactions)
+      val inter = AlsCf.Store.ratings(s, d).where(col("user") < 50)
+        .select(col("user"), col("item")).localCheckpoint()
+      val users = inter.select("user").distinct()
       val served = AlsCf.serveTopN(users,
         AlsCf.Store.userFactors(s, d), AlsCf.Store.itemFactors(s, d),
         inter, 10)

@@ -81,22 +81,36 @@ object GraphMetrics {
     *         subgraph — plus constant `converged`.
     */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    // iterate on a SHRINKING edge frame: restricting the full sym edge
+    // set against the survivor nodes every round costs the same per
+    // round forever; filtering the previous round's alive edges makes
+    // round t cost proportional to what survived round t-1
+    var alive = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    def degrees(nodes: DataFrame): DataFrame = sym
-      .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    var nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var edgeCount = alive.count()
     var i = 0
-    while (i < rounds) {
-      nodes = degrees(nodes).where(col("deg") >= k).select("node")
-      if (i % 3 == 2) nodes = nodes.localCheckpoint()
+    var fixed = false
+    while (i < rounds && !fixed) {
+      val keep = alive.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node")
+      alive = alive
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint() // eager: also feeds the fixpoint probe
+      val c = alive.count()
+      // removing any node removes its edges, so an unchanged edge count
+      // IS the fixpoint — remaining rounds would be no-ops (this is why
+      // early exit cannot change the fixed-round oracle's answer)
+      fixed = c == edgeCount
+      edgeCount = c
       i += 1
     }
     // materialize once: the degree frame feeds both the output and the
     // convergence probe (and the loop's lineage ends here anyway)
-    val d = degrees(nodes).localCheckpoint()
+    val d = alive.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
     // converged iff one more peel would remove nothing
     val stable = d.agg(
       (count(lit(1)) === coalesce(sum(when(col("deg") >= k, 1)), lit(0)))

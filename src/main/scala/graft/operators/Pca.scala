@@ -21,31 +21,62 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+  /** One partition's exact Gram partials: row count, first moments,
+    * upper-triangle second moments — all longs. */
+  final case class GramPartial(n: Long, s: Array[Long], p: Array[Long])
 
   /** Exact upper-triangle covariance sufficient statistics:
     * one row per dim pair (i ≤ j): (i, j, n, s_i, s_j, s_ij, cov) with
-    * cov = (n·Σxy − ΣxΣy) / (n·(n−1)) on the snapped grid. */
+    * cov = (n·Σxy − ΣxΣy) / (n·(n−1)) on the snapped grid.
+    *
+    * Shape: a per-partition Gram ACCUMULATION (the RowMatrix/treeAggregate
+    * classic) rather than a d(d+1)/2-column wide aggregate — at d = 64
+    * the wide form is 2 145 aggregate expressions, which costs tens of
+    * seconds of optimizer/codegen time before a single row moves; the
+    * imperative per-partition loop is the textbook justification for
+    * dropping below the DataFrame API. Partials are exact longs (safe
+    * for ≤ ~7·10⁷ rows/partition at |x|·scale ≤ 3.5·10⁵ — size
+    * partitions accordingly), merged in BigInt so the global sums stay
+    * exact at ANY row count. Integer adds in any order ⇒ partition-
+    * invariant, oracle-replayable. */
   def covarianceStats(emb: DataFrame, embCol: String, dim: Int,
                       scale: Double = 1e6): DataFrame = {
-    val snapped = emb.select((0 until dim).map(i =>
-      floor(col(embCol)(i) * lit(scale) + lit(0.5)).cast("long").as(s"f$i")): _*)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nPairs = dim * (dim + 1) / 2
+    val partials = emb.select(col(embCol).cast("array<double>")).as[Seq[Double]]
+      .mapPartitions { rows =>
+        var n = 0L
+        val s = new Array[Long](dim)
+        val p = new Array[Long](nPairs)
+        val f = new Array[Long](dim)
+        rows.foreach { v =>
+          var i = 0
+          while (i < dim) {
+            f(i) = math.floor(v(i) * scale + 0.5).toLong; s(i) += f(i); i += 1
+          }
+          n += 1
+          var k = 0; i = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) { p(k) += f(i) * f(j); k += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator.single(GramPartial(n, s, p))
+      }.collect()
+    // BigInt merge: exact at any total row count
+    val n = BigInt(partials.map(_.n).sum)
+    val s = Array.tabulate(dim)(i => partials.map(g => BigInt(g.s(i))).sum)
+    val p = Array.tabulate(nPairs)(k => partials.map(g => BigInt(g.p(k))).sum)
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-    val aggs = (0 until dim).map(i => sum(dec(col(s"f$i"))).as(s"s$i")) ++
-      pairs.map { case (i, j) =>
-        sum(dec(col(s"f$i") * col(s"f$j"))).as(s"p${i}_$j") }
-    val wide = snapped.agg(dec(count(lit(1))).as("n"), aggs: _*)
-    val rows = pairs.map { case (i, j) =>
-      struct(lit(i).as("i"), lit(j).as("j"),
-        col("n").cast("long").as("n"),
-        col(s"s$i").cast("long").as("s_i"),
-        col(s"s$j").cast("long").as("s_j"),
-        col(s"p${i}_$j").cast("long").as("s_ij"),
-        ((col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j"))
-          .cast("double") /
-          (col("n") * (col("n") - lit(1))).cast("double")).as("cov"))
+    val out = pairs.zipWithIndex.map { case ((i, j), k) =>
+      val cov =
+        if (n < 2) 0.0
+        else ((n * p(k) - s(i) * s(j)).toDouble / (n * (n - 1)).toDouble)
+      (i, j, n.toLong, s(i).toLong, s(j).toLong, p(k).toLong, cov)
     }
-    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+    spark.createDataFrame(out).toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov")
   }
 
   /** Top-k principal components of the snapped-grid covariance,
