@@ -1853,6 +1853,26 @@ object SparkEntry {
     "q134_jl_project" -> ((s, d) =>
       Pca.jlProject(Tables.embeddings(s, d), "vec_id", "embedding", 64, 16)),
 
+    // --- declarative data-contract suite ----------------------------------
+    // The expectation run a pipeline gates promotion on: each declared
+    // check becomes one aggregate; the report is exact violation counts.
+    // The FK check intentionally FAILS on this corpus (planted orphans,
+    // same ground truth q104 audits).
+    "q136_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val or = Tables.orders(s, d)
+      val cu = Tables.customer(s, d)
+      Expectations.run(Seq(
+        Expectations.NotNull("customer_name_not_null", cu, "c_name"),
+        Expectations.UniqueKey("orders_pk", or, Seq("o_orderkey")),
+        Expectations.UniqueKey("lineitem_pk", li,
+          Seq("l_orderkey", "l_linenumber")),
+        Expectations.InRange("quantity_1_50", li, "l_quantity", 1, 50),
+        Expectations.Accepted("status_domain", or, "o_orderstatus",
+          Seq("F", "O", "P")),
+        Expectations.Ref("orders_customer_fk", or, "o_custkey",
+          cu, "c_custkey")))
+    }),
+
     // --- training-feature-matrix capstone ---------------------------------
     // The assembled per-order training row a downstream trainer reads:
     // leakage-safe target encoding (q118's operator), per-segment price
@@ -3783,6 +3803,38 @@ object SparkEntry {
         |$comps
         |FROM e""".stripMargin
     },
+
+    "q136_expectations" ->
+      """SELECT 'customer_name_not_null' AS check_name,
+        |  (SELECT count(*) FROM customer)::BIGINT AS n_rows,
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL)::BIGINT AS n_violations,
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL) = 0 AS pass
+        |UNION ALL
+        |SELECT 'orders_pk', (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)::BIGINT,
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0
+        |UNION ALL
+        |SELECT 'lineitem_pk', (SELECT count(*) FROM lineitem)::BIGINT,
+        |  (SELECT count(*) FROM lineitem)::BIGINT -
+        |    (SELECT count(*) FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber))::BIGINT,
+        |  (SELECT count(*) FROM lineitem) =
+        |    (SELECT count(*) FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber))
+        |UNION ALL
+        |SELECT 'quantity_1_50', (SELECT count(*) FROM lineitem)::BIGINT,
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)::BIGINT,
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
+        |UNION ALL
+        |SELECT 'status_domain', (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM orders
+        |    WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P'))::BIGINT,
+        |  (SELECT count(*) FROM orders
+        |    WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+        |UNION ALL
+        |SELECT 'orders_customer_fk', (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM orders ANTI JOIN customer ON o_custkey = c_custkey)::BIGINT,
+        |  (SELECT count(*) FROM orders ANTI JOIN customer ON o_custkey = c_custkey) = 0""".stripMargin,
 
     "q135_feature_matrix" ->
       """WITH base AS (SELECT o_orderkey AS k, c_mktsegment AS cat,
