@@ -1853,6 +1853,19 @@ object SparkEntry {
     "q134_jl_project" -> ((s, d) =>
       Pca.jlProject(Tables.embeddings(s, d), "vec_id", "embedding", 64, 16)),
 
+    // --- team-draft interleaving (online ranker A/B) ----------------------
+    // One merged list per query from the content and CF rankers; each
+    // slot remembers which team drafted it. Ranks and tie coins are
+    // deterministic, so the draft replays exactly (unrolled oracle).
+    "q137_team_draft" -> ((s, d) => {
+      val q = queryVecs(s, d)
+      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 10)
+        .select(col("query_id"), col("vec_id").as("item"), col("rnk"))
+      val cf = coLabelCf(s, d, q).where(col("rnk") <= 10)
+        .select(col("src").as("query_id"), col("dst").as("item"), col("rnk"))
+      Rerank.teamDraft(content, cf, 8)
+    }),
+
     // --- declarative data-contract suite ----------------------------------
     // The expectation run a pipeline gates promotion on: each declared
     // check becomes one aggregate; the report is exact violation counts.
@@ -3802,6 +3815,61 @@ object SparkEntry {
         |SELECT vec_id,
         |$comps
         |FROM e""".stripMargin
+    },
+
+    // The draft unrolled to 8 slots (MMR/q94 pattern): stage i computes
+    // each query's available head of both lists (anti-join vs picks so
+    // far), resolves team preference from pick counts + the md5 coin,
+    // and falls back to the other team on an exhausted pool.
+    "q137_team_draft" -> {
+      val stages = (1 to 8).map { i =>
+        s"""aA$i AS (SELECT l.query_id, l.item FROM listA l
+           |  ANTI JOIN sel${i - 1} s ON l.query_id = s.query_id AND l.item = s.item
+           |  QUALIFY row_number() OVER (PARTITION BY l.query_id ORDER BY l.rr) = 1),
+           |bB$i AS (SELECT l.query_id, l.item FROM listB l
+           |  ANTI JOIN sel${i - 1} s ON l.query_id = s.query_id AND l.item = s.item
+           |  QUALIFY row_number() OVER (PARTITION BY l.query_id ORDER BY l.rr) = 1),
+           |pk$i AS MATERIALIZED (SELECT query_id, $i AS pos,
+           |    CASE WHEN pick_a THEN a_item ELSE b_item END AS item,
+           |    CASE WHEN pick_a THEN 'A' ELSE 'B' END AS team, pick_a
+           |  FROM (SELECT s.query_id,
+           |      CASE WHEN (CASE WHEN s.ca < s.cb THEN 0
+           |                      WHEN s.cb < s.ca THEN 1
+           |                      WHEN CAST('0x' || substr(md5('td:' || s.query_id::VARCHAR || ':' || '$i'), 1, 15) AS BIGINT) % 2 = 0 THEN 0
+           |                      ELSE 1 END) = 0
+           |        THEN (a.item IS NOT NULL) ELSE (b.item IS NULL) END AS pick_a,
+           |      a.item AS a_item, b.item AS b_item
+           |    FROM st${i - 1} s
+           |    LEFT JOIN aA$i a ON s.query_id = a.query_id
+           |    LEFT JOIN bB$i b ON s.query_id = b.query_id
+           |    WHERE a.item IS NOT NULL OR b.item IS NOT NULL)),
+           |sel$i AS MATERIALIZED (SELECT query_id, item FROM sel${i - 1}
+           |  UNION ALL SELECT query_id, item FROM pk$i),
+           |st$i AS MATERIALIZED (SELECT s.query_id,
+           |    s.ca + coalesce((SELECT CASE WHEN p.pick_a THEN 1 ELSE 0 END
+           |      FROM pk$i p WHERE p.query_id = s.query_id), 0) AS ca,
+           |    s.cb + coalesce((SELECT CASE WHEN p.pick_a THEN 0 ELSE 1 END
+           |      FROM pk$i p WHERE p.query_id = s.query_id), 0) AS cb
+           |  FROM st${i - 1} s)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 to 8).map(i =>
+        s"SELECT query_id, pos, item, team FROM pk$i").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |listA AS MATERIALIZED (SELECT query_id, item,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
+        |  FROM sc QUALIFY rr <= 10),
+        |listB AS MATERIALIZED (SELECT a.vec_id AS query_id, b.vec_id AS item,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rr
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 20 QUALIFY rr <= 10),
+        |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS BIGINT) AS item WHERE false),
+        |st0 AS (SELECT query_id, 0 AS ca, 0 AS cb FROM q),
+        |$stages
+        |SELECT query_id, pos, item, team FROM ($picks)""".stripMargin
     },
 
     "q136_expectations" ->

@@ -34,6 +34,77 @@ object Rerank {
     * (unrounded) greedy score — callers round for display. */
   final case class MmrPick(query_id: Long, item: Long, rnk: Int, mmr: Double)
 
+  /** One interleaved slot: `pos` is 1-based, `team` the ranker whose
+    * pick filled it ("A"/"B"). */
+  final case class DraftPick(query_id: Long, pos: Int, item: Long,
+                             team: String)
+
+  /** Deterministic per-(query, position) coin from the engine-shared
+    * md5 hash: 0 → team A drafts first on a tie. */
+  def draftCoin(queryId: Long, pos: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"td:$queryId:$pos".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2).toInt
+  }
+
+  /** Team-draft interleaving (Radlinski et al., CIKM'08) — the online
+    * A/B primitive for comparing two rankers on LIVE traffic: users see
+    * ONE merged list; each slot remembers which ranker drafted it, and
+    * click credit per team decides the winner without splitting traffic.
+    *
+    * Draft rule per slot: the team with fewer picks drafts; on a tie the
+    * seeded coin decides; the drafting team contributes its highest-
+    * ranked not-yet-selected item, falling back to the other team when
+    * its pool is exhausted (credit goes to the team that actually
+    * supplied the item). Every input — ranks, tie coins — is
+    * deterministic, so the merged list replays bit-exactly on any
+    * engine (the oracle unrolls the draft like the MMR argmax).
+    *
+    * Same serve-time shape as [[mmr]]: pools are retrieval-depth-bounded,
+    * one shuffle groups each query, the O(k) draft runs per group.
+    *
+    * @param a (query_id, item, rnk) ranker A's list, rnk 1-based
+    * @param b (query_id, item, rnk) ranker B's list
+    * @return (query_id, pos, item, team) — pos 1..k merged order.
+    */
+  def teamDraft(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(col("query_id").cast("long"),
+        col("item").cast("long"), col("rnk").cast("int"), lit("A").as("t"))
+      .unionByName(b.select(col("query_id").cast("long"),
+        col("item").cast("long"), col("rnk").cast("int"), lit("B").as("t")))
+    tagged.groupByKey(_.getLong(0)).flatMapGroups { (qid, rows) =>
+      val all = rows.map(r => (r.getLong(1), r.getInt(2), r.getString(3)))
+        .toArray
+      val listA = all.filter(_._3 == "A").sortBy(_._2).map(_._1)
+      val listB = all.filter(_._3 == "B").sortBy(_._2).map(_._1)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[DraftPick]
+      var ia = 0; var ib = 0; var ca = 0; var cb = 0
+      while (out.size < k && (ia < listA.length || ib < listB.length)) {
+        while (ia < listA.length && seen(listA(ia))) ia += 1
+        while (ib < listB.length && seen(listB(ib))) ib += 1
+        val aAvail = ia < listA.length
+        val bAvail = ib < listB.length
+        if (!aAvail && !bAvail) {
+          ia = listA.length; ib = listB.length // drained: exit
+        } else {
+          val prefA =
+            if (ca < cb) true else if (cb < ca) false
+            else draftCoin(qid, out.size + 1) == 0
+          val pickA = if (prefA) aAvail else !bAvail
+          val item = if (pickA) listA(ia) else listB(ib)
+          if (pickA) ca += 1 else cb += 1
+          seen += item
+          out += DraftPick(qid, out.size + 1, item, if (pickA) "A" else "B")
+        }
+      }
+      out
+    }.toDF()
+  }
+
   /** Greedy MMR top-k per query.
     *
     * @param candidates (query_id, item, rel, embedding) — the retrieved

@@ -35,6 +35,38 @@ class RerankSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 5L)  // equal rel: lowest id first
   }
 
+  test("teamDraft: balanced credit, no duplicates, exhausted pool falls back") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "item", "rnk")
+    val b = Seq((1L, 10L, 1), (1L, 20L, 2)) // overlaps A on item 10
+      .toDF("query_id", "item", "rnk")
+    val out = Rerank.teamDraft(a, b, 5).orderBy("pos").collect()
+    val items = out.map(_.getLong(2))
+    assert(items.distinct.length == items.length, "no duplicate items")
+    assert(items.toSet == Set(10L, 11L, 12L, 20L)) // union exhausts at 4
+    // team credits can differ by at most 1 until a pool exhausts
+    val credits = out.map(_.getString(3))
+    val (caa, cbb) = (credits.count(_ == "A"), credits.count(_ == "B"))
+    assert(caa + cbb == 4)
+    // B's pool is only {10, 20}: at most 2 picks credited to B
+    assert(cbb <= 2)
+  }
+
+  test("teamDraft is deterministic: same coins, same list, any layout") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => (7L, i.toLong, i)).toDF("query_id", "item", "rnk")
+    val b = (1 to 10).map(i => (7L, (100 + i).toLong, i)).toDF("query_id", "item", "rnk")
+    val x = Rerank.teamDraft(a.repartition(1), b.repartition(1), 8)
+      .collect().map(_.toString).sorted
+    val y = Rerank.teamDraft(a.repartition(5), b.repartition(3), 8)
+      .collect().map(_.toString).sorted
+    assert(x.sameElements(y))
+    // disjoint pools + balanced draft: exactly 4 picks per team
+    val teams = Rerank.teamDraft(a, b, 8).collect().map(_.getString(3))
+    assert(teams.count(_ == "A") == 4 && teams.count(_ == "B") == 4)
+  }
+
   test("mmr is partition-invariant and per-query independent") {
     val two = pool.union(Seq(
       (8L, 4L, 0.9, Array(0.5, 0.5, 0.0)),
