@@ -1853,6 +1853,15 @@ object SparkEntry {
     "q134_jl_project" -> ((s, d) =>
       Pca.jlProject(Tables.embeddings(s, d), "vec_id", "embedding", 64, 16)),
 
+    // --- partitioned publish + manifest verification (sink) ---------------
+    // The setup writes documents partitioned by lang; the query digests
+    // the READ-BACK data per partition. The oracle computes the same
+    // digests from the SOURCE table, so a hash-match proves the publish
+    // lost, duplicated, and mangled nothing.
+    "q138_export_manifest" -> ((s, d) =>
+      graft.sources.ExportStore.manifest(
+        graft.sources.ExportStore.documents(s, d))),
+
     // --- team-draft interleaving (online ranker A/B) ----------------------
     // One merged list per query from the content and CF rankers; each
     // slot remembers which team drafted it. Ranks and tie coins are
@@ -1962,6 +1971,7 @@ object SparkEntry {
     "q92_pq_serve_batch" -> ((s, d) => PqIndexStore.ensure(s, d)),
     "q99_bucket_join" -> ((s, d) => graft.sources.BucketedStore.ensure(s, d)),
     "q131_star_flatten" -> ((s, d) => graft.sources.BucketedStore.ensure(s, d)),
+    "q138_export_manifest" -> ((s, d) => graft.sources.ExportStore.ensure(s, d)),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3816,6 +3826,13 @@ object SparkEntry {
         |$comps
         |FROM e""".stripMargin
     },
+
+    // Digests computed from the SOURCE; the Spark side reads the export.
+    "q138_export_manifest" ->
+      """SELECT lang, count(*)::BIGINT AS n_rows,
+        |  sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    % 2147483647)::BIGINT AS content_sum
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // The draft unrolled to 8 slots (MMR/q94 pattern): stage i computes
     // each query's available head of both lists (anti-join vs picks so
