@@ -67,13 +67,34 @@ object SparkEntry {
     CfRetriever.topNFor(edges, q.select(col("query_id")), 60)
   }
 
-  private def hybridTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  /** The q27 retrieval arms as score frames: content (query_id, item,
+    * cs) and co-label CF (query_id, item, fs) at depth 60 — shared by
+    * the blend/sweep/calibration queries. */
+  private def hybridArms(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val q = queryVecs(s, d)
-    val content = ContentRetriever.topK(emb, q, 60)
+    val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
       .select(col("query_id"), col("vec_id").as("item"), clamp01(col("sim")).as("cs"))
     val cf = coLabelCf(s, d, q)
       .select(col("src").as("query_id"), col("dst").as("item"), col("norm").as("fs"))
+    (content, cf)
+  }
+
+  /** Full fused candidate pool with the α=0.6 blend score and NO
+    * ranking window — what score-distribution consumers (q122
+    * reliability, q126 isotonic) need; blend()'s per-query sort would
+    * be dead work there. Arithmetic matches blend(alpha = 0.6) exactly:
+    * lit(0.6)·cs + lit(1.0−0.6)·fs. */
+  private def fusedPool(s: SparkSession, d: String): DataFrame = {
+    val (content, cf) = hybridArms(s, d)
+    content.join(cf, Seq("query_id", "item"), "full_outer")
+      .select(col("query_id"), col("item"),
+        coalesce(col("cs"), lit(0.0)).as("cs"),
+        coalesce(col("fs"), lit(0.0)).as("fs"))
+      .withColumn("score", lit(0.6) * col("cs") + lit(1.0 - 0.6) * col("fs"))
+  }
+
+  private def hybridTopK(s: SparkSession, d: String): DataFrame = {
+    val (content, cf) = hybridArms(s, d)
     HybridScorer.blend(content, cf, 0.6, 10)
       .withColumn("cs", round(col("cs"), 6))
       .withColumn("final", round(col("final"), 6))
@@ -1586,15 +1607,10 @@ object SparkEntry {
     // held-out RMSE under half the global-mean baseline's. Counts are
     // hash-split-deterministic and oracle-replayed; RMSE itself is
     // float-reduction noisy and never exposed.
-    "q114_als_mf" -> ((s, d) => {
-      val interactions = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
-        .distinct()
-      val ratings = interactions.withColumn("rating",
-        (col("user") % 7 + col("item") % 5 + lit(1)).cast("double"))
-      AlsCf.fitEval(ratings)
-    }),
+    // Interaction set + planted rating come from AlsCf.Store.ratings —
+    // the SAME definition q129's factor training uses, so the two can
+    // never silently diverge.
+    "q114_als_mf" -> ((s, d) => AlsCf.fitEval(AlsCf.Store.ratings(s, d))),
 
     // --- exact-arithmetic correlation matrix (profiling audit) ------------
     // Pearson correlations over the lineitem money/quantity columns with
@@ -1629,13 +1645,7 @@ object SparkEntry {
     // only the bounded candidate pool, and precision aggregates as exact
     // integer hits with a single final division.
     "q117_alpha_sweep" -> ((s, d) => {
-      val q = queryVecs(s, d)
-      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
-        .select(col("query_id"), col("vec_id").as("item"),
-          clamp01(col("sim")).as("cs"))
-      val cf = coLabelCf(s, d, q)
-        .select(col("src").as("query_id"), col("dst").as("item"),
-          col("norm").as("fs"))
+      val (content, cf) = hybridArms(s, d)
       HybridScorer.alphaSweep(content, cf, coLabelTruth(s, d),
         Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0), 10)
     }),
@@ -1705,18 +1715,10 @@ object SparkEntry {
     // Is final≈0.8 an ~80% hit rate? The full fused candidate pool (not
     // just top-k) bins into score deciles; each bin's exact positive
     // rate sits next to its fixed-point mean score.
-    "q122_calibration" -> ((s, d) => {
-      val q = queryVecs(s, d)
-      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
-        .select(col("query_id"), col("vec_id").as("item"),
-          clamp01(col("sim")).as("cs"))
-      val cf = coLabelCf(s, d, q)
-        .select(col("src").as("query_id"), col("dst").as("item"),
-          col("norm").as("fs"))
-      val scored = HybridScorer.blend(content, cf, 0.6, Int.MaxValue)
-        .select(col("query_id"), col("item"), col("final").as("score"))
-      Evaluation.reliabilityBins(scored, coLabelTruth(s, d), 10)
-    }),
+    "q122_calibration" -> ((s, d) =>
+      Evaluation.reliabilityBins(
+        fusedPool(s, d).select(col("query_id"), col("item"), col("score")),
+        coLabelTruth(s, d), 10)),
 
     // --- chi-squared feature relevance (segment ⟂ order status?) ----------
     "q123_chi2" -> ((s, d) =>
@@ -1742,16 +1744,7 @@ object SparkEntry {
     // in exact long cross-products; the oracle replays the closed-form
     // max-min characterization of the same unique L2 projection.
     "q126_isotonic" -> ((s, d) => {
-      val q = queryVecs(s, d)
-      val content = ContentRetriever.topK(Tables.embeddings(s, d), q, 60)
-        .select(col("query_id"), col("vec_id").as("item"),
-          clamp01(col("sim")).as("cs"))
-      val cf = coLabelCf(s, d, q)
-        .select(col("src").as("query_id"), col("dst").as("item"),
-          col("norm").as("fs"))
-      val scored = HybridScorer.blend(content, cf, 0.6, Int.MaxValue)
-        .select(col("query_id"), col("item"), col("final").as("score"))
-      val flagged = scored
+      val flagged = fusedPool(s, d)
         .join(coLabelTruth(s, d).dropDuplicates("query_id", "item")
           .withColumn("__y", lit(1)), Seq("query_id", "item"), "left_outer")
         .select(col("score"), coalesce(col("__y"), lit(0)).as("y"))
@@ -3525,11 +3518,12 @@ object SparkEntry {
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 40),
         |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS s, e.v
         |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
-        |cand AS MATERIALIZED (SELECT query_id, item, round(s, 6) AS rel, v,
+        |cand AS MATERIALIZED (SELECT query_id, item,
+        |    floor(s * 1e6 + 0.5::DOUBLE) / 1e6 AS rel, v,
         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
         |  FROM sc QUALIFY rr <= 20),
         |pair AS MATERIALIZED (SELECT a.query_id, a.item AS i, b.item AS j,
-        |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+        |    floor((${cosSql("a.v", "b.v")}) * 1e6 + 0.5::DOUBLE) / 1e6 AS sim
         |  FROM cand a JOIN cand b
         |    ON a.query_id = b.query_id AND a.item != b.item),
         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,

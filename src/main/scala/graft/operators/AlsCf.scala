@@ -53,7 +53,10 @@ object AlsCf {
       sqrt(avg(pow(col("prediction") - col("rating"), 2))).as("r"),
       count(lit(1)).as("n_eval"))
     val base = train.agg(avg(col("rating")).as("mu"))
-    val rmseBase = test.crossJoin(broadcast(base))
+    // baseline over the SAME post-cold-drop eval pairs ALS is scored on:
+    // averaging it over the full test set would let cold pairs far from
+    // the train mean inflate (or deflate) the margin the contract gates
+    val rmseBase = pred.crossJoin(broadcast(base))
       .agg(sqrt(avg(pow(col("mu") - col("rating"), 2))).as("r"))
     val counts = train.agg(count(lit(1)).as("n_train"))
       .crossJoin(test.agg(count(lit(1)).as("n_test")))
@@ -73,8 +76,12 @@ object AlsCf {
 
     def root(sfDir: String): String = {
       val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val src = new java.io.File(s"$sfDir/lineitem.parquet")
-      val fp = s"${src.length()}-${src.lastModified()}"
+      // fingerprint BOTH inputs of ratings(): a regenerated orders file
+      // with an untouched lineitem must invalidate the persisted factors
+      val fp = Seq("lineitem", "orders").map { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        s"${f.length()}-${f.lastModified()}"
+      }.mkString("-")
       s"${System.getProperty("java.io.tmpdir")}/graft-als-$LayoutVersion-$tag-$fp"
     }
     private def donePath(sfDir: String) = s"${root(sfDir)}/_BUILT"
@@ -108,12 +115,18 @@ object AlsCf {
       new java.io.File(donePath(sfDir)).createNewFile()
     }
 
+    // ensure-on-read (the IvfIndexStore.indexFrame discipline): plan
+    // analysis must never depend on a setup having run first
     def userFactors(spark: org.apache.spark.sql.SparkSession,
-                    sfDir: String): DataFrame =
+                    sfDir: String): DataFrame = {
+      ensure(spark, sfDir)
       spark.read.parquet(s"${root(sfDir)}/user_factors")
+    }
     def itemFactors(spark: org.apache.spark.sql.SparkSession,
-                    sfDir: String): DataFrame =
+                    sfDir: String): DataFrame = {
+      ensure(spark, sfDir)
       spark.read.parquet(s"${root(sfDir)}/item_factors")
+    }
   }
 
   /** Serve top-k items per user from the persisted factors: broadcast

@@ -121,21 +121,6 @@ object DataQuality {
         col("psi_total"))
   }
 
-  /** Pearson correlation matrix over fixed-decimal columns in ONE scan,
-    * with EXACT arithmetic: Spark's `corr` aggregate accumulates doubles,
-    * so its last digits depend on partition order — unacceptable for an
-    * audit that diffs runs. Here values snap to integers at `scale`
-    * (cents for money columns), all five sufficient statistics
-    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) — exact at
-    * any row count and any partitioning — and the textbook formula
-    * converts to double exactly once per pair:
-    * corr = (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
-    *
-    * Per-row products stay in LONG (scaled values ≤ ~1e9 ⇒ products
-    * ≤ ~1e18); only the sums get the 38-digit headroom.
-    *
-    * @return one row per unordered column pair: (col_x, col_y, n, corr).
-    */
   /** Chi-squared feature-relevance audit: is a categorical feature
     * independent of the label? One shuffle builds the exact integer
     * contingency table; margins and expectations follow relationally.
@@ -178,6 +163,21 @@ object DataQuality {
         (col("__tot") / lit(1e9)).as("chi2_total"))
   }
 
+  /** Pearson correlation matrix over fixed-decimal columns in ONE scan,
+    * with EXACT arithmetic: Spark's `corr` aggregate accumulates doubles,
+    * so its last digits depend on partition order — unacceptable for an
+    * audit that diffs runs. Here values snap to integers at `scale`
+    * (cents for money columns), all five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) — exact at
+    * any row count and any partitioning — and the textbook formula
+    * converts to double exactly once per pair:
+    * corr = (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
+    *
+    * Per-row products stay in LONG (scaled values ≤ ~1e9 ⇒ products
+    * ≤ ~1e18); only the sums get the 38-digit headroom.
+    *
+    * @return one row per unordered column pair: (col_x, col_y, n, corr).
+    */
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  scale: Double = 100.0): DataFrame = {
     require(cols.size >= 2, "need at least two columns")

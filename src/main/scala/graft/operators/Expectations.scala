@@ -31,7 +31,8 @@ object Expectations {
 
   /** @return one row per check: (check, n_rows, n_violations, pass),
     *         in the declared order via a stable union. */
-  def run(checks: Seq[Check]): DataFrame =
+  def run(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "expectation suite needs at least one check")
     checks.map {
       case NotNull(n, df, c) =>
         report(n, df.agg(count(lit(1)).as("n_rows"),
@@ -56,6 +57,7 @@ object Expectations {
           .crossJoin(child.agg(count(lit(1)).as("n_rows")))
           .select(col("n_rows"), col("n_violations")))
     }.reduce(_ unionByName _)
+  }
 
   private def report(name: String, counts: DataFrame): DataFrame =
     counts.select(lit(name).as("check_name"),

@@ -67,14 +67,15 @@ object GraphMetrics {
     * CONVERGED peel are the k-core (dense engagement subgraph — the
     * co-purchase graph's "always bought together" backbone).
     *
-    * Spark shape: each round is one semi-join pair (restrict edges to
-    * survivors) + one count aggregate — all equi-keyed; `localCheckpoint`
-    * every third round truncates the growing lineage (the PageRank.run
-    * discipline, GraphMetrics shares it). A fixed round budget keeps the
-    * operator deterministic and oracle-replayable (the q94 unrolled
-    * pattern); `converged` reports whether the fixpoint was reached, and
-    * the peel is monotone (survivor sets only shrink), so `rounds` can
-    * be raised until it is.
+    * Spark shape: each round is one degree aggregate + one semi-join
+    * pair restricting the SHRINKING alive-edge frame — all equi-keyed.
+    * Every round eagerly `localCheckpoint`s (truncating lineage) and
+    * counts the surviving edges: an unchanged edge count IS the
+    * fixpoint, so the loop exits early — provably output-equivalent to
+    * running all `rounds`, since converged rounds are no-ops. The fixed
+    * round budget keeps the operator oracle-replayable (the q94
+    * unrolled pattern); `converged` reports whether the fixpoint was
+    * reached within it.
     *
     * @param edges undirected (src, dst), src < dst, one row per edge
     * @return survivors: (node, deg) — degree within the surviving

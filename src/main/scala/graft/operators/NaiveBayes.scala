@@ -25,10 +25,11 @@ object NaiveBayes {
     * returns per-test-doc (idCol, pred, actual, correct).
     *
     * OOV handling: a test token absent from a class's train counts
-    * scores ln(1/(T_c+V)); tokens absent from the ENTIRE train vocab
-    * still score that (c = 0 for every class) — they shift all classes
-    * equally and never flip the argmax, but keeping them makes the
-    * per-class scores replayable without a vocab semi-join. */
+    * scores the Laplace floor ln(1/(T_c+V)) — which DIFFERS per class
+    * (smaller token totals give a higher floor), so even fully-unseen
+    * tokens shift classes unequally and participate in the argmax; that
+    * is the standard multinomial-NB behavior, and it is why no vocab
+    * semi-join "optimization" may drop them. */
   def classify(train: DataFrame, test: DataFrame, idCol: String,
                textCol: String, classCol: String): DataFrame = {
     val trainToks = train.select(col(classCol).as("cls"),

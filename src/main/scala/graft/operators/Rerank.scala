@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Diversity-aware rerank of retrieved candidates — Maximal Marginal
@@ -114,8 +114,13 @@ object Rerank {
   def mmr(candidates: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // floor-snap (not round(,6)): the trace inputs need the same pure-
+    // IEEE grid as the displayed score — round()'s decimal re-parse can
+    // fork from DuckDB's float round at a 7th-digit half and would then
+    // fork the whole greedy trace, not just a printed value
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val cand = candidates.select(col("query_id").cast("long").as("query_id"),
-      col("item").cast("long").as("item"), round(col("rel"), 6).as("rel"),
+      col("item").cast("long").as("item"), snap6(col("rel")).as("rel"),
       col("embedding"))
     // pairwise candidate-candidate sims, snapped to the contract grid
     val a = cand.select(col("query_id").as("qa"), col("item").as("i"),
@@ -125,7 +130,7 @@ object Rerank {
     val simAgg = a.join(b, col("qa") === col("qb") && col("i") =!= col("j"))
       .select(col("qa"), col("i"),
         struct(col("j"),
-          round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6)
+          snap6(graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
             .as("sim")).as("js"))
       .groupBy(col("qa"), col("i")).agg(collect_list("js").as("sims"))
     val withSims = cand.drop("embedding")
