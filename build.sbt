@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/verify box has 128 GiB; 8g starved local[32] once the
+  // suite passed ~100 queries (accumulated localCheckpoint blocks +
+  // broadcast state squeezed execution memory → spill churn; BENCH_r05
+  // showed unchanged queries 4-30× slower in-suite than isolated).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pre-size the heap: incremental heap growth stalls land on whichever
+  // shuffle-heavy query triggers the expansion. (ParallelGC was tried
+  // and rejected: STW full collections inside allocation-heavy queries
+  // benched 1.6× worse than G1 on the same suite.)
+  "-Xms16g",
 )

@@ -1941,6 +1941,119 @@ object SparkEntry {
         li.where(col("l_orderkey") % 10 === 0), "l_partkey", "l_quantity")
       Incremental.merge(base, delta, "l_partkey")
     }),
+
+    // --- pivot report (wide crosstab in one aggregation) -------------------
+    // Orders by year × status: Spark's groupBy().pivot() with explicit
+    // value list compiles to ONE hash aggregate with conditional
+    // accumulators — no per-status scans, no join. Revenue pre-snaps to
+    // cents so the pivoted sums are exact longs.
+    "q139_pivot" -> ((s, d) => {
+      val cents = floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("order_year"),
+          col("o_orderstatus").as("st"), cents.as("cents"))
+        .groupBy("order_year")
+        .pivot("st", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+        .select(col("order_year"),
+          coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
+          coalesce(col("F_cents"), lit(0L)).as("f_cents"),
+          coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
+          coalesce(col("O_cents"), lit(0L)).as("o_cents"),
+          coalesce(col("P_cnt"), lit(0L)).as("p_cnt"),
+          coalesce(col("P_cents"), lit(0L)).as("p_cents"))
+    }),
+
+    // --- unpivot / melt (wide → long for metric-agnostic pipelines) -------
+    // The inverse reshape: lineitem's three measure columns become
+    // (metric, cents) rows via Spark's native unpivot (Expand — one pass,
+    // no union of scans). Values pre-snap to cents for exact compare.
+    "q140_unpivot" -> ((s, d) => {
+      def cents(c: String) =
+        floor(col(c) * lit(100) + lit(0.5)).cast("long").as(c)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "cents")
+    }),
+
+    // --- CDC snapshot diff --------------------------------------------------
+    // Two deterministic versions of orders (rows dropped on each side +
+    // price bumps on the overlap) diffed into insert/delete/update — the
+    // MERGE INTO delta. Payload compare is a map-side digest; one
+    // equi-join on the key moves only (key, digest).
+    "q141_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      val old = base.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      val neu = base.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .withColumn("cents", when(pmod(col("o_orderkey"), lit(3)) === 0,
+          col("cents") + 100).otherwise(col("cents")))
+      Cdc.snapshotDiff(old, neu, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "cents"))
+    }),
+
+    // --- per-group OLS regression (exact sufficient statistics) -----------
+    // Price-vs-quantity trend per returnflag: slope/intercept from
+    // DECIMAL(38,0)-exact sums (regr_slope's double accumulator is
+    // partition-order-dependent — unusable under a hash-match gate).
+    "q142_grouped_ols" -> ((s, d) =>
+      Regression.groupedOls(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice", 1.0, 100.0)),
+
+    // --- Markov transition matrix over user event sequences ---------------
+    // P(next event type | type) from adjacent pairs in (ts, event_id)
+    // order — integer counts, one double division per cell.
+    "q143_transitions" -> ((s, d) =>
+      Timeseries.transitions(Tables.events(s, d), "user_id", "event_type",
+        "ts", "event_id")),
+
+    // --- multi-source BFS hop distance -------------------------------------
+    // Frontier expansion from anchor products over the co-purchase
+    // graph, 3 synchronous rounds — per-round cost is frontier-sized
+    // (two equi-joins), not graph-sized.
+    "q144_bfs_hops" -> ((s, d) =>
+      GraphMetrics.bfsHops(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)),
+        Tables.tableRaw(s, d, "part").where(col("p_partkey") < 5)
+          .select(col("p_partkey").as("node")),
+        3)),
+
+    // --- recommendation coverage + Gini concentration ----------------------
+    // Health metrics over the q06 CF surface: how much of the catalog is
+    // ever recommended, and how concentrated the impressions are.
+    "q145_rec_coverage" -> ((s, d) =>
+      Evaluation.coverageGini(
+        CfRetriever.topN(basketEdges(s, d), 10), "dst",
+        Tables.part(s, d), "p_partkey")),
+
+    // --- 2-D skyline (Pareto frontier) --------------------------------------
+    // Cheapest-for-its-size part shortlist: minimize price, maximize
+    // size. Per-price max folds in one shuffle; the strictly-cheaper
+    // prefix max runs two-phase (bucket-local window + broadcast bucket
+    // prefix) — no global single-partition sort.
+    "q146_skyline" -> ((s, d) =>
+      Skyline.frontier2d(Tables.part(s, d), "p_retailprice", "p_size",
+        100.0, 1000L)),
+
+    // --- per-language token entropy + type-token ratio ---------------------
+    // Corpus-diversity audit for data mixing: Shannon entropy of each
+    // language's token distribution, fixed-point Σ c·ln c so the big sum
+    // is exact integers.
+    "q147_entropy" -> ((s, d) =>
+      TextAnalysis.sliceEntropy(Tables.documents(s, d), "lang")),
+
+    // --- strict ordered conversion funnel -----------------------------------
+    // view → click → purchase where each step counts only at-or-after
+    // the user's first completion of the previous step.
+    "q148_funnel" -> ((s, d) =>
+      Timeseries.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -3409,7 +3522,7 @@ object SparkEntry {
 
     "q112_weighted_sample" ->
       """WITH w AS (SELECT doc_id AS key, n_chars::DOUBLE AS weight,
-        |    ln(CAST('0x' || substr(md5('w42:' || doc_id::VARCHAR), 1, 15) AS BIGINT)::DOUBLE
+        |    ln((CAST('0x' || substr(md5('w42:' || doc_id::VARCHAR), 1, 15) AS BIGINT) + 1)::DOUBLE
         |       / 1152921504606846976.0::DOUBLE) / n_chars::DOUBLE AS es
         |  FROM documents WHERE n_chars > 0),
         |r AS (SELECT key, weight,
@@ -3467,9 +3580,9 @@ object SparkEntry {
         |    floor(l_discount * 100 + 0.5::DOUBLE)::BIGINT AS d FROM lineitem),
         |s AS (SELECT count(*)::HUGEINT AS n,
         |    sum(q::HUGEINT) AS sq, sum(p::HUGEINT) AS sp, sum(d::HUGEINT) AS sd,
-        |    sum((q*q)::HUGEINT) AS sqq, sum((p*p)::HUGEINT) AS spp,
-        |    sum((d*d)::HUGEINT) AS sdd, sum((q*p)::HUGEINT) AS sqp,
-        |    sum((q*d)::HUGEINT) AS sqd, sum((p*d)::HUGEINT) AS spd
+        |    sum(q::HUGEINT * q::HUGEINT) AS sqq, sum(p::HUGEINT * p::HUGEINT) AS spp,
+        |    sum(d::HUGEINT * d::HUGEINT) AS sdd, sum(q::HUGEINT * p::HUGEINT) AS sqp,
+        |    sum(q::HUGEINT * d::HUGEINT) AS sqd, sum(p::HUGEINT * d::HUGEINT) AS spd
         |  FROM f)
         |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n::BIGINT AS n,
         |  round((n*sqp - sq*sp)::DOUBLE /
@@ -3651,8 +3764,9 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |sm AS (SELECT i, sum(v)::BIGINT AS s FROM v GROUP BY 1),
         |nn AS (SELECT count(*)::BIGINT AS n FROM e)
-        |SELECT p.i, p.j, nn.n, si.s AS s_i, sj.s AS s_j,
-        |  p.s_ij::BIGINT AS s_ij,
+        |SELECT p.i, p.j, nn.n::DECIMAL(38,0) AS n,
+        |  si.s::DECIMAL(38,0) AS s_i, sj.s::DECIMAL(38,0) AS s_j,
+        |  p.s_ij::DECIMAL(38,0) AS s_ij,
         |  (nn.n * p.s_ij - si.s::HUGEINT * sj.s::HUGEINT)::DOUBLE /
         |    (nn.n * (nn.n - 1))::DOUBLE AS cov
         |FROM pr p JOIN sm si ON p.i = si.i JOIN sm sj ON p.j = sj.i
@@ -3895,9 +4009,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lineitem_pk', (SELECT count(*) FROM lineitem)::BIGINT,
         |  (SELECT count(*) FROM lineitem)::BIGINT -
-        |    (SELECT count(*) FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber))::BIGINT,
+        |    (SELECT count(*) FROM (SELECT 1 FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |      GROUP BY l_orderkey, l_linenumber))::BIGINT,
         |  (SELECT count(*) FROM lineitem) =
-        |    (SELECT count(*) FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber))
+        |    (SELECT count(*) FROM (SELECT 1 FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |      GROUP BY l_orderkey, l_linenumber))
         |UNION ALL
         |SELECT 'quantity_1_50', (SELECT count(*) FROM lineitem)::BIGINT,
         |  (SELECT count(*) FROM lineitem
@@ -3948,8 +4066,8 @@ object SparkEntry {
         |      THEN floor(value * 100 + 0.5::DOUBLE)::BIGINT ELSE 0 END) AS ys
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT count(*)::HUGEINT AS n, sum(xs::HUGEINT) AS sx,
-        |  sum(ys::HUGEINT) AS sy, sum((xs*xs)::HUGEINT) AS sxx,
-        |  sum((xs*ys)::HUGEINT) AS sxy FROM pu),
+        |  sum(ys::HUGEINT) AS sy, sum(xs::HUGEINT * xs::HUGEINT) AS sxx,
+        |  sum(xs::HUGEINT * ys::HUGEINT) AS sxy FROM pu),
         |th AS (SELECT (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS theta,
         |  sx::DOUBLE / n::DOUBLE AS xbar FROM g),
         |a AS (SELECT arm, count(*)::BIGINT AS n_units, sum(xs)::BIGINT AS sax,
@@ -3960,5 +4078,150 @@ object SparkEntry {
         |    ((sax::DOUBLE / n_units::DOUBLE) - th.xbar)) / 100.0::DOUBLE AS adj_mean,
         |  th.theta AS theta
         |FROM a CROSS JOIN th""".stripMargin,
+
+    "q139_pivot" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS f_cnt,
+        |  coalesce(sum(floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT)
+        |    FILTER (WHERE o_orderstatus = 'F'), 0)::BIGINT AS f_cents,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS o_cnt,
+        |  coalesce(sum(floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT)
+        |    FILTER (WHERE o_orderstatus = 'O'), 0)::BIGINT AS o_cents,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS p_cnt,
+        |  coalesce(sum(floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT)
+        |    FILTER (WHERE o_orderstatus = 'P'), 0)::BIGINT AS p_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q140_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  floor(l_quantity * 100 + 0.5::DOUBLE)::BIGINT AS cents FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  floor(l_discount * 100 + 0.5::DOUBLE)::BIGINT FROM lineitem""".stripMargin,
+
+    "q141_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c1,
+        |    o_orderstatus AS c2,
+        |    floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT AS cents
+        |  FROM orders),
+        |o AS (SELECT * FROM base WHERE k % 7 <> 0),
+        |n AS (SELECT k, c1, c2,
+        |    CASE WHEN k % 3 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM base WHERE k % 5 <> 0),
+        |j AS (SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |    CASE WHEN o.k IS NULL THEN 'insert'
+        |         WHEN n.k IS NULL THEN 'delete'
+        |         WHEN o.c1 <> n.c1 OR o.c2 <> n.c2 OR o.cents <> n.cents
+        |           THEN 'update' END AS change_type
+        |  FROM o FULL JOIN n ON o.k = n.k)
+        |SELECT o_orderkey, change_type FROM j
+        |WHERE change_type IS NOT NULL""".stripMargin,
+
+    "q142_grouped_ols" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |    floor(l_quantity * 1.0::DOUBLE + 0.5::DOUBLE)::BIGINT AS x,
+        |    floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT AS y
+        |  FROM lineitem),
+        |s AS (SELECT g, count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx,
+        |    sum(y::HUGEINT) AS sy, sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |    sum(x::HUGEINT * x::HUGEINT) AS sxx
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT g, n, sx, sy,
+        |    CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+        |      THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |        * 0.01::DOUBLE END AS slope
+        |  FROM s)
+        |SELECT g AS l_returnflag, n::BIGINT AS n, round(slope, 6) AS slope,
+        |  round(CASE WHEN slope IS NOT NULL THEN
+        |    sy::DOUBLE / n::DOUBLE / 100.0::DOUBLE
+        |      - slope * (sx::DOUBLE / n::DOUBLE / 1.0::DOUBLE) END, 6)
+        |    AS intercept
+        |FROM t""".stripMargin,
+
+    "q143_transitions" ->
+      """WITH p AS (SELECT event_type AS src_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst_state
+        |  FROM events),
+        |c AS (SELECT src_state, dst_state, count(*)::BIGINT AS n FROM p
+        |  WHERE dst_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_state, dst_state, n,
+        |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY src_state))::DOUBLE, 6)
+        |    AS p
+        |FROM c""".stripMargin,
+
+    "q144_bfs_hops" ->
+      s"""WITH $basketCtes,
+        |v0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey < 5),
+        |h0 AS (SELECT node, 0 AS hop FROM v0),
+        |n1 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN h0 ON s.src = h0.node
+        |       WHERE s.dst NOT IN (SELECT node FROM h0)),
+        |h1 AS (SELECT * FROM h0 UNION ALL SELECT node, 1 FROM n1),
+        |n2 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN n1 ON s.src = n1.node
+        |       WHERE s.dst NOT IN (SELECT node FROM h1)),
+        |h2 AS (SELECT * FROM h1 UNION ALL SELECT node, 2 FROM n2),
+        |n3 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN n2 ON s.src = n2.node
+        |       WHERE s.dst NOT IN (SELECT node FROM h2))
+        |SELECT node, hop FROM h2 UNION ALL SELECT node, 3 FROM n3""".stripMargin,
+
+    "q145_rec_coverage" ->
+      s"""WITH $basketCtes,
+        |r AS (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rnk
+        |  FROM sym QUALIFY rnk <= 10),
+        |c AS (SELECT dst AS item, count(*)::BIGINT AS cnt FROM r GROUP BY 1),
+        |k AS (SELECT item, cnt, row_number() OVER (ORDER BY cnt, item) AS rnk
+        |  FROM c),
+        |g AS (SELECT count(*)::BIGINT AS rec_items, sum(cnt)::BIGINT AS total_recs,
+        |    sum(rnk::HUGEINT * cnt::HUGEINT) AS rw FROM k),
+        |p AS (SELECT count(*)::BIGINT AS catalog_n FROM part)
+        |SELECT catalog_n, rec_items, total_recs,
+        |  round(rec_items::DOUBLE / catalog_n::DOUBLE, 6) AS coverage,
+        |  round(2.0::DOUBLE * rw::DOUBLE
+        |      / (rec_items::DOUBLE * total_recs::DOUBLE)
+        |    - (rec_items::DOUBLE + 1.0::DOUBLE) / rec_items::DOUBLE, 6) AS gini
+        |FROM g CROSS JOIN p""".stripMargin,
+
+    "q146_skyline" ->
+      """WITH c AS (SELECT floor(p_retailprice * 100 + 0.5::DOUBLE)::BIGINT AS xi,
+        |    max(p_size) AS y
+        |  FROM part GROUP BY 1)
+        |SELECT xi::DOUBLE / 100.0::DOUBLE AS x, y FROM c a
+        |WHERE NOT EXISTS (SELECT 1 FROM c b WHERE b.xi < a.xi AND b.y >= a.y)""".stripMargin,
+
+    "q147_entropy" ->
+      """WITH tk AS (SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '') AS tk
+        |  FROM documents),
+        |t AS (SELECT lang, unnest(tk) AS term FROM tk),
+        |c AS (SELECT lang, term, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |    sum(floor(c::DOUBLE * ln(c::DOUBLE) * 1000000.0::DOUBLE
+        |      + 0.5::DOUBLE)::BIGINT)::BIGINT AS s
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_tokens, n_types,
+        |  round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr,
+        |  round((ln(n_tokens::DOUBLE)
+        |    - s::DOUBLE / 1000000.0::DOUBLE / n_tokens::DOUBLE)
+        |    / ln(2.0::DOUBLE), 6) AS entropy_bits
+        |FROM a""".stripMargin,
+
+    "q148_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1)::BIGINT AS n_keys
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
   )
 }

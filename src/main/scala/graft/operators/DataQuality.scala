@@ -173,8 +173,10 @@ object DataQuality {
     * converts to double exactly once per pair:
     * corr = (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
     *
-    * Per-row products stay in LONG (scaled values ≤ ~1e9 ⇒ products
-    * ≤ ~1e18); only the sums get the 38-digit headroom.
+    * Per-row products widen to DECIMAL(38,0) BEFORE multiplying — a LONG
+    * product would wrap silently once scaled values pass ~3e9 while the
+    * oracle's HUGEINT product stays exact (round-5 advice; the CUPED
+    * operator had the same latent divergence).
     *
     * @return one row per unordered column pair: (col_x, col_y, n, corr).
     */
@@ -189,8 +191,11 @@ object DataQuality {
     } yield (cols(i), cols(j))
     val aggs: Seq[Column] =
       cols.map(c => sum(dec(col(c))).as(s"__s_$c")) ++
-      cols.map(c => sum(dec(col(c) * col(c))).as(s"__ss_$c")) ++
-      pairs.map { case (x, y) => sum(dec(col(x) * col(y))).as(s"__sp_${x}_$y") }
+      cols.map(c => sum((dec(col(c)) * dec(col(c))).cast("decimal(38,0)"))
+        .as(s"__ss_$c")) ++
+      pairs.map { case (x, y) =>
+        sum((dec(col(x)) * dec(col(y))).cast("decimal(38,0)"))
+          .as(s"__sp_${x}_$y") }
     val wide = snapped.agg(dec(count(lit(1))).as("__n"), aggs: _*)
     val rows = pairs.map { case (x, y) =>
       val n = col("__n")

@@ -158,6 +158,45 @@ object Evaluation {
     * @param truth  (query_id, item) positives
     * @return (bin, n, n_pos, avg_score, pos_rate) — one row per bin.
     */
+  /** Catalog coverage and Gini concentration of a recommendation
+    * surface — the health metrics that catch a recommender collapsed
+    * onto its head items (high precision, three products): coverage =
+    * fraction of the catalog recommended at all; Gini over per-item
+    * recommendation counts (0 = every recommended item shown equally,
+    * →1 = all traffic on one item).
+    *
+    * Exactness: counts are longs; the Gini rank-weighted sum
+    * Σ rank·cnt accumulates as DECIMAL(38,0) over the per-item frame
+    * (rank by (cnt, item) — a total order both engines replay), and
+    * G = (2·Σ rank·cnt)/(m·Σcnt) − (m+1)/m is a fixed handful of double
+    * ops rounded to 6 dp. The ranked window runs over the per-ITEM
+    * count frame — dimension-sized, not traffic-sized.
+    *
+    * @param recs one row per recommendation impression
+    * @param catalog the full item dimension (for the coverage base)
+    * @return one row: (catalog_n, rec_items, total_recs, coverage, gini). */
+  def coverageGini(recs: DataFrame, itemCol: String,
+                   catalog: DataFrame, catalogItemCol: String): DataFrame = {
+    val counts = recs.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt"), col("item"))))
+    val g = ranked.agg(count(lit(1)).as("rec_items"),
+      sum(col("cnt")).as("total_recs"),
+      sum((col("rnk").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as("__rw"))
+    g.crossJoin(broadcast(
+        catalog.agg(count(lit(1)).as("catalog_n"))))
+      .select(col("catalog_n"), col("rec_items"), col("total_recs"),
+        round(col("rec_items").cast("double") / col("catalog_n").cast("double"),
+          6).as("coverage"),
+        round(lit(2.0) * col("__rw").cast("double")
+          / (col("rec_items").cast("double") * col("total_recs").cast("double"))
+          - (col("rec_items").cast("double") + 1.0)
+            / col("rec_items").cast("double"), 6).as("gini"))
+  }
+
   def reliabilityBins(scored: DataFrame, truth: DataFrame,
                       nBins: Int = 10): DataFrame = {
     val flagged = scored.join(

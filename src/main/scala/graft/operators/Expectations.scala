@@ -38,10 +38,21 @@ object Expectations {
         report(n, df.agg(count(lit(1)).as("n_rows"),
           count(when(col(c).isNull, 1)).as("n_violations")))
       case UniqueKey(n, df, cs) =>
-        // violations = rows beyond the first per key (0 when unique)
-        report(n, df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__c"))
-          .agg(sum(col("__c")).as("n_rows"),
-            sum(col("__c") - 1).as("n_violations")))
+        // A primary key must not be NULL: every row with a NULL key
+        // component is a violation outright; among fully-keyed rows,
+        // each row beyond the first per key counts. A plain groupBy
+        // would fold all NULL keys into one ordinary group and let a
+        // single NULL-keyed row pass (round-5 advice). Matches the
+        // oracle's count(*) - count(DISTINCT key) for single columns.
+        val anyNull = cs.map(col(_).isNull).reduce(_ || _)
+        val dups = df.where(!anyNull)
+          .groupBy(cs.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("__dups"))
+        report(n, df.agg(count(lit(1)).as("n_rows"),
+            count(when(anyNull, 1)).as("__nulls"))
+          .crossJoin(dups)
+          .select(col("n_rows"),
+            (col("__nulls") + col("__dups")).as("n_violations")))
       case InRange(n, df, c, lo, hi) =>
         report(n, df.agg(count(lit(1)).as("n_rows"),
           count(when(col(c).isNull || col(c) < lo || col(c) > hi, 1))

@@ -27,10 +27,13 @@ object Experiment {
     * @param displayScale divide-out for the final means (100 = cents)
     * @return one row per arm: (arm, n_units, mean_y, adj_mean, theta) */
   def cuped(perUnit: DataFrame, displayScale: Double = 100.0): DataFrame = {
+    // Widen to DECIMAL(38,0) BEFORE multiplying: a LONG product of
+    // unbounded per-unit cent sums would wrap silently past ~3e9 units
+    // while the oracle's HUGEINT product stays exact (round-5 advice).
     val g = perUnit.agg(dec(count(lit(1))).as("n"),
       sum(dec(col("xs"))).as("sx"), sum(dec(col("ys"))).as("sy"),
-      sum(dec(col("xs") * col("xs"))).as("sxx"),
-      sum(dec(col("xs") * col("ys"))).as("sxy"))
+      sum((dec(col("xs")) * dec(col("xs"))).cast("decimal(38,0)")).as("sxx"),
+      sum((dec(col("xs")) * dec(col("ys"))).cast("decimal(38,0)")).as("sxy"))
     val th = g.select(
       ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
         (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))

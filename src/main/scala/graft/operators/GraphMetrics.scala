@@ -118,4 +118,47 @@ object GraphMetrics {
         .as("converged"))
     d.crossJoin(broadcast(stable))
   }
+
+  /** Multi-source BFS hop distance: `maxHops` synchronous frontier
+    * expansions from the seed set over an undirected edge list —
+    * "how many co-purchase steps from any anchor product" (the graph
+    * feature a recommender uses for diversity floors and a curation
+    * pipeline uses for domain proximity).
+    *
+    * Spark shape (scale review): each round joins the CURRENT FRONTIER
+    * (not the whole visited set) against the edge list on one key, then
+    * anti-joins the visited set — frontier-sized work per round, the
+    * textbook Pregel expansion as two equi-joins. Visited/frontier
+    * frames `localCheckpoint` each round (same lineage discipline as
+    * [[kcore]]). A fixed `maxHops` keeps it oracle-replayable; BFS
+    * visits monotonically, so rounds after the frontier empties are
+    * no-ops and the early exit cannot change the answer.
+    *
+    * @param edges undirected (src, dst) — pass each edge once; both
+    *              directions are derived here
+    * @param seeds one column `node`
+    * @return (node, hop) — hop 0 for seeds, else the minimum number of
+    *         edges from any seed, capped at `maxHops`; unreached nodes
+    *         are absent. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = visited.select("node")
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      val next = sym.join(frontier.withColumnRenamed("node", "src")
+          .hint("shuffle_hash"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      h += 1
+      visited = visited.unionAll(next.withColumn("hop", lit(h)))
+        .localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
 }

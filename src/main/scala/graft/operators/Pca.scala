@@ -70,13 +70,23 @@ object Pca {
     val s = Array.tabulate(dim)(i => partials.map(g => BigInt(g.s(i))).sum)
     val p = Array.tabulate(nPairs)(k => partials.map(g => BigInt(g.p(k))).sum)
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    // Sums surface as DECIMAL(38,0), not LONG: at extreme row counts a
+    // toLong here would silently wrap the s_ij digest columns while the
+    // BigInt-derived cov stayed exact — inconsistent with the covariance
+    // they claim to summarize (round-5 advice). Strings bridge the exact
+    // BigInt into the decimal cast without an intermediate narrowing.
     val out = pairs.zipWithIndex.map { case ((i, j), k) =>
       val cov =
         if (n < 2) 0.0
         else ((n * p(k) - s(i) * s(j)).toDouble / (n * (n - 1)).toDouble)
-      (i, j, n.toLong, s(i).toLong, s(j).toLong, p(k).toLong, cov)
+      (i, j, n.toString, s(i).toString, s(j).toString, p(k).toString, cov)
     }
     spark.createDataFrame(out).toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov")
+      .select(col("i"), col("j"),
+        col("n").cast("decimal(38,0)").as("n"),
+        col("s_i").cast("decimal(38,0)").as("s_i"),
+        col("s_j").cast("decimal(38,0)").as("s_j"),
+        col("s_ij").cast("decimal(38,0)").as("s_ij"), col("cov"))
   }
 
   /** Top-k principal components of the snapped-grid covariance,

@@ -193,8 +193,12 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int, seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = graft.functions.TextFunctions.hash60(
-      concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    // u = (hash60 + 1) / 2^60 ∈ (0, 1]: the +1 guards the ~2^-60 case
+    // hash60 = 0, where Spark's log(0) yields NULL (sorts last) but the
+    // oracle's ln(0) raises outright — the contract is exact replay, so
+    // the domain must exclude 0 on BOTH sides (round-5 advice).
+    val u = (graft.functions.TextFunctions.hash60(
+      concat_ws(":", lit(seed), col(keyCol).cast("string"))) + lit(1L))
       .cast("double") / lit(1152921504606846976L).cast("double") // 2^60
     val top = df.where(col(weightCol) > 0)
       .select(col(keyCol).as("key"), col(weightCol).as("weight"),

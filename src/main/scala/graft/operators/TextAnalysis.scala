@@ -330,4 +330,39 @@ object TextAnalysis {
         round(col("cnt").cast("double") / col("__n").cast("double"), 6)
           .as("freq"))
   }
+
+  /** Per-slice token-distribution statistics: Shannon entropy (bits) and
+    * type-token ratio — the corpus-diversity audit a data-mixing
+    * pipeline reads before weighting slices (low entropy = templated or
+    * repetitive text; TTR near 0 = tiny vocabulary for the volume).
+    *
+    * Determinism: term counts are exact longs; Σ c·ln(c) accumulates as
+    * FIXED-POINT longs (1e-6 grid per term, each term's contribution a
+    * pure function of its exact count) so the big sum is integer — order-
+    * free — and H = (ln(T) − S/(1e6·T)) / ln 2 is a fixed handful of
+    * double ops rounded to 6 dp. A per-term grid flip costs ≤ 1e-6/T
+    * bits — invisible at the output grid. Long bound: c·ln(c)·1e6
+    * overflows past ~5·10¹¹ occurrences of ONE term in ONE slice; raise
+    * the grid or widen to decimal beyond that.
+    *
+    * Scale: explode → one (slice, term) count shuffle → one slice-level
+    * fold. The widest frame is the vocabulary, same as [[keywords]].
+    *
+    * @return (sliceCol, n_tokens, n_types, ttr, entropy_bits). */
+  def sliceEntropy(docs: DataFrame, sliceCol: String,
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(sliceCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(sliceCol, "term").agg(count(lit(1)).as("c"))
+      .groupBy(sliceCol)
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long")).as("__s"))
+      .select(col(sliceCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"),
+          6).as("ttr"),
+        round((log(col("n_tokens").cast("double"))
+          - col("__s").cast("double") / lit(1e6)
+            / col("n_tokens").cast("double")) / log(lit(2.0)), 6)
+          .as("entropy_bits"))
 }

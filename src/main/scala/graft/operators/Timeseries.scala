@@ -122,4 +122,68 @@ object Timeseries {
       .select(col(keyCol), col(tieCol), col("position"),
         col("context"), col(itemCol).as("target"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * P(next state | state), estimated from every adjacent pair in
+    * (tsCol, tieCol) order — the behavioral model behind "users who
+    * view then click convert at X%" and the generator for session-level
+    * synthetic traffic.
+    *
+    * Exactness: counts are integers; each probability is ONE double
+    * division of two exact longs, rounded to 6 dp — partition-
+    * invariant, oracle-replayable. Scale: one window pass keyed by
+    * `keyCol` (the sequence order lives inside each key's partition)
+    * into one map-side-combinable pair count; the |states|² result is
+    * tiny by construction.
+    *
+    * @return (src_state, dst_state, n, p) — p = n / Σ n over src_state. */
+  def transitions(events: DataFrame, keyCol: String, stateCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("src_state"), col("__next").as("dst_state"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = Window.partitionBy("src_state")
+    pairs.select(col("src_state"), col("dst_state"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(w2).cast("double"),
+        6).as("p"))
+  }
+
+  /** Strict ordered conversion funnel: per key, step i counts only if it
+    * happens AT OR AFTER the key's completion of step i-1 (first
+    * qualifying occurrence) — the product-analytics funnel where a
+    * purchase before the first view does not count as a conversion.
+    *
+    * Spark shape: one pass per step — step i is a groupBy(key) min(ts)
+    * over events of that type semi-joined to the step-(i-1) frame with
+    * `ts >= prev_ts` — all equi-keyed joins on `keyCol`, each
+    * broadcast-or-shuffle by size. |steps| is small and fixed; event
+    * volume passes through each join once.
+    *
+    * @return one row per step: (step, step_name, n_keys) with step 1..k
+    *         and n_keys monotonically non-increasing. */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (step, i) =>
+      val ev = events.where(col(typeCol) === step)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+      val qualified =
+        if (i == 0) ev
+        else ev.join(reached.select(col("__k"), col("__ts").as("__prev")),
+          Seq("__k")).where(col("__ts") >= col("__prev"))
+          .select(col("__k"), col("__ts"))
+      // step i's per-key first-completion frame feeds BOTH its own count
+      // and step i+1's join — materialize once, not once per consumer
+      reached = qualified.groupBy("__k").agg(min(col("__ts")).as("__ts"))
+        .localCheckpoint()
+      reached.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i + 1).as("step"), lit(step).as("step_name"),
+          col("n_keys"))
+    }
+    counts.reduce(_ unionAll _)
+  }
 }

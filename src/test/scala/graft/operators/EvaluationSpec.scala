@@ -80,4 +80,20 @@ class EvaluationSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).sum == 2L)   // still 2 scored rows
     assert(out.map(_.getLong(2)).sum == 1L)   // one positive, counted once
   }
+
+  test("coverageGini: equal shares score 0; full concentration approaches 1") {
+    import spark.implicits._
+    val catalog = (1L to 10L).toDF("item_id")
+    // 4 items, 3 impressions each -> gini 0, coverage 0.4
+    val equal = (1L to 4L).flatMap(i => Seq.fill(3)(i)).toDF("item")
+    val e = Evaluation.coverageGini(equal.toDF("item"), "item",
+      catalog, "item_id").collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((10L, 4L, 12L)))
+    assert(e.getDouble(3) == 0.4 && e.getDouble(4) == 0.0)
+    // one item takes 97 of 100 impressions over 4 items -> near 1
+    val skew = (Seq.fill(97)(1L) ++ Seq(2L, 3L, 4L)).toDF("item")
+    val s = Evaluation.coverageGini(skew, "item", catalog, "item_id")
+      .collect()(0)
+    assert(s.getDouble(4) > 0.7)
+  }
 }

@@ -35,4 +35,19 @@ class ExpectationsSpec extends SparkTestBase {
     assert(out.forall(_.getBoolean(3)))
     assert(out.forall(_.getLong(2) == 0L))
   }
+
+  test("UniqueKey: NULL key components are violations, not a group") {
+    // one NULL id + one duplicate pair + one NULL component in a
+    // composite key — a groupBy-only count would pass the single NULL
+    val t = Seq((Some(1L), Some("a")), (None, Some("b")),
+      (Some(2L), Some("c")), (Some(2L), Some("c")), (Some(3L), None))
+      .toDF("id", "sub")
+    val single = Expectations.run(Seq(
+      Expectations.UniqueKey("uk", t, Seq("id")))).collect()(0)
+    assert(single.getLong(1) == 5L)
+    assert(single.getLong(2) == 2L && !single.getBoolean(3)) // NULL + dup
+    val composite = Expectations.run(Seq(
+      Expectations.UniqueKey("uk2", t, Seq("id", "sub")))).collect()(0)
+    assert(composite.getLong(2) == 3L) // two NULL-component rows + dup
+  }
 }

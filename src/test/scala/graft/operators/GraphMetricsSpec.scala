@@ -68,4 +68,25 @@ class GraphMetricsSpec extends SparkTestBase {
     val done = GraphMetrics.kcore(chain, 2, 3).collect()
     assert(done.isEmpty) // chain fully peels; empty survivor set
   }
+
+  test("bfsHops: min hop from any seed, cap honored, unreached absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 10-4 and an island 7-8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L),
+      (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val got = GraphMetrics.bfsHops(edges, seeds, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4 is 1 hop from seed 10 (not 3 hops from seed 1); island unreached
+    assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1,
+      3L -> 2, 5L -> 2))
+  }
+
+  test("bfsHops: isolated seed stays at hop 0; empty frontier exits early") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphMetrics.bfsHops(edges, Seq(99L).toDF("node"), 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(99L -> 0))
+  }
 }

@@ -21,7 +21,8 @@ class PcaSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val out = Pca.covarianceStats(df, "embedding", 2, 1.0).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
-        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+        ((r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact,
+          r.getDecimal(5).longValueExact, r.getDouble(6)))).toMap
     // snapped at scale=1: x=(1,3,5), y=(2,4,9)
     // cov(x,x) = (3*35 - 81)/(3*2) = 4; cov(x,y) = (3*59-9*15)/6 = 7
     // cov(y,y) = (3*101 - 225)/6 = 13

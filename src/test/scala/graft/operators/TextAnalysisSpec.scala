@@ -82,4 +82,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.count() > 0)
     assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0)
   }
+
+  test("sliceEntropy: uniform distribution hits log2(n) bits exactly") {
+    import spark.implicits._
+    // 4 equally-frequent tokens -> H = 2 bits, TTR = 4/8
+    val docs = Seq(("u", "aa bb cc dd aa bb cc dd"),
+      ("v", "xx xx xx xx")).toDF("lang", "text")
+    val got = TextAnalysis.sliceEntropy(docs, "lang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("u") == ((8L, 4L, 0.5, 2.0)))
+    // single-token slice: zero entropy, TTR 1/4
+    assert(got("v") == ((4L, 1L, 0.25, 0.0)))
+  }
 }

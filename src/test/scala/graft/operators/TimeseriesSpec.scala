@@ -81,4 +81,41 @@ class TimeseriesSpec extends SparkTestBase {
     assert(rows(0).getLong(rows(0).fieldIndex("n_neg")) == 3L)
     assert(rows(1).isNullAt(rows(1).fieldIndex("auc")))
   }
+
+  test("transitions: adjacent-pair counts and per-source probabilities") {
+    // user 1: a b a b; user 2: a b  =>  a->b: 3, b->a: 1
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:01"), "a"),
+      (1L, 2L, ts("2024-01-01 00:00:02"), "b"),
+      (1L, 3L, ts("2024-01-01 00:00:03"), "a"),
+      (1L, 4L, ts("2024-01-01 00:00:04"), "b"),
+      (2L, 5L, ts("2024-01-01 00:00:01"), "a"),
+      (2L, 6L, ts("2024-01-01 00:00:02"), "b")
+    ).toDF("user_id", "event_id", "t", "state")
+    val got = Timeseries.transitions(ev, "user_id", "state", "t", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(("a", "b") -> ((3L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("funnel: steps only count at-or-after the previous step's first hit") {
+    val ev = Seq(
+      // u1 completes the funnel in order
+      (1L, ts("2024-01-01 00:00:01"), "view"),
+      (1L, ts("2024-01-01 00:00:02"), "click"),
+      (1L, ts("2024-01-01 00:00:03"), "purchase"),
+      // u2 purchases BEFORE clicking: purchase must not count
+      (2L, ts("2024-01-01 00:00:01"), "view"),
+      (2L, ts("2024-01-01 00:00:02"), "purchase"),
+      (2L, ts("2024-01-01 00:00:03"), "click"),
+      // u3 clicks before any view: neither click nor purchase counts
+      (3L, ts("2024-01-01 00:00:01"), "click"),
+      (3L, ts("2024-01-01 00:00:02"), "view")
+    ).toDF("user_id", "t", "etype")
+    val got = Timeseries.funnel(ev, "user_id", "etype", "t",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
 }
