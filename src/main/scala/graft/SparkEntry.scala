@@ -2054,6 +2054,115 @@ object SparkEntry {
     "q148_funnel" -> ((s, d) =>
       Timeseries.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+
+    // --- personalized PageRank (random walk with restart) -------------------
+    // Seed-conditioned relatedness over the directed co-purchase graph:
+    // teleport AND dangling mass return to the anchor products only.
+    "q149_ppr" -> ((s, d) =>
+      PageRank.personalized(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)),
+        Tables.tableRaw(s, d, "part").where(col("p_partkey") < 5)
+          .select(col("p_partkey").as("node")))),
+
+    // --- bounded-lag EWMA smoothing ------------------------------------------
+    // Per-user exponentially-weighted value signal, truncated at 6 lags
+    // so each row is a fixed lag-stack combination (no sequential scan).
+    "q150_ewma" -> ((s, d) =>
+      Timeseries.ewma(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", 0.5, 6)),
+
+    // --- robust median/MAD outliers ------------------------------------------
+    // Price outliers per returnflag on the median/MAD scale (k=1.5 —
+    // a uniform distribution has max |dev| ≈ 2·MAD, so the tails flag).
+    "q151_mad_outliers" -> ((s, d) =>
+      DataQuality.madOutliers(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", 1.5, Seq("l_orderkey", "l_linenumber"))),
+
+    // --- order-free table integrity digest -----------------------------------
+    // Merkle-style proof a copy moved every lineitem row unchanged:
+    // per-row 60-bit hash summed exactly — no sort, any engine replays.
+    "q152_table_digest" -> ((s, d) =>
+      DataQuality.tableDigest(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+            .as("cents")),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
+          "cents"))),
+
+    // --- HyperLogLog distinct sketch ------------------------------------------
+    // Three key columns sketched in ONE pass; register state is 4096
+    // BIGINTs per column, mergeable by max — the 100 TB count-distinct.
+    // sf0.01 orderkeys (~15k) exercise the raw estimator; partkeys /
+    // suppkeys (~2k/100) the sparse linear-counting branch.
+    "q153_hll_distinct" -> ((s, d) =>
+      Sketch.hllDistinct(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
+    // --- count-min frequency sketch -------------------------------------------
+    // Part-quantity heavy-hitter estimates from a 4×1024 counter grid
+    // (one map-side pass over lineitem); point queries for a fixed
+    // candidate set. est ≥ exact always (CMS one-sided error).
+    "q154_count_min" -> ((s, d) =>
+      Sketch.cmsEstimate(
+        Sketch.cmsBuild(Tables.lineitem(s, d), "l_partkey",
+          floor(col("l_quantity") * lit(100) + lit(0.5)).cast("long")),
+        Tables.tableRaw(s, d, "part").where(col("p_partkey") < 100)
+          .select("p_partkey"),
+        "p_partkey")),
+
+    // --- cohort retention matrix ----------------------------------------------
+    "q155_retention" -> ((s, d) =>
+      Timeseries.retentionCohorts(Tables.events(s, d), "user_id", "ts")),
+
+    // --- rolling active users (DAU/WAU/MAU) ------------------------------------
+    // Exact sliding distinct counts via bounded ×28 fan-out of the
+    // distinct (user, day) set — no range join, no per-user sort.
+    "q156_active_users" -> ((s, d) =>
+      Timeseries.activeUsers(Tables.events(s, d), "user_id", "ts")),
+
+    // --- CDC apply (MERGE INTO law) ---------------------------------------------
+    // Perturb orders into an "old" snapshot (drop every 13th key →
+    // inserts; double every 7th-of-13 price → updates; fabricate ghost
+    // keys → deletes), diff old→orders, apply the delta back onto old,
+    // and digest the result. The oracle digests `orders` directly: the
+    // apply must reconstruct the target table EXACTLY, row for row.
+    "q157_cdc_apply" -> ((s, d) => {
+      val keys = Seq("o_orderkey")
+      val payload = Seq("o_custkey", "o_orderstatus", "cents", "oday")
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long").as("cents"),
+        to_date(col("o_orderdate")).cast("string").as("oday"))
+      val old = ord.where(pmod(col("o_orderkey"), lit(13)) =!= 3)
+        .withColumn("cents", when(pmod(col("o_orderkey"), lit(13)) === 7,
+          col("cents") * 2).otherwise(col("cents")))
+        .unionByName(ord.where(pmod(col("o_orderkey"), lit(13)) === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      val delta = Cdc.snapshotDiff(old, ord, keys, payload)
+        .join(ord, keys, "left") // payload for inserts/updates; NULL on deletes
+      val applied = Cdc.applyDelta(old, delta, keys, payload)
+      DataQuality.tableDigest(applied, keys ++ payload)
+    }),
+
+    // --- CUSUM mean-shift changepoint flags -------------------------------------
+    // Rows where a user's cumulative deviation from their own mean value
+    // exceeds $300 — all-integer statistic, threshold in cents.
+    "q158_cusum" -> ((s, d) =>
+      Timeseries.cusumFlags(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value", 30000L)),
+
+    // --- last-touch attribution ---------------------------------------------------
+    // Revenue credited to the day of the most recent click preceding each
+    // purchase (the as-of join re-aggregated to the TOUCH day, not the
+    // conversion day — marketing's view of the same events).
+    "q159_attribution" -> ((s, d) =>
+      AsOfJoin.latestBefore(Tables.events(s, d), "click", "purchase")
+        .where(col("asof_event_id").isNotNull)
+        .groupBy(to_date(timestamp_millis(col("asof_ts_ms"))).as("touch_day"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+            .as("attributed_cents"))),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4223,5 +4332,207 @@ object SparkEntry {
         |  (SELECT count(*) FROM s1)::BIGINT AS n_keys
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q149_ppr" -> {
+      // q94's chained-CTE unroll with the restart vector: teleport and
+      // dangling mass return to the seeds only. (1.0 - 0.85) stays an
+      // EXPRESSION — as a 0.15 literal it differs by 1 ulp from the
+      // double Spark computes.
+      val rounds = (1 to 10).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank * e.frac) AS m
+           |  FROM norm e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+           |d$i AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm
+           |  FROM r${i - 1} r SEMI JOIN dangset g ON r.node = g.node),
+           |r$i AS MATERIALIZED (SELECT t.node,
+           |    (1.0 - 0.85) * t.rv + 0.85 * (coalesce(c.m, 0.0) + d$i.dm * t.rv) AS rank
+           |  FROM rst t LEFT JOIN c$i c ON t.node = c.node
+           |  CROSS JOIN d$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+        |      FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |deg AS MATERIALIZED (SELECT src, sum(weight) AS w FROM e GROUP BY 1),
+        |norm AS MATERIALIZED (SELECT s.src, s.dst, s.weight::DOUBLE / d.w AS frac
+        |         FROM e s JOIN deg d USING (src)),
+        |dangset AS MATERIALIZED (SELECT node FROM nodes
+        |         WHERE node NOT IN (SELECT src FROM deg)),
+        |seedset AS MATERIALIZED (SELECT node FROM nodes
+        |         WHERE node IN (SELECT p_partkey FROM part WHERE p_partkey < 5)),
+        |ns AS (SELECT count(*)::DOUBLE AS ns FROM seedset),
+        |rst AS MATERIALIZED (SELECT nd.node,
+        |    CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS rv
+        |  FROM nodes nd LEFT JOIN seedset s ON nd.node = s.node CROSS JOIN ns),
+        |r0 AS MATERIALIZED (SELECT node, rv AS rank FROM rst),
+        |$rounds,
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)
+        |SELECT r10.node, round(r10.rank * nn.n, 6) AS ppr_scaled
+        |FROM r10 CROSS JOIN nn""".stripMargin
+    },
+
+    "q150_ewma" -> {
+      // α = 0.5 keeps every weight an exact binary double (1, 0.5,
+      // 0.25, …) — the lag-chain addition order mirrors the Spark
+      // reduceLeft term by term.
+      val num = (0 to 6).map {
+        case 0 => "cents::DOUBLE * 1.0"
+        case i =>
+          s"CASE WHEN x$i IS NOT NULL THEN x$i::DOUBLE * ${math.pow(0.5, i)} ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = (0 to 6).map {
+        case 0 => "1.0"
+        case i => s"CASE WHEN x$i IS NOT NULL THEN ${math.pow(0.5, i)} ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT user_id, event_id, ts,
+        |    floor(value * 100 + 0.5::DOUBLE)::BIGINT AS cents FROM events),
+        |l AS (SELECT user_id, event_id, cents,
+        |    ${(1 to 6).map(i => s"lag(cents, $i) OVER w AS x$i").mkString(", ")}
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, cents,
+        |  round(($num) / ($den), 6) AS ewma
+        |FROM l""".stripMargin
+    },
+
+    "q151_mad_outliers" ->
+      """WITH c AS (SELECT l_returnflag AS g, l_orderkey, l_linenumber,
+        |    floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT AS cents
+        |  FROM lineitem),
+        |m AS (SELECT g, median(cents) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.g, c.l_orderkey, c.l_linenumber, c.cents, m.med,
+        |    abs(c.cents::DOUBLE - m.med) AS dev
+        |  FROM c JOIN m USING (g)),
+        |m2 AS (SELECT g, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.g AS l_returnflag, d.l_orderkey, d.l_linenumber,
+        |  d.cents, d.med, m2.mad
+        |FROM d JOIN m2 USING (g)
+        |WHERE m2.mad > 0 AND d.dev > 1.5 * m2.mad""".stripMargin,
+
+    "q152_table_digest" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CAST('0x' || substr(md5(
+        |    l_orderkey::VARCHAR || chr(1) || l_linenumber::VARCHAR || chr(1) ||
+        |    l_partkey::VARCHAR || chr(1) || l_returnflag || chr(1) ||
+        |    floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT::VARCHAR),
+        |    1, 15) AS BIGINT)::HUGEINT)::DECIMAL(38,0) AS digest
+        |FROM lineitem""".stripMargin,
+
+    "q153_hll_distinct" ->
+      // registers: bucket = low 12 hash bits, rho = 1 + trailing zeros of
+      // the other 48; Z folds as exact integers (Σ 2^(49−reg) + zeros·2^49)
+      // so only the final fixed double expression — and the sparse-branch
+      // m·ln(m/V) — touches floating point. Literal arithmetic like
+      // 0.7213/(1.0 + 1.079/4096.0) is written as the EXPRESSION, not a
+      // decimal: both engines then compute the identical IEEE double.
+      """WITH src AS (
+        |  SELECT 'l_orderkey' AS tag, l_orderkey::VARCHAR AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem),
+        |h AS (SELECT tag,
+        |    CAST('0x' || substr(md5('hll:' || v), 1, 15) AS BIGINT) AS h FROM src),
+        |b AS (SELECT tag, h & 4095 AS bucket, h >> 12 AS r FROM h),
+        |regs AS (SELECT tag, bucket,
+        |    max(CASE WHEN r = 0 THEN 49
+        |             ELSE bit_count(((r & -r) - 1)::BIGINT) + 1 END) AS reg
+        |  FROM b GROUP BY 1, 2),
+        |e AS (SELECT tag, count(*)::BIGINT AS n_buckets,
+        |    (sum(1::BIGINT << (49 - reg))
+        |      + (4096 - count(*)) * (1::BIGINT << 49))::BIGINT AS z_scaled
+        |  FROM regs GROUP BY 1),
+        |est AS (SELECT tag, n_buckets, z_scaled,
+        |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * 562949953421312.0
+        |      / z_scaled::DOUBLE AS raw,
+        |    (4096 - n_buckets)::BIGINT AS v FROM e)
+        |SELECT tag, n_buckets, z_scaled,
+        |  round(CASE WHEN raw <= 10240.0 AND v > 0
+        |             THEN 4096.0 * ln(4096.0 / v::DOUBLE) ELSE raw END, 4)
+        |    AS est_distinct
+        |FROM est""".stripMargin,
+
+    "q154_count_min" ->
+      """WITH it AS (SELECT l_partkey::VARCHAR AS v,
+        |    floor(l_quantity * 100 + 0.5::DOUBLE)::BIGINT AS w FROM lineitem),
+        |g AS (SELECT j,
+        |    CAST('0x' || substr(md5('cms' || j::VARCHAR || ':' || v), 1, 15)
+        |      AS BIGINT) & 1023 AS slot,
+        |    w FROM it CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |sk AS (SELECT j, slot, sum(w) AS cnt FROM g GROUP BY 1, 2),
+        |cand AS (SELECT p_partkey, p_partkey::VARCHAR AS v FROM part
+        |         WHERE p_partkey < 100),
+        |cq AS (SELECT p_partkey, j,
+        |    CAST('0x' || substr(md5('cms' || j::VARCHAR || ':' || v), 1, 15)
+        |      AS BIGINT) & 1023 AS slot
+        |  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT cq.p_partkey, min(coalesce(sk.cnt, 0))::BIGINT AS est_count
+        |FROM cq LEFT JOIN sk USING (j, slot) GROUP BY 1""".stripMargin,
+
+    "q155_retention" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS k,
+        |    date_trunc('week', ts)::DATE AS wk FROM events),
+        |c AS (SELECT k, min(wk) AS cohort_week FROM pairs GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  (date_diff('day', c.cohort_week, p.wk) // 7)::BIGINT AS week_offset,
+        |  count(*) AS n_users
+        |FROM pairs p JOIN c USING (k) GROUP BY 1, 2""".stripMargin,
+
+    "q156_active_users" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS k, ts::DATE AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM pairs)
+        |SELECT dy.day,
+        |  count(DISTINCT CASE WHEN p.d = dy.day THEN p.k END) AS dau,
+        |  count(DISTINCT CASE WHEN date_diff('day', p.d, dy.day) < 7 THEN p.k END)
+        |    AS wau,
+        |  count(DISTINCT p.k) AS mau
+        |FROM pairs p JOIN days dy ON dy.day BETWEEN p.d AND p.d + 27
+        |GROUP BY 1""".stripMargin,
+
+    "q157_cdc_apply" ->
+      // the LAW is the oracle: applying diff(old, orders) onto old must
+      // reconstruct `orders` exactly, so the expected digest is computed
+      // from orders directly — any apply/diff defect hash-mismatches.
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CAST('0x' || substr(md5(
+        |    o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR || chr(1) ||
+        |    o_orderstatus || chr(1) ||
+        |    floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT::VARCHAR || chr(1) ||
+        |    (o_orderdate::DATE)::VARCHAR),
+        |    1, 15) AS BIGINT)::HUGEINT)::DECIMAL(38,0) AS digest
+        |FROM orders""".stripMargin,
+
+    "q158_cusum" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    floor(value * 100 + 0.5::DOUBLE)::BIGINT AS c FROM events),
+        |w AS (SELECT user_id, event_id,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS prefix,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(c) OVER (PARTITION BY user_id) AS s
+        |  FROM b)
+        |SELECT user_id, event_id,
+        |  (n::HUGEINT * prefix::HUGEINT - i::HUGEINT * s::HUGEINT)
+        |    ::BIGINT AS cusum_scaled,
+        |  n::BIGINT AS n
+        |FROM w
+        |WHERE abs(n::HUGEINT * prefix::HUGEINT - i::HUGEINT * s::HUGEINT)
+        |      > 30000::HUGEINT * n::HUGEINT""".stripMargin,
+
+    "q159_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, value,
+        |    (event_type = 'purchase') AS is_probe
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |o AS (SELECT *,
+        |    last_value(CASE WHEN NOT is_probe THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_event_id,
+        |    last_value(CASE WHEN NOT is_probe THEN epoch_ms(ts) END IGNORE NULLS)
+        |      OVER w AS asof_ts_ms
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), is_probe, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT make_timestamp(asof_ts_ms * 1000)::DATE AS touch_day,
+        |  count(*) AS n_conversions,
+        |  sum(floor(value * 100 + 0.5::DOUBLE)::BIGINT)::BIGINT
+        |    AS attributed_cents
+        |FROM o WHERE is_probe AND asof_event_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -45,4 +45,27 @@ object Cdc {
       .where(col("change_type").isNotNull)
       .select((keys.map(col) :+ F.col("change_type")): _*)
   }
+
+  /** Apply a change feed to a snapshot — the MERGE INTO half of CDC:
+    * deletes remove the key, inserts/updates take the delta's payload,
+    * untouched keys keep the snapshot row. Law (CdcSpec):
+    * `applyDelta(old, diff(old, new) ⋈ new-payload) ≡ new` exactly.
+    *
+    * Scale: ONE full-outer equi-join on the business key; the delta is
+    * typically ≪ the snapshot, so AQE picks a broadcast. No window, no
+    * skew hazard beyond the join key itself.
+    *
+    * @param delta (keys..., change_type, payload...) — payload columns
+    *              may be NULL on deletes (they are dropped anyway) */
+  def applyDelta(snap: DataFrame, delta: DataFrame, keys: Seq[String],
+                 payload: Seq[String]): DataFrame = {
+    val d = delta.select(
+      (keys.map(col) :+ col("change_type")) ++
+        payload.map(c => col(c).as(s"__d_$c")): _*)
+    snap.join(d, keys, "full_outer")
+      .where(col("change_type").isNull || col("change_type") =!= "delete")
+      .select(keys.map(col) ++ payload.map(c =>
+        when(col("change_type").isNotNull, col(s"__d_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

@@ -209,4 +209,58 @@ object DataQuality {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Robust per-group outliers on the median/MAD scale — the skew- and
+    * outlier-proof alternative to z-scores (the q96 z-score flags are
+    * themselves dragged by the outliers they hunt; median and MAD have
+    * a 50% breakdown point). Flags rows with |x − median| > k·MAD.
+    *
+    * Exactness: values snap to cents, medians interpolate on the exact
+    * integer grid (the window-rank percentile machinery from
+    * [[FeaturePrep.percentileBounds]] — bit-equal to percentile()), so
+    * the flag comparison is deterministic double math per row.
+    *
+    * Scale: two window-rank percentile passes (each one shuffle on the
+    * group key, mega-group-safe — sorts spill) + two broadcast-sized
+    * per-group joins back onto the fact table.
+    *
+    * @return flagged rows: (groupCol, keep..., cents, med, mad). */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  k: Double, keep: Seq[String]): DataFrame = {
+    val cents = df.select((groupCol +: keep).map(col) :+
+      floor(col(valCol) * lit(100) + lit(0.5)).cast("long").as("cents"): _*)
+    val med = FeaturePrep.percentileBounds(cents, groupCol, "cents", 0.5, 0.5)
+      .select(col(groupCol), col("__lo").as("med"))
+    val dev = cents.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("cents").cast("double") - col("med")))
+    val mad = FeaturePrep.percentileBounds(
+        dev.select(col(groupCol), col("__dev")), groupCol, "__dev", 0.5, 0.5)
+      .select(col(groupCol), col("__lo").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .where(col("mad") > 0 && col("__dev") > lit(k) * col("mad"))
+      .select((groupCol +: keep).map(col) ++
+        Seq(col("cents"), col("med"), col("mad")): _*)
+  }
+
+  /** Order-free table digest — the Merkle-style integrity check a lake
+    * pipeline runs to prove a copy/export/migration moved EVERY row
+    * unchanged without sorting anything: per-row 60-bit hash of the
+    * canonical column encoding, summed exactly. Any engine that can md5
+    * replays it; row order and partitioning cannot affect it.
+    *
+    * Contract: pass integer/string columns (snap doubles first — their
+    * string forms are not portable across engines). chr(1) separates
+    * columns, chr(0) marks NULL (the [[Cdc]] encoding).
+    *
+    * Scale: map-side hash + one single-row aggregate; DECIMAL(38,0)
+    * accumulation is exact at any row count.
+    *
+    * @return one row: (n_rows, digest). */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(graft.functions.TextFunctions.hash60(
+        concat_ws("\u0001",
+          cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("digest"))
 }

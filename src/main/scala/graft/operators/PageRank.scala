@@ -100,4 +100,63 @@ object PageRank {
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
   }
+
+  /** PERSONALIZED PageRank: random walk with restart to a seed set —
+    * "related to THESE anchor products", the seed-conditioned item
+    * importance a recommender blends when a user has a known basket
+    * (vs [[run]]'s global importance). Teleport mass — the (1−d) restart
+    * AND the dangling-node mass — returns only to the seeds, uniformly.
+    *
+    * Same bulk-iteration shape as [[runDirected]]: transition fractions
+    * checkpointed once, one join + one groupBy(dst) per round, dangling
+    * mass a one-row broadcast. The seed flag is a column, not a driver
+    * structure, so |S| can be thousands of anchors unchanged.
+    *
+    * @param seeds one column `node`; seeds absent from the graph are
+    *              ignored (they could neither receive nor pass mass)
+    * @return (node, ppr_scaled) — rank × |nodes| rounded to 6 dp. */
+  def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int = 10,
+                   damping: Double = 0.85): DataFrame = {
+    val frac = edges
+      .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("__w")).as("frac"))
+      .localCheckpoint()
+    val srcs = frac.select(col("src").as("node"), lit(true).as("__has")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .join(srcs, Seq("node"), "left")
+      .join(seeds.select(col("node"), lit(true).as("__seed")).distinct(),
+        Seq("node"), "left")
+      .select(col("node"), col("__has").isNull.as("dang"),
+        coalesce(col("__seed"), lit(false)).as("seed"))
+      .repartition(col("node"))
+      .localCheckpoint()
+    val n = nodes.count()
+    val nSeeds = nodes.where(col("seed")).count()
+    require(nSeeds > 0, "personalized PageRank needs >= 1 seed in the graph")
+    // restart vector: 1/|S| on seeds, 0 elsewhere
+    val restart = when(col("seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+
+    var ranks = nodes.select(col("node"), restart.as("rank"),
+      col("dang"), col("seed"))
+    for (i <- 1 to iterations) {
+      val contrib = frac.join(ranks.select("node", "rank"),
+          frac("src") === col("node"))
+        .groupBy(frac("dst").as("node"))
+        .agg(sum(col("frac") * col("rank")).as("m"))
+      val dang = ranks.where(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dang.hint("broadcast"))
+        .select(col("node"),
+          (lit(1.0 - damping) * restart + lit(damping) *
+            (coalesce(col("m"), lit(0.0)) +
+              col("dm") * restart)).as("rank"),
+          col("dang"), col("seed"))
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank") * n, 6).as("ppr_scaled"))
+  }
 }

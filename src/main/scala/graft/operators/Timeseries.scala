@@ -151,6 +151,48 @@ object Timeseries {
         6).as("p"))
   }
 
+  /** Bounded-lag exponentially-weighted moving average — the smoothed
+    * per-key signal a monitoring/feature pipeline reads instead of the
+    * raw series. The classic recursive EWMA is a sequential scan
+    * (hostile to both distribution and cross-engine replay); truncating
+    * at `lags` terms makes it a FIXED linear combination of the last
+    * lags+1 observations: weights (1−α)^i renormalized over the lags
+    * actually present, so early rows use their shorter history.
+    *
+    * Determinism: values snap to cents; each row's result is one fixed
+    * left-to-right chain of double ops over its own lag stack — no
+    * accumulation across rows, bit-identical in any engine with the
+    * same lag semantics. Truncation bias vs the infinite EWMA is
+    * (1−α)^(lags+1) of the older mass — 0.8% at α=0.5, lags=6.
+    *
+    * Scale: one window pass keyed by `keyCol` (bounded lag stack, no
+    * collect), same mega-key spill behavior as every window here.
+    *
+    * @return input keys + (cents, ewma) — ewma rounded to 6 dp. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double = 0.5, lags: Int = 6): DataFrame = {
+    require(lags >= 1 && alpha > 0 && alpha <= 1, "need lags >= 1, 0 < alpha <= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val cents = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    val withLags = events.select(col(keyCol), col(tsCol), col(tieCol),
+      cents.as("cents"))
+    val xs = (0 to lags).map {
+      case 0 => col("cents")
+      case i => lag(col("cents"), i).over(w)
+    }
+    val ws = (0 to lags).map(i => math.pow(1.0 - alpha, i))
+    // explicit left-to-right chains fix the double-addition order the
+    // oracle replays term by term
+    val num = xs.zip(ws).map { case (x, wi) =>
+      when(x.isNotNull, x.cast("double") * lit(wi)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = xs.zip(ws).map { case (x, wi) =>
+      when(x.isNotNull, lit(wi)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    withLags.select(col(keyCol), col(tieCol), col("cents"),
+      round(num / den, 6).as("ewma"))
+  }
+
   /** Strict ordered conversion funnel: per key, step i counts only if it
     * happens AT OR AFTER the key's completion of step i-1 (first
     * qualifying occurrence) — the product-analytics funnel where a
@@ -185,5 +227,99 @@ object Timeseries {
           col("n_keys"))
     }
     counts.reduce(_ unionAll _)
+  }
+
+  /** Cohort retention matrix — the product-analytics staple: users are
+    * cohorted by the ISO week of their FIRST event; cell (cohort, k)
+    * counts how many of them were active k weeks later. Week truncation
+    * is ISO-Monday in both Spark (`date_trunc('week')`) and DuckDB —
+    * offsets are exact integer day differences / 7.
+    *
+    * Spark shape: distinct (user, week) pairs (one partial-agg shuffle,
+    * output bounded by users×weeks), per-user min week (one groupBy —
+    * output |users|), one equi-join back on user, then the final tiny
+    * aggregate. No window over a user's full history anywhere.
+    *
+    * @return (cohort_week DATE, week_offset, n_users) */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val pairs = events
+      .select(col(keyCol).as("__k"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"))
+      .distinct()
+    val cohort = pairs.groupBy("__k").agg(min("wk").as("cohort_week"))
+    pairs.join(cohort, Seq("__k"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Rolling active users — DAU / WAU(7d) / MAU(28d) per day, exact
+    * distinct counts. The window is materialized by FAN-OUT, not a range
+    * join: each distinct (user, day) pair contributes to the 28 target
+    * days it can influence, then one aggregate counts distinct users per
+    * target day under each window predicate. Fan-out is a fixed ×28 of
+    * the DISTINCT pair set (already ≪ raw events), every join is
+    * equi-keyed, and no per-user history is ever sorted — the shape
+    * survives any user count. Output days are restricted to days with
+    * at least one event (no phantom trailing windows).
+    *
+    * @return (day DATE, dau, wau, mau) */
+  def activeUsers(events: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    val pairs = events
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val days = pairs.select(col("d").as("day")).distinct()
+    val fanned = pairs
+      .select(col("__k"), col("d"),
+        explode(sequence(col("d"), date_add(col("d"), 27))).as("day"))
+    fanned.join(days, Seq("day"))
+      .groupBy("day")
+      .agg(
+        count_distinct(when(col("day") === col("d"), col("__k"))).as("dau"),
+        count_distinct(when(datediff(col("day"), col("d")) < 7, col("__k")))
+          .as("wau"),
+        count_distinct(col("__k")).as("mau"))
+  }
+
+  /** CUSUM changepoint flags — rows where the cumulative deviation of a
+    * key's series from its own mean exceeds a threshold (the classic
+    * mean-shift chart, cumsum form). All arithmetic is EXACT integer:
+    * with per-key count n and total S (cents), the scaled statistic at
+    * row i is C_i·n = n·prefix_i − i·S, compared against h·n (h in
+    * cents) — no double ever accumulates, so any engine replays it.
+    *
+    * Spark shape: one window pass keyed by `keyCol` for (prefix, i) and
+    * the per-key aggregates over the same partitioning (no second
+    * shuffle — same exchange reused). DECIMAL(38,0) widening keeps
+    * n·prefix exact for any key size.
+    *
+    * @return flagged rows: (key, tie, cusum_scaled DECIMAL, n) */
+  def cusumFlags(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valCol: String,
+                 thresholdCents: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    val wRun = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val base = events.select(col(keyCol), col(tsCol), col(tieCol),
+        cents.as("__c"))
+      .withColumn("__prefix", sum(col("__c")).over(wRun))
+      .withColumn("__i", count(lit(1)).over(wRun))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__c")).over(wAll))
+    base
+      .withColumn("__cs",
+        dec(col("__n")) * dec(col("__prefix")) - dec(col("__i")) * dec(col("__s")))
+      .where(abs(col("__cs")) > dec(lit(thresholdCents)) * dec(col("__n")))
+      // the comparison runs in DECIMAL (never wraps); the emitted long is
+      // exact while n²·maxCents < 2^63 (≈4·10^5 events per key at $500
+      // values) and NULL past it — visible, not silently wrong
+      .select(col(keyCol), col(tieCol),
+        col("__cs").cast("long").as("cusum_scaled"), col("__n").as("n"))
   }
 }

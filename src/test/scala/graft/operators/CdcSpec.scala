@@ -37,4 +37,24 @@ class CdcSpec extends SparkTestBase {
   test("identical snapshots produce an empty delta") {
     assert(Cdc.snapshotDiff(old, old, Seq("k"), Seq("s", "v")).isEmpty)
   }
+
+  test("applyDelta law: apply(old, diff(old, new) ⋈ new payload) ≡ new") {
+    import org.apache.spark.sql.functions._
+    val delta = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .join(neu, Seq("k"), "left")
+    val applied = Cdc.applyDelta(old, delta, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = neu.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(applied.toSeq == want.toSeq)
+  }
+
+  test("applyDelta with an empty delta is the identity") {
+    import org.apache.spark.sql.functions._
+    val empty = Cdc.snapshotDiff(old, old, Seq("k"), Seq("s", "v"))
+      .join(old, Seq("k"), "left")
+    val applied = Cdc.applyDelta(old, empty, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(applied.toSeq == old.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
 }

@@ -130,4 +130,37 @@ class DataQualitySpec extends SparkTestBase {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans <= 1, s"corrMatrix should read the table once:\n$plan")
   }
+
+  test("madOutliers: hand-computed median/MAD flags only the spike") {
+    import spark.implicits._
+    // values 1..9 (dollars) + one spike: med of cents = 500 with the
+    // spike pushing the list to 10 values -> med 550, MAD over devs
+    val vals = (1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
+      (("g", 10L, 100.0))
+    val df = vals.toDF("g", "id", "v")
+    val out = DataQuality.madOutliers(df, "g", "v", 3.0, Seq("id")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L), "only the spike flags")
+    // med of (100..900,10000) = (500+600)/2 = 550 in cents units
+    assert(out(0).getDouble(3) == 550.0)
+  }
+
+  test("madOutliers: constant group (MAD 0) flags nothing") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => ("g", i.toLong, 7.0)).toDF("g", "id", "v")
+    assert(DataQuality.madOutliers(df, "g", "v", 3.0, Seq("id")).isEmpty)
+  }
+
+  test("tableDigest: order/partitioning-free, any cell change detected") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val d1 = DataQuality.tableDigest(df.repartition(1), Seq("k", "s"))
+      .collect()(0)
+    val d2 = DataQuality.tableDigest(df.orderBy(desc("k")).repartition(3),
+      Seq("k", "s")).collect()(0)
+    assert(d1.getLong(0) == 3L && d1.toString == d2.toString)
+    val changed = DataQuality.tableDigest(
+      Seq((1L, "a"), (2L, "X"), (3L, "c")).toDF("k", "s"), Seq("k", "s"))
+      .collect()(0)
+    assert(changed.toString != d1.toString)
+  }
 }

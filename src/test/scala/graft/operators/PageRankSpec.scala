@@ -44,4 +44,30 @@ class PageRankSpec extends SparkTestBase {
     // base + dangling share, so it ranks below its successors
     assert(pr(2L) > pr(1L) && pr(3L) > pr(1L))
   }
+
+  test("personalized: mass conserved, concentrated near the seed") {
+    import spark.implicits._
+    // two symmetric lobes joined at 3; seed in the left lobe
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (3L, 4L, 1L), (4L, 3L, 1L), (4L, 5L, 1L), (5L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val ppr = PageRank.personalized(edges, Seq(1L).toDF("node"), 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr.values.sum - 5.0) < 1e-3, s"mass not conserved: $ppr")
+    // decay with distance from the seed (pairwise at +2 hops: a chain
+    // endpoint hands ALL its mass to its neighbor, so strict adjacent
+    // monotonicity doesn't hold at the seed itself)
+    assert(ppr(1L) > ppr(3L) && ppr(2L) > ppr(4L) && ppr(3L) > ppr(5L),
+      s"no decay: $ppr")
+  }
+
+  test("personalized: dangling mass teleports back to seeds only") {
+    import spark.implicits._
+    // 2 is a dead end; without dangling handling mass drains every round
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    val ppr = PageRank.personalized(edges, Seq(1L).toDF("node"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr.values.sum - 2.0) < 1e-3, s"mass drained: $ppr")
+    assert(ppr(1L) > ppr(2L)) // seed keeps the restart mass
+  }
 }

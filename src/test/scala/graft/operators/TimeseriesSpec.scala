@@ -118,4 +118,79 @@ class TimeseriesSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
+
+  test("ewma: renormalized lag weights, exact at alpha = 0.5") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:01"), 1.0),
+      (1L, 2L, ts("2024-01-01 00:00:02"), 2.0),
+      (1L, 3L, ts("2024-01-01 00:00:03"), 4.0)
+    ).toDF("user_id", "event_id", "t", "v")
+    val got = Timeseries.ewma(ev, "user_id", "t", "event_id", "v", 0.5, 6)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // first row: only itself; second: (200 + 0.5*100)/1.5;
+    // third: (400 + 0.5*200 + 0.25*100)/1.75
+    assert(got(1L) == 100.0)
+    assert(got(2L) == 166.666667) // round(250/1.5, 6)
+    assert(got(3L) == 300.0)
+  }
+
+  test("retentionCohorts: users cohorted by first ISO week, offsets in weeks") {
+    val ev = Seq(
+      // u1 first active wk of Jan 1 (Mon), returns wk+1 and wk+3
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-23 10:00:00")),
+      // u2 same cohort, only week 0 (two events, counted once)
+      (2L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-04 10:00:00")),
+      // u3 cohort wk of Jan 8, returns wk+1
+      (3L, ts("2024-01-10 10:00:00")), (3L, ts("2024-01-15 10:00:00"))
+    ).toDF("user_id", "t")
+    val got = Timeseries.retentionCohorts(ev, "user_id", "t")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
+  }
+
+  test("activeUsers: dau/wau/mau windows, distinct within window") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00")), (1L, ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 03:00:00")),
+      (1L, ts("2024-01-05 01:00:00")),
+      (3L, ts("2024-01-20 01:00:00"))
+    ).toDF("user_id", "t")
+    val got = Timeseries.activeUsers(ev, "user_id", "t")
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 2L)))
+    // Jan 5: only u1 that day; u1+u2 within trailing 7d
+    assert(got("2024-01-05") == ((1L, 2L, 2L)))
+    // Jan 20: u3 alone in 7d; Jan 1/5 activity within trailing 28d
+    assert(got("2024-01-20") == ((1L, 1L, 3L)))
+  }
+
+  test("cusumFlags: constant series never flags; a planted shift does") {
+    val flat = (1 to 20).map(i =>
+      (1L, i.toLong, ts(f"2024-01-01 00:${i}%02d:00"), 50.0))
+    assert(Timeseries.cusumFlags(flat.toDF("user_id", "event_id", "t", "v"),
+      "user_id", "t", "event_id", "v", 1L).isEmpty)
+
+    // level shift halfway: 10×$10 then 10×$90 (mean $50); |C_i·n| =
+    // |20·prefix_i − i·100000| peaks at the boundary — rows 8..12 clear
+    // the 600000 bar, early rows stay under it
+    val shifted = (1 to 20).map { i =>
+      val v = if (i <= 10) 10.0 else 90.0
+      (1L, i.toLong, ts(f"2024-01-01 00:${i}%02d:00"), v)
+    }
+    val got = Timeseries.cusumFlags(shifted.toDF("user_id", "event_id", "t", "v"),
+      "user_id", "t", "event_id", "v", 30000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // C_i·n at the boundary: n=20, prefix_10=10000 cents, S=100000 →
+    // 20·10000 − 10·100000 = −800000; |−800000| > 30000·20=600000 ✓
+    assert(got.contains(10L) && got(10L) == -800000L)
+    // early rows cannot exceed the threshold
+    assert(!got.contains(1L) && !got.contains(2L))
+  }
 }
