@@ -2163,6 +2163,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_conversions"),
           sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
             .as("attributed_cents"))),
+
+    // --- Bloom membership filter ------------------------------------------------
+    // Build over every lineitem partkey; probe 200 known keys + 200
+    // fabricated absent keys. No false negatives by construction; the
+    // absent side exercises the false-positive path at the documented
+    // ~3e-5 rate (0 expected hits among 200).
+    "q160_bloom" -> ((s, d) => {
+      val present = Tables.tableRaw(s, d, "part")
+        .where(col("p_partkey") < 200).select(col("p_partkey").as("key"))
+      val cand = present.unionByName(
+        present.select((col("key") + lit(5000000L)).as("key")))
+      Sketch.bloomProbe(
+        Sketch.bloomBuild(Tables.lineitem(s, d), "l_partkey"), cand, "key")
+    }),
+
+    // --- mergeable histogram quantiles ------------------------------------------
+    // p50/p95/p99 of event values per type from $1 bins — exact integer
+    // readout, error ≤ bin width, state sums across shards/days.
+    "q161_hist_quantiles" -> ((s, d) =>
+      Sketch.histQuantiles(Tables.events(s, d), "event_type", "value")),
+
+    // --- window-over-window trending --------------------------------------------
+    // Rising suppliers: order-line volume in the trailing 180 days vs
+    // the 180 before, anchored at the corpus max order date.
+    "q162_trending" -> ((s, d) =>
+      Timeseries.trending(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"), to_date(col("o_orderdate")).as("day")),
+        "l_suppkey", "day", 180, 5L, 10)),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4534,5 +4564,61 @@ object SparkEntry {
         |    AS attributed_cents
         |FROM o WHERE is_probe AND asof_event_id IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    "q160_bloom" ->
+      // 2^20 bit positions packed into 32-bit words (bit ≤ 31: DuckDB's
+      // checked << overflows at 63) — word = pos >> 5, mask = 1 << (pos & 31)
+      """WITH b AS (SELECT l_partkey::VARCHAR AS v FROM lineitem),
+        |p AS (SELECT CAST('0x' || substr(md5('bloom' || j::VARCHAR || ':' || v),
+        |        1, 15) AS BIGINT) & 1048575 AS pos
+        |      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |f AS (SELECT pos >> 5 AS word,
+        |        bit_or(1::BIGINT << (pos & 31)) AS bits FROM p GROUP BY 1),
+        |cand AS (SELECT p_partkey AS key FROM part WHERE p_partkey < 200
+        |         UNION ALL
+        |         SELECT p_partkey + 5000000 FROM part WHERE p_partkey < 200),
+        |cp AS (SELECT key,
+        |        CAST('0x' || substr(md5('bloom' || j::VARCHAR || ':' ||
+        |          key::VARCHAR), 1, 15) AS BIGINT) & 1048575 AS pos
+        |      FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |cj AS (SELECT key, pos >> 5 AS word, pos & 31 AS bit FROM cp)
+        |SELECT key,
+        |  (count(CASE WHEN coalesce(f.bits, 0) & (1::BIGINT << bit) != 0
+        |              THEN 1 END) = 4) AS may_contain
+        |FROM cj LEFT JOIN f USING (word) GROUP BY key""".stripMargin,
+
+    "q161_hist_quantiles" ->
+      """WITH b AS (SELECT event_type,
+        |    least(floor(value * 100 + 0.5::DOUBLE)::BIGINT // 100, 1023) AS bin
+        |  FROM events),
+        |g AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM g)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum * 100 >= 50 * n THEN (bin + 1) * 100 END)::BIGINT
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= 95 * n THEN (bin + 1) * 100 END)::BIGINT
+        |    AS p95_cents,
+        |  min(CASE WHEN cum * 100 >= 99 * n THEN (bin + 1) * 100 END)::BIGINT
+        |    AS p99_cents
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "q162_trending" ->
+      """WITH li AS (SELECT l.l_suppkey, o.o_orderdate::DATE AS day
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |mx AS (SELECT max(day) AS maxd FROM li),
+        |c AS (SELECT l_suppkey AS key,
+        |    count(CASE WHEN date_diff('day', day, maxd) >= 180 THEN 1 END)
+        |      AS c_prior,
+        |    count(CASE WHEN date_diff('day', day, maxd) < 180 THEN 1 END)
+        |      AS c_recent
+        |  FROM li CROSS JOIN mx
+        |  WHERE date_diff('day', day, maxd) < 360 GROUP BY 1)
+        |SELECT key, c_prior, c_recent,
+        |  round((c_recent + 1)::DOUBLE / (c_prior + 1)::DOUBLE, 6) AS lift
+        |FROM c WHERE c_recent >= 5
+        |ORDER BY lift DESC, key LIMIT 10""".stripMargin,
   )
 }

@@ -284,6 +284,36 @@ object Timeseries {
         count_distinct(col("__k")).as("mau"))
   }
 
+  /** Window-over-window trending score — "what is rising": per key,
+    * activity in the trailing window vs the window before it, scored by
+    * the add-one-smoothed ratio (c_recent+1)/(c_prior+1). The anchor is
+    * the corpus max day, so the query is reproducible (no wall clock).
+    *
+    * Spark shape: one scan, two conditional counts in a single groupBy
+    * (no self-join of the two windows), the +1 smoothing keeps new keys
+    * rankable. The single division of two exact integers is
+    * bit-identical cross-engine. Top-k by (lift, key) is
+    * TakeOrderedAndProject.
+    *
+    * @return top-k rising keys: (key, c_prior, c_recent, lift) */
+  def trending(df: DataFrame, keyCol: String, dayCol: String,
+               windowDays: Int, minRecent: Long, k: Int): DataFrame = {
+    val maxDay = df.agg(max(col(dayCol)).as("__maxd"))
+    val scored = df
+      .crossJoin(broadcast(maxDay))
+      .where(datediff(col("__maxd"), col(dayCol)) < 2 * windowDays)
+      .groupBy(col(keyCol).as("key"))
+      .agg(
+        count(when(datediff(col("__maxd"), col(dayCol)) >= windowDays, 1))
+          .as("c_prior"),
+        count(when(datediff(col("__maxd"), col(dayCol)) < windowDays, 1))
+          .as("c_recent"))
+      .where(col("c_recent") >= minRecent)
+      .withColumn("lift", round((col("c_recent") + 1).cast("double") /
+        (col("c_prior") + 1).cast("double"), 6))
+    scored.orderBy(col("lift").desc, col("key")).limit(k)
+  }
+
   /** CUSUM changepoint flags — rows where the cumulative deviation of a
     * key's series from its own mean exceeds a threshold (the classic
     * mean-shift chart, cumsum form). All arithmetic is EXACT integer:

