@@ -172,4 +172,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"star flatten should need no fact shuffle:\n$p")
   }
+
+  test("sketch states shuffle only the fixed register space (q153/q160)") {
+    // the groupBy key is the register/word id — every exchange must hash
+    // on those synthetic ids, never on the sketched data column
+    for (q <- Seq("q153_hll_distinct", "q160_bloom")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!"Exchange hashpartitioning\\(l_\\w+key".r.findFirstIn(p).isDefined,
+        s"$q must never shuffle the data's key column:\n$p")
+    }
+  }
+
+  test("q160 bloom probe joins the filter as a broadcast") {
+    assert(planOf("q160_bloom").contains("BroadcastHashJoin"))
+  }
+
+  test("q161 histogram quantiles: both window aggs share one exchange") {
+    val df = SparkEntry.queries("q161_hist_quantiles")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    // bin groupBy + the (cum, n) windows + final groupBy all hash on
+    // event_type(+bin): ≤2 exchanges total, none over raw events rows
+    assert(ex <= 2, s"expected ≤2 exchanges, got $ex:\n$p")
+  }
+
+  test("q162 trending: one conditional aggregate, top-k takes ordered") {
+    val p = planOf("q162_trending")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
