@@ -2193,6 +2193,56 @@ object SparkEntry {
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey"), to_date(col("o_orderdate")).as("day")),
         "l_suppkey", "day", 180, 5L, 10)),
+
+    // --- label-propagation communities --------------------------------------------
+    // 5 synchronous weighted rounds over the co-purchase graph; the
+    // min-label tie rule makes the fixed-round outcome exact-replayable.
+    "q163_label_prop" -> ((s, d) =>
+      GraphMetrics.labelProp(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)), 5)),
+
+    // --- hour-of-day seasonal profile ---------------------------------------------
+    "q164_seasonal" -> ((s, d) =>
+      Timeseries.seasonalProfile(Tables.events(s, d), "event_type", "ts",
+        "value")),
+
+    // --- user-user CF neighbors ---------------------------------------------------
+    // Top-5 "customers like you" by item-set cosine; ubiquitous items
+    // (>200 buyers) pruned from pair generation, norms stay exact.
+    "q165_user_knn" -> ((s, d) =>
+      CoPurchaseGraph.userNeighbors(Tables.orders(s, d),
+        Tables.lineitem(s, d), 5)),
+
+    // --- Pareto contribution analysis ---------------------------------------------
+    // Revenue concentration by part brand: share, cumulative share in
+    // rank order, and the 80%-club flag — all comparisons on exact
+    // integer cents (no double boundary ambiguity).
+    "q166_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.tableRaw(s, d, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(floor(col("l_extendedprice") * lit(100) + lit(0.5))
+          .cast("long")).as("rev_cents"))
+      // brand frame is dimension-sized (25 rows) — the single-partition
+      // windows below sort 25 rows, not lineitem
+      val wCum = Window.orderBy(col("rev_cents").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("total", sum("rev_cents").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("cum", sum("rev_cents").over(wCum))
+        .select(col("p_brand"), col("rev_cents"),
+          round(col("rev_cents").cast("double") /
+            col("total").cast("double"), 6).as("share"),
+          round(col("cum").cast("double") /
+            col("total").cast("double"), 6).as("cum_share"),
+          // DECIMAL sides: cum·100 would wrap a 100 TB cents total
+          (col("cum").cast("decimal(38,0)") * 100 <=
+            col("total").cast("decimal(38,0)") * 80).as("in_top80"))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4620,5 +4670,74 @@ object SparkEntry {
         |  round((c_recent + 1)::DOUBLE / (c_prior + 1)::DOUBLE, 6) AS lift
         |FROM c WHERE c_recent >= 5
         |ORDER BY lift DESC, key LIMIT 10""".stripMargin,
+
+    "q163_label_prop" -> {
+      // 5 synchronous rounds unrolled (the q94/q149 chained-CTE pattern);
+      // argmax = row_number over (weight DESC, label ASC) — the min-label
+      // tie rule that makes fixed-round LPA deterministic.
+      val rounds = (1 to 5).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node, l.community,
+           |    sum(e.weight) AS w
+           |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, community FROM (
+           |    SELECT node, community, row_number() OVER (
+           |      PARTITION BY node ORDER BY w DESC, community) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS item FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.item AS src, b.item AS dst,
+        |    count(*) AS weight
+        |  FROM items a JOIN items b USING (okey) WHERE a.item < b.item
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT src, dst, weight FROM e0
+        |  UNION ALL SELECT dst, src, weight FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS community
+        |  FROM e),
+        |$rounds
+        |SELECT node, community FROM l5""".stripMargin
+    },
+
+    "q164_seasonal" ->
+      """SELECT event_type, hour(ts)::BIGINT AS hour, count(*) AS n,
+        |  round(sum(floor(value * 100 + 0.5::DOUBLE)::BIGINT)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS mean_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q165_user_knn" ->
+      """WITH ui AS (SELECT DISTINCT o.o_custkey AS usr, l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |norms AS (SELECT usr, count(*) AS n FROM ui GROUP BY 1),
+        |light AS (SELECT item FROM (
+        |    SELECT item, count(*) AS nu FROM ui GROUP BY 1) WHERE nu <= 200),
+        |p AS (SELECT usr, item FROM ui SEMI JOIN light USING (item)),
+        |pairs AS (SELECT a.usr AS ua, b.usr AS ub, count(*) AS shared
+        |  FROM p a JOIN p b USING (item) WHERE a.usr < b.usr GROUP BY 1, 2),
+        |sym AS (SELECT ua AS usr, ub AS neighbor, shared FROM pairs
+        |  UNION ALL SELECT ub, ua, shared FROM pairs),
+        |sc AS (SELECT s.usr, s.neighbor, s.shared,
+        |    round(s.shared::DOUBLE / sqrt((na.n * nb.n)::DOUBLE), 6) AS cosine
+        |  FROM sym s JOIN norms na ON s.usr = na.usr
+        |  JOIN norms nb ON s.neighbor = nb.usr)
+        |SELECT usr AS "user", neighbor, shared, cosine, rn::BIGINT AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY usr ORDER BY cosine DESC, neighbor) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q166_pareto" ->
+      """WITH rev AS (SELECT p.p_brand,
+        |    sum(floor(l.l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT) AS rc
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |w AS (SELECT p_brand, rc,
+        |    sum(rc) OVER () AS total,
+        |    sum(rc) OVER (ORDER BY rc DESC, p_brand
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev)
+        |SELECT p_brand, rc::BIGINT AS rev_cents,
+        |  round(rc::DOUBLE / total::DOUBLE, 6) AS share,
+        |  round(cum::DOUBLE / total::DOUBLE, 6) AS cum_share,
+        |  (cum::HUGEINT * 100 <= total::HUGEINT * 80) AS in_top80
+        |FROM w""".stripMargin,
   )
 }

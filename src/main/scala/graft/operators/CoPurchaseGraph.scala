@@ -140,6 +140,59 @@ object CoPurchaseGraph {
           .as("jaccard"))
   }
 
+  /** User-user collaborative neighbors — the OTHER axis of the
+    * reference's item-item graph (`Hybrid_Recom_vecdb.py:88-105`): for
+    * each customer, the k most similar customers by cosine over their
+    * purchased-item sets — the "users like you" arm a recommender
+    * blends with item-item CF.
+    *
+    * Scale shape: postings (item → users who bought it) drive the pair
+    * expansion, and items bought by more than `maxUsers` customers are
+    * DROPPED before pairing — the q14 df-cap argument: a ubiquitous
+    * item contributes O(n²) pairs and near-zero similarity signal
+    * (its posting means "both shop here"). With the cap, pair volume is
+    * bounded by |items|·maxUsers², independent of any hub item. Per-user
+    * top-k compiles to WindowGroupLimit.
+    *
+    * cosine = shared / sqrt(n_a·n_b) over FULL per-user item counts
+    * (the cap prunes pair GENERATION, not the norm).
+    *
+    * @return (user, neighbor, shared, cosine, rnk) — rnk 1..k */
+  def userNeighbors(orders: DataFrame, lineitem: DataFrame, k: Int,
+                    maxUsers: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = lineitem.select(col("l_orderkey").as("okey"),
+        col("l_partkey").as("item"))
+      .join(orders.select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("user")), Seq("okey"))
+      .select(col("user"), col("item")).distinct()
+      .localCheckpoint() // feeds norms AND postings — materialize once
+    val norms = ui.groupBy("user").agg(count(lit(1)).as("n"))
+    val light = ui.groupBy("item").agg(count(lit(1)).as("nu"))
+      .where(col("nu") <= maxUsers).select("item")
+    val p = ui.join(light, Seq("item"))
+    val pairs = p.as("a").join(p.as("b"), col("a.item") === col("b.item"))
+      .where(col("a.user") < col("b.user"))
+      .groupBy(col("a.user").as("ua"), col("b.user").as("ub"))
+      .agg(count(lit(1)).as("shared"))
+    val sym = pairs.select(col("ua").as("user"), col("ub").as("neighbor"),
+        col("shared"))
+      .unionAll(pairs.select(col("ub").as("user"), col("ua").as("neighbor"),
+        col("shared")))
+    val scored = sym
+      .join(norms.select(col("user"), col("n").as("na")), Seq("user"))
+      .join(norms.select(col("user").as("neighbor"), col("n").as("nb")),
+        Seq("neighbor"))
+      .withColumn("cosine", round(col("shared").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")), 6))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("user")
+        .orderBy(col("cosine").desc, col("neighbor"))))
+      .where(col("rnk") <= k)
+      .select(col("user"), col("neighbor"), col("shared"), col("cosine"),
+        col("rnk"))
+  }
+
   /** Per-source max-normalized weight (reference `cf_candidates`
     * normalization, `Hybrid_Recom_vecdb.py:193-197`, SURVEY P10/A2):
     * norm = weight / max(weight over src) ∈ (0, 1]. One shuffle on src

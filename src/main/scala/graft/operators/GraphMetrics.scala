@@ -161,4 +161,48 @@ object GraphMetrics {
     }
     visited
   }
+
+  /** Synchronous weighted label propagation — community detection over
+    * the co-purchase graph: every node starts as its own label; each
+    * round it adopts the label carrying the most incident edge weight
+    * among its neighbors (ties → smallest label, so the fixed-round
+    * outcome is DETERMINISTIC and any engine replays it — the classic
+    * async LPA is run-order-dependent and cannot be oracle-checked).
+    *
+    * Spark shape per round: one equi-join (edges ⋈ labels on src), one
+    * groupBy (dst, label) weight fold, one per-node argmax window —
+    * all keyed exchanges, label frame checkpointed every 2 rounds to
+    * truncate the iterative lineage. Isolated nodes keep their own
+    * label (they appear in no contribution frame).
+    *
+    * @param edges undirected edge list (src, dst, weight) — symmetrized
+    *              internally
+    * @return (node, community) after `rounds` synchronous updates */
+  def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var lbl = nodes.select(col("node"), col("node").as("community"))
+    for (i <- 1 to rounds) {
+      val contrib = sym
+        .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("community"))
+        .agg(sum(col("weight")).as("w"))
+      // argmax as a struct-max: (w, −community) orders ties toward the
+      // SMALLEST label deterministically, and the groupBy(node) reuses
+      // contrib's hash partitioning — no per-round window sort
+      val picked = contrib
+        .groupBy("node")
+        .agg(max(struct(col("w"), (-col("community")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("__next"))
+      lbl = lbl.join(picked, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__next"), col("community")).as("community"))
+      if (i % 2 == 0 && i < rounds) lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
 }

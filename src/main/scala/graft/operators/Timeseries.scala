@@ -284,6 +284,26 @@ object Timeseries {
         count_distinct(col("__k")).as("mau"))
   }
 
+  /** Hour-of-day seasonal profile — the diurnal baseline a monitoring
+    * or capacity pipeline subtracts before calling anything anomalous:
+    * per (key, hour 0–23 UTC) the event count and mean value. Mean is
+    * ONE division of two exact integers (cents sum / count) — replayed
+    * bit-identically by any engine; no per-row double accumulates.
+    *
+    * Scale: one groupBy over a ≤ |keys|·24 result space — partial
+    * aggregation collapses everything map-side.
+    *
+    * @return (key, hour, n, mean_cents) — mean at 6 dp */
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String): DataFrame =
+    events
+      .groupBy(col(keyCol), hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")).as("__s"))
+      .select(col(keyCol), col("hour"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_cents"))
+
   /** Window-over-window trending score — "what is rising": per key,
     * activity in the trailing window vs the window before it, scored by
     * the add-one-smoothed ratio (c_recent+1)/(c_prior+1). The anchor is

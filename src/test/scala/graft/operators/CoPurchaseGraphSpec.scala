@@ -54,4 +54,27 @@ class CoPurchaseGraphSpec extends SparkTestBase {
       .select(col("dst")).collect().map(_.getString(0)).toSeq
     assert(top == Seq("z", "x")) // z wins on weight; x beats y on dst asc
   }
+
+  test("userNeighbors: cosine over item sets; ubiquitous items pruned") {
+    import spark.implicits._
+    // orders: one per (user, item) line. users 1,2 share items {10, 20};
+    // user 3 shares only the ubiquitous item 99 (bought by everyone) —
+    // with maxUsers=2 item 99 generates no pairs, so 3 has no neighbors
+    val rows = Seq(
+      (101L, 1L, 10L), (102L, 1L, 20L), (103L, 1L, 99L),
+      (201L, 2L, 10L), (202L, 2L, 20L), (203L, 2L, 99L),
+      (301L, 3L, 99L))
+    val orders = rows.map(r => (r._1, r._2)).distinct.toDF("o_orderkey", "o_custkey")
+    val lineitem = rows.map(r => (r._1, r._3)).toDF("l_orderkey", "l_partkey")
+    val got = CoPurchaseGraph.userNeighbors(orders, lineitem, 3, maxUsers = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // users 1,2: shared {10,20} = 2; norms: |1| = 3 items, |2| = 3 (99
+    // counts in the NORM even though pruned from pairing)
+    val expect = BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 2L)) == ((2L, expect)), s"$got")
+    assert(got((2L, 1L)) == ((2L, expect)))
+    assert(!got.keySet.exists(_._1 == 3L), "pruned item must not pair user 3")
+  }
 }

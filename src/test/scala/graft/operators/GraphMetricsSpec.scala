@@ -89,4 +89,32 @@ class GraphMetricsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(99L -> 0))
   }
+
+  test("labelProp: two dense cliques linked by one weak edge separate") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12} with weight-5 internal edges; one
+    // weight-1 bridge 3–10
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b, 5L)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) :+
+      ((3L, 10L, 1L))).toDF("src", "dst", "weight")
+    val got = GraphMetrics.labelProp(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to ONE community; the bridge does not merge
+    assert(Set(1L, 2L, 3L).map(got).size == 1, s"left clique split: $got")
+    assert(Set(10L, 11L, 12L).map(got).size == 1, s"right clique split: $got")
+    assert(got(1L) != got(10L), s"bridge merged the cliques: $got")
+  }
+
+  test("labelProp: a triangle converges to the min label in 2 rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val got = GraphMetrics.labelProp(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: 1→min(2,3)=2, 2→min(1,3)=1, 3→min(1,2)=1;
+    // round 2: all neighbors now carry 1 (or tie resolving to 1) → 1
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"$got")
+  }
 }

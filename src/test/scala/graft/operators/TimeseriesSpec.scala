@@ -216,4 +216,20 @@ class TimeseriesSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       ("new", 0L, 5L, 6.0), ("rising", 2L, 8L, 3.0), ("flat", 6L, 6L, 1.0)))
   }
+
+  test("seasonalProfile: per-hour counts and exact integer-ratio means") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 09:10:00"), 1.0),
+      ("a", ts("2024-01-02 09:50:00"), 2.0), // same hour, next day
+      ("a", ts("2024-01-01 17:00:00"), 10.0),
+      ("b", ts("2024-01-01 09:30:00"), 7.0)
+    ).toDF("k", "t", "v")
+    val got = Timeseries.seasonalProfile(ev, "k", "t", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", 9L)) == ((2L, 150.0)))  // (100+200)/2 cents
+    assert(got(("a", 17L)) == ((1L, 1000.0)))
+    assert(got(("b", 9L)) == ((1L, 700.0)))
+    assert(got.size == 3)
+  }
 }
