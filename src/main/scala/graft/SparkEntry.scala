@@ -2243,6 +2243,25 @@ object SparkEntry {
           (col("cum").cast("decimal(38,0)") * 100 <=
             col("total").cast("decimal(38,0)") * 80).as("in_top80"))
     }),
+
+    // --- frequent 3-itemsets (brand level) ----------------------------------------
+    // Part-level triples are support-≤2 sparse at test scale; brand
+    // baskets give real co-occurrence mass while exercising the same
+    // canonical triple expansion.
+    "q167_freq_triples" -> ((s, d) =>
+      CoPurchaseGraph.frequentTriples(
+        Tables.lineitem(s, d)
+          .join(Tables.tableRaw(s, d, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("item")),
+        10L, 20)),
+
+    // --- top session paths --------------------------------------------------------
+    // First 5 event types per 8h-gap session (the q29 sessionization
+    // rule), counted corpus-wide.
+    "q168_session_paths" -> ((s, d) =>
+      Timeseries.sessionPaths(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", 28800000L, 5, 10)),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4739,5 +4758,32 @@ object SparkEntry {
         |  round(cum::DOUBLE / total::DOUBLE, 6) AS cum_share,
         |  (cum::HUGEINT * 100 <= total::HUGEINT * 80) AS in_top80
         |FROM w""".stripMargin,
+
+    "q167_freq_triples" ->
+      """WITH it AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |sz AS (SELECT okey FROM it GROUP BY okey HAVING count(*) <= 32),
+        |s AS (SELECT it.okey, it.item FROM it SEMI JOIN sz USING (okey))
+        |SELECT a.item AS x, b.item AS y, c.item AS z, count(*) AS support
+        |FROM s a JOIN s b USING (okey) JOIN s c USING (okey)
+        |WHERE a.item < b.item AND b.item < c.item
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 10
+        |ORDER BY support DESC, x, y, z LIMIT 20""".stripMargin,
+
+    "q168_session_paths" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+        |  FROM events),
+        |w AS (SELECT *, CASE WHEN lag(t) OVER sw IS NULL THEN 0
+        |    WHEN t - lag(t) OVER sw >= 28800000 THEN 1 ELSE 0 END AS brk
+        |  FROM b WINDOW sw AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY t, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
   )
 }

@@ -140,6 +140,39 @@ object CoPurchaseGraph {
           .as("jaccard"))
   }
 
+  /** Frequent 3-itemsets — the market-basket step past pairwise
+    * co-occurrence ([[fromOrders]]): which TRIPLES co-occur in baskets,
+    * the input to bundle/placement decisions that pair counts alone
+    * cannot rank (three pairwise-frequent items need not co-occur
+    * jointly).
+    *
+    * Spark shape: two self-equi-joins on the basket key with canonical
+    * x < y < z ordering (each triple emitted once); per-basket work is
+    * C(B,3), so baskets wider than `maxBasket` are dropped up front —
+    * the documented cap that keeps a pathological jumbo basket from
+    * contributing B³ rows. Global top-k is TakeOrderedAndProject.
+    *
+    * @param orderItems (okey, item) basket membership
+    * @return (x, y, z, support) — top k by support desc, then keys */
+  def frequentTriples(orderItems: DataFrame, minSupport: Long, k: Int,
+                      maxBasket: Int = 32): DataFrame = {
+    val it = orderItems.select(col("okey"), col("item")).distinct()
+    val sized = it
+      .withColumn("__b", count(lit(1)).over(Window.partitionBy("okey")))
+      .where(col("__b") <= maxBasket)
+      .select("okey", "item")
+      .localCheckpoint() // feeds three join legs — materialize once
+    val a = sized.select(col("okey"), col("item").as("x"))
+    val b = sized.select(col("okey"), col("item").as("y"))
+    val c = sized.select(col("okey"), col("item").as("z"))
+    a.join(b, Seq("okey")).where(col("x") < col("y"))
+      .join(c, Seq("okey")).where(col("y") < col("z"))
+      .groupBy("x", "y", "z").agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("x"), col("y"), col("z"))
+      .limit(k)
+  }
+
   /** User-user collaborative neighbors — the OTHER axis of the
     * reference's item-item graph (`Hybrid_Recom_vecdb.py:88-105`): for
     * each customer, the k most similar customers by cosine over their

@@ -284,6 +284,45 @@ object Timeseries {
         count_distinct(col("__k")).as("mau"))
   }
 
+  /** Top-k session paths — the navigation-flow report: sessionize by
+    * inactivity gap (the q29 rule), take each session's first `maxSteps`
+    * event types in time order, join them into a path string, and count
+    * paths corpus-wide. "view>click>purchase vs view>view>view" is the
+    * product question; the path string is deterministic because the
+    * in-session order is the total (t, tie) order.
+    *
+    * Spark shape: the relational sessionizer (lag → gap flag → running
+    * sum; spillable window, no object state), a row_number cap at
+    * maxSteps, one collect_list bounded at maxSteps elements per
+    * session, then a path-count aggregate. Top-k is
+    * TakeOrderedAndProject.
+    *
+    * @return (path, n) — top k by count desc, then path */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, gapMs: Long,
+                   maxSteps: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(col(keyCol), col(tieCol),
+        unix_millis(col(tsCol)).as("__t"), col(typeCol).as("__ty"))
+      .withColumn("__brk",
+        when(lag(col("__t"), 1).over(w).isNull, lit(0))
+          .when(col("__t") - lag(col("__t"), 1).over(w) >= gapMs, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("__sid", sum(col("__brk")).over(run))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__sid"))
+          .orderBy(col("__t"), col(tieCol))))
+      .where(col("__rn") <= maxSteps)
+    base
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__t"), col(tieCol), col("__ty")))),
+        x => x.getField("__ty")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** Hour-of-day seasonal profile — the diurnal baseline a monitoring
     * or capacity pipeline subtracts before calling anything anomalous:
     * per (key, hour 0–23 UTC) the event count and mean value. Mean is

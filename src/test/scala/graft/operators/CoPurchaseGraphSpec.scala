@@ -77,4 +77,23 @@ class CoPurchaseGraphSpec extends SparkTestBase {
     assert(got((2L, 1L)) == ((2L, expect)))
     assert(!got.keySet.exists(_._1 == 3L), "pruned item must not pair user 3")
   }
+
+  test("frequentTriples: canonical once-per-basket triples, jumbo cap") {
+    import spark.implicits._
+    // baskets: {a,b,c} ×3, {a,b,c,d} ×1 → abc support 4; abd/acd/bcd 1
+    val rows =
+      (1 to 3).flatMap(o => Seq("a", "b", "c").map(i => (o.toLong, i))) ++
+        Seq("a", "b", "c", "d").map(i => (4L, i)) ++
+        // jumbo basket over the cap contributes NOTHING
+        (1 to 40).map(i => (5L, s"x$i")) ++
+        // duplicate lines in one basket must not inflate support
+        Seq((6L, "a"), (6L, "a"), (6L, "b"), (6L, "c"))
+    val got = CoPurchaseGraph.frequentTriples(
+      rows.toDF("okey", "item"), 1L, 100, maxBasket = 32)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got(("a", "b", "c")) == 5L) // orders 1,2,3,4,6
+    assert(got(("a", "b", "d")) == 1L && got(("b", "c", "d")) == 1L)
+    assert(!got.keySet.exists(_._1.startsWith("x")), "jumbo basket leaked")
+  }
 }

@@ -232,4 +232,34 @@ class TimeseriesSpec extends SparkTestBase {
     assert(got(("b", 9L)) == ((1L, 700.0)))
     assert(got.size == 3)
   }
+
+  test("sessionPaths: gap splits sessions, steps capped, paths counted") {
+    val ev = Seq(
+      // u1 session 1: v>c>p ; session 2 (next day): v>v
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 09:05:00"), "click"),
+      (1L, 3L, ts("2024-01-01 09:10:00"), "purchase"),
+      (1L, 4L, ts("2024-01-02 09:00:00"), "view"),
+      (1L, 5L, ts("2024-01-02 09:01:00"), "view"),
+      // u2 one session: v>c>p (same path as u1 s1)
+      (2L, 6L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 7L, ts("2024-01-01 10:30:00"), "click"),
+      (2L, 8L, ts("2024-01-01 10:40:00"), "purchase"),
+      // u3: 7 events in one session — only first 5 enter the path
+      (3L, 10L, ts("2024-01-01 01:00:00"), "view"),
+      (3L, 11L, ts("2024-01-01 01:01:00"), "view"),
+      (3L, 12L, ts("2024-01-01 01:02:00"), "view"),
+      (3L, 13L, ts("2024-01-01 01:03:00"), "view"),
+      (3L, 14L, ts("2024-01-01 01:04:00"), "view"),
+      (3L, 15L, ts("2024-01-01 01:05:00"), "purchase"),
+      (3L, 16L, ts("2024-01-01 01:06:00"), "purchase")
+    ).toDF("user_id", "event_id", "t", "etype")
+    val got = Timeseries.sessionPaths(ev, "user_id", "t", "event_id",
+        "etype", 28800000L, 5, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "view>click>purchase" -> 2L,
+      "view>view" -> 1L,
+      "view>view>view>view>view" -> 1L))
+  }
 }
