@@ -96,10 +96,10 @@ object GraphMetrics {
       val keep = alive.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("node")
-      alive = alive
+      alive = Iterate.roll(alive
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint() // eager: also feeds the fixpoint probe
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi"),
+        Some(alive)) // eager cp feeds the fixpoint probe; prev released
       val c = alive.count()
       // removing any node removes its edges, so an unchanged edge count
       // IS the fixpoint — remaining rounds would be no-ops (this is why
@@ -110,8 +110,8 @@ object GraphMetrics {
     }
     // materialize once: the degree frame feeds both the output and the
     // convergence probe (and the loop's lineage ends here anyway)
-    val d = alive.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val d = Iterate.roll(alive.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")), Some(alive))
     // converged iff one more peel would remove nothing
     val stable = d.agg(
       (count(lit(1)) === coalesce(sum(when(col("deg") >= k, 1)), lit(0)))
@@ -147,17 +147,20 @@ object GraphMetrics {
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
     var frontier = visited.select("node")
+    var frontierCp: Option[DataFrame] = None
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
-      val next = sym.join(frontier.withColumnRenamed("node", "src")
-          .hint("shuffle_hash"), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+      val next = Iterate.roll(
+        sym.join(frontier.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"),
+        frontierCp)
       h += 1
-      visited = visited.unionAll(next.withColumn("hop", lit(h)))
-        .localCheckpoint()
+      visited = Iterate.roll(
+        visited.unionAll(next.withColumn("hop", lit(h))), Some(visited))
       frontier = next
+      frontierCp = Some(next)
     }
     visited
   }
@@ -186,6 +189,7 @@ object GraphMetrics {
     val nodes = sym.select(col("src").as("node")).distinct()
       .localCheckpoint()
     var lbl = nodes.select(col("node"), col("node").as("community"))
+    var lblCp: Option[DataFrame] = None
     for (i <- 1 to rounds) {
       val contrib = sym
         .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
@@ -201,7 +205,9 @@ object GraphMetrics {
       lbl = lbl.join(picked, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__next"), col("community")).as("community"))
-      if (i % 2 == 0 && i < rounds) lbl = lbl.localCheckpoint()
+      if (i % 2 == 0 && i < rounds) {
+        lbl = Iterate.roll(lbl, lblCp); lblCp = Some(lbl)
+      }
     }
     lbl
   }

@@ -43,13 +43,16 @@ object PageRank {
     val base = (1.0 - damping) / n
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       ranks = frac.join(ranks, frac("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg((lit(base) + lit(damping) * sum(col("frac") * col("rank")))
           .as("rank"))
         .select(col("dst").as("node"), col("rank"))
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0 && i < iterations) {
+        ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
+      }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
   }
@@ -83,6 +86,7 @@ object PageRank {
     val base = (1.0 - damping) / n
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
+    var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = frac.join(ranks.select("node", "rank"),
           frac("src") === col("node"))
@@ -96,7 +100,9 @@ object PageRank {
           (lit(base) + lit(damping) *
             (coalesce(col("m"), lit(0.0)) + col("dm") / n)).as("rank"),
           col("dang"))
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0 && i < iterations) {
+        ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
+      }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
   }
@@ -141,6 +147,7 @@ object PageRank {
 
     var ranks = nodes.select(col("node"), restart.as("rank"),
       col("dang"), col("seed"))
+    var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = frac.join(ranks.select("node", "rank"),
           frac("src") === col("node"))
@@ -155,7 +162,9 @@ object PageRank {
             (coalesce(col("m"), lit(0.0)) +
               col("dm") * restart)).as("rank"),
           col("dang"), col("seed"))
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0 && i < iterations) {
+        ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
+      }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("ppr_scaled"))
   }
