@@ -243,6 +243,8 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
         .where(col("component") =!= col("old")).count()
+      // the change probe was the old checkpoint's last consumer
+      Iterate.release(labels)
       labels = next
       iter += 1
     }
