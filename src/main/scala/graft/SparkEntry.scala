@@ -2262,6 +2262,68 @@ object SparkEntry {
     "q168_session_paths" -> ((s, d) =>
       Timeseries.sessionPaths(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type", 28800000L, 5, 10)),
+
+    // --- retractable aggregate maintenance (incremental view + CDC) ---------------
+    // Maintain per-customer (n_orders, sum_cents) under the q157 delta:
+    // signed contributions fold delta-side, one full-outer join updates
+    // the summary — the fact table is never rescanned. The oracle
+    // recomputes from `orders` from scratch: the maintained view must
+    // equal it exactly, zero-count groups dropped.
+    "q169_retract_agg" -> ((s, d) => {
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      val old = ord.where(pmod(col("o_orderkey"), lit(13)) =!= 3)
+        .withColumn("cents", when(pmod(col("o_orderkey"), lit(13)) === 7,
+          col("cents") * 2).otherwise(col("cents")))
+        .unionByName(ord.where(pmod(col("o_orderkey"), lit(13)) === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      val aggOld = old.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_v"))
+      val diff = Cdc.snapshotDiff(old, ord, Seq("o_orderkey"),
+        Seq("o_custkey", "cents"))
+      // retract OLD payload for deletes+updates; apply NEW for inserts+updates
+      val minus = diff.where(col("change_type").isin("delete", "update"))
+        .join(old, Seq("o_orderkey"))
+        .select(col("o_custkey"), lit(-1L).as("dn"), (-col("cents")).as("dv"))
+      val plus = diff.where(col("change_type").isin("insert", "update"))
+        .join(ord, Seq("o_orderkey"))
+        .select(col("o_custkey"), lit(1L).as("dn"), col("cents").as("dv"))
+      Incremental.retract(aggOld, minus.unionByName(plus), "o_custkey")
+        .select(col("o_custkey"), col("n"), col("sum_v").as("sum_cents"))
+    }),
+
+    // --- quantile-sketch audit (in-plan accuracy contract) ------------------------
+    // The q161 sketch readout vs the exact discrete quantile, per group:
+    // the upper-bin-edge readout must sit in (v_q, v_q + binCents] — the
+    // q33/q34-style self-auditing contract, all in integer arithmetic.
+    "q170_quantile_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sk = Sketch.histQuantiles(Tables.events(s, d), "event_type", "value")
+      val cents = floor(col("value") * lit(100) + lit(0.5)).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(col("__c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), cents.as("__c"))
+        .withColumn("__rn", count(lit(1)).over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
+      def vq(pct: Int) =
+        min(when(col("__rn") * 100 >= lit(pct) * col("__n"), col("__c")))
+          .as(s"v$pct")
+      val exact = ranked.groupBy("event_type").agg(vq(50), vq(95), vq(99))
+      sk.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("p50_cents"), col("v50"),
+          (col("v50") < col("p50_cents") &&
+            col("p50_cents") <= col("v50") + 100).as("p50_ok"),
+          col("p95_cents"), col("v95"),
+          (col("v95") < col("p95_cents") &&
+            col("p95_cents") <= col("v95") + 100).as("p95_ok"),
+          col("p99_cents"), col("v99"),
+          (col("v99") < col("p99_cents") &&
+            col("p99_cents") <= col("v99") + 100).as("p99_ok"))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4785,5 +4847,51 @@ object SparkEntry {
         |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
         |SELECT path, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q169_retract_agg" ->
+      // the LAW is the oracle (q157 pattern): the maintained view after
+      // applying the delta must equal a from-scratch recompute of the
+      // target table — any signed-contribution defect hash-mismatches.
+      """WITH c AS (SELECT o_custkey,
+        |    floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT AS cents
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n, sum(cents)::BIGINT AS sum_cents
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q170_quantile_audit" ->
+      """WITH b AS (SELECT event_type,
+        |    floor(value * 100 + 0.5::DOUBLE)::BIGINT AS c,
+        |    least(floor(value * 100 + 0.5::DOUBLE)::BIGINT // 100, 1023) AS bin
+        |  FROM events),
+        |g AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |wn AS (SELECT event_type, bin,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM g),
+        |sk AS (SELECT event_type, max(n)::BIGINT AS n,
+        |    min(CASE WHEN cum * 100 >= 50 * n THEN (bin + 1) * 100 END)::BIGINT
+        |      AS p50_cents,
+        |    min(CASE WHEN cum * 100 >= 95 * n THEN (bin + 1) * 100 END)::BIGINT
+        |      AS p95_cents,
+        |    min(CASE WHEN cum * 100 >= 99 * n THEN (bin + 1) * 100 END)::BIGINT
+        |      AS p99_cents
+        |  FROM wn GROUP BY 1),
+        |r AS (SELECT event_type, c,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY c
+        |                   ROWS UNBOUNDED PRECEDING) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nn FROM b),
+        |ex AS (SELECT event_type,
+        |    min(CASE WHEN rn * 100 >= 50 * nn THEN c END) AS v50,
+        |    min(CASE WHEN rn * 100 >= 95 * nn THEN c END) AS v95,
+        |    min(CASE WHEN rn * 100 >= 99 * nn THEN c END) AS v99
+        |  FROM r GROUP BY 1)
+        |SELECT sk.event_type, sk.n,
+        |  p50_cents, v50,
+        |  (v50 < p50_cents AND p50_cents <= v50 + 100) AS p50_ok,
+        |  p95_cents, v95,
+        |  (v95 < p95_cents AND p95_cents <= v95 + 100) AS p95_ok,
+        |  p99_cents, v99,
+        |  (v99 < p99_cents AND p99_cents <= v99 + 100) AS p99_ok
+        |FROM sk JOIN ex USING (event_type)""".stripMargin,
   )
 }

@@ -45,4 +45,36 @@ object Incremental {
         least(col("__mna"), col("__mnb")).as("min_v"),
         greatest(col("__mxa"), col("__mxb")).as("max_v"))
   }
+
+  /** RETRACTABLE maintenance of the additive pair (n, sum) under a CDC
+    * change feed — the incremental-view-maintenance step past [[merge]]:
+    * merge only ever ADDS partitions; a delta that deletes or updates
+    * rows needs signed contributions. min/max are deliberately absent —
+    * they are not retractable (deleting the current min forces a
+    * rescan), which is exactly the classic retract-stream rule.
+    *
+    * `contributions` carries one signed row per delta effect:
+    * insert → (+1, +v); delete → (−1, −v_old); update → two rows
+    * (−1, −v_old) on the OLD group and (+1, +v_new) on the NEW group,
+    * so group-moving updates maintain both sides correctly.
+    *
+    * Scale: the delta folds to per-group sums first (delta-sized), then
+    * ONE full-outer join against the maintained summary — fact data is
+    * never rescanned. Groups whose count reaches zero drop out, matching
+    * a from-scratch recompute exactly (the q169 law oracle).
+    *
+    * @param agg maintained (groupCol, n, sum_v)
+    * @param contributions (groupCol, dn, dv) signed rows */
+  def retract(agg: DataFrame, contributions: DataFrame,
+              groupCol: String): DataFrame = {
+    val d = contributions.groupBy(col(groupCol))
+      .agg(sum(col("dn")).as("__dn"), sum(col("dv")).as("__dv"))
+    agg.join(d, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as("sum_v"))
+      .where(col("n") > 0)
+  }
 }

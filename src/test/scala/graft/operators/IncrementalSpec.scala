@@ -41,4 +41,34 @@ class IncrementalSpec extends SparkTestBase {
     assert(lr.collect().map(_.toString).sorted
       .sameElements(rl.collect().map(_.toString).sorted))
   }
+
+  test("retract: signed CDC contributions ≡ recompute, incl. group move") {
+    import spark.implicits._
+    // old state: a={10,20}, b={5}, c={7}
+    val agg = Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 1L, 7L))
+      .toDF("g", "n", "sum_v")
+    // delta: insert a+=40; delete b's 5 (group vanishes); update moves
+    // c's 7 into group d as 9 (retract old group, apply new group)
+    val contrib = Seq(
+      ("a", 1L, 40L),           // insert
+      ("b", -1L, -5L),          // delete
+      ("c", -1L, -7L), ("d", 1L, 9L) // group-moving update
+    ).toDF("g", "dn", "dv")
+    val got = Incremental.retract(agg, contrib, "g")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("a" -> ((3L, 70L)), "d" -> ((1L, 9L))), s"$got")
+  }
+
+  test("retract: empty delta is the identity; brand-new group appears") {
+    import spark.implicits._
+    val agg = Seq(("a", 2L, 30L)).toDF("g", "n", "sum_v")
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "dn", "dv")
+    assert(Incremental.retract(agg, empty, "g").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("a", 2L, 30L)))
+    val neu = Seq(("z", 1L, 4L)).toDF("g", "dn", "dv")
+    val got = Incremental.retract(agg, neu, "g").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((2L, 30L)), "z" -> ((1L, 4L))))
+  }
 }
