@@ -2324,6 +2324,16 @@ object SparkEntry {
           (col("v99") < col("p99_cents") &&
             col("p99_cents") <= col("v99") + 100).as("p99_ok"))
     }),
+
+    // --- cumulative reach curve ---------------------------------------------------
+    "q171_reach" -> ((s, d) =>
+      Timeseries.reachCurve(Tables.events(s, d), "user_id", "ts")),
+
+    // --- weekly growth accounting -------------------------------------------------
+    // new / retained / resurrected decomposition of weekly actives +
+    // the churn identity (actives(w−1) − retained(w)).
+    "q172_growth" -> ((s, d) =>
+      Timeseries.growthAccounting(Tables.events(s, d), "user_id", "ts")),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4893,5 +4903,33 @@ object SparkEntry {
         |  p99_cents, v99,
         |  (v99 < p99_cents AND p99_cents <= v99 + 100) AS p99_ok
         |FROM sk JOIN ex USING (event_type)""".stripMargin,
+
+    "q171_reach" ->
+      """WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+        |fd AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1),
+        |npd AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+        |SELECT d.day, coalesce(npd.n_new, 0)::BIGINT AS n_new,
+        |  sum(coalesce(npd.n_new, 0)) OVER (ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+        |FROM days d LEFT JOIN npd USING (day)""".stripMargin,
+
+    "q172_growth" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS k,
+        |    date_trunc('week', ts)::DATE AS week FROM events),
+        |lg AS (SELECT week,
+        |    lag(week) OVER (PARTITION BY k ORDER BY week) AS prev FROM uw),
+        |st AS (SELECT week, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN date_diff('day', prev, week) = 7 THEN 'retained'
+        |    ELSE 'resurrected' END AS s FROM lg),
+        |wk AS (SELECT week, count(*) AS n_active,
+        |    count(CASE WHEN s = 'new' THEN 1 END) AS n_new,
+        |    count(CASE WHEN s = 'retained' THEN 1 END) AS n_retained,
+        |    count(CASE WHEN s = 'resurrected' THEN 1 END) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |pa AS (SELECT week + 7 AS week, n_active AS prev_active FROM wk)
+        |SELECT wk.week, wk.n_active, wk.n_new, wk.n_retained,
+        |  wk.n_resurrected,
+        |  (coalesce(pa.prev_active, 0) - wk.n_retained)::BIGINT AS n_churned
+        |FROM wk LEFT JOIN pa USING (week)""".stripMargin,
   )
 }

@@ -323,6 +323,66 @@ object Timeseries {
       .orderBy(col("n").desc, col("path")).limit(k)
   }
 
+  /** Cumulative reach curve — per activity day, how many DISTINCT users
+    * have ever been seen up to and including that day. Computed from the
+    * per-user FIRST day (one groupBy, |users| rows) rolled up to a
+    * per-day new-user count and a running sum over the tiny day-level
+    * frame — the raw event volume is never windowed.
+    *
+    * @return (day, n_new, cum_users) for every day with activity */
+  def reachCurve(events: DataFrame, keyCol: String,
+                 tsCol: String): DataFrame = {
+    val days = events.select(to_date(col(tsCol)).as("day")).distinct()
+    val newPerDay = events
+      .groupBy(col(keyCol)).agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    // day-level frame only (≤ |days| rows) — single-partition window OK
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+  }
+
+  /** Weekly growth accounting — the standard active-user decomposition:
+    * every active user each ISO week is exactly one of NEW (first week
+    * ever), RETAINED (active the immediately previous week) or
+    * RESURRECTED (returning after a gap); CHURNED for week w counts the
+    * users active in w−1 who did not return in w
+    * (actives(w−1) − retained(w) — an identity, not a fourth scan).
+    *
+    * Spark shape: the distinct (user, week) frame, one lag window keyed
+    * by user (weeks-per-user sized), then week-level aggregates and one
+    * self-join of the tiny weekly frame for the churn identity.
+    *
+    * @return (week, n_active, n_new, n_retained, n_resurrected,
+    *         n_churned) per activity week */
+  def growthAccounting(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val uw = events
+      .select(col(keyCol).as("__k"),
+        to_date(date_trunc("week", col(tsCol))).as("week"))
+      .distinct()
+    val lagged = uw.withColumn("__prev",
+      lag(col("week"), 1).over(Window.partitionBy("__k").orderBy("week")))
+    val status = lagged.select(col("week"),
+      when(col("__prev").isNull, "new")
+        .when(datediff(col("week"), col("__prev")) === 7, "retained")
+        .otherwise("resurrected").as("__st"))
+    val weekly = status.groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__st") === "new", 1)).as("n_new"),
+        count(when(col("__st") === "retained", 1)).as("n_retained"),
+        count(when(col("__st") === "resurrected", 1)).as("n_resurrected"))
+    val prevActive = weekly.select(date_add(col("week"), 7).as("week"),
+      col("n_active").as("__pa"))
+    weekly.join(prevActive, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("__pa"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
   /** Hour-of-day seasonal profile — the diurnal baseline a monitoring
     * or capacity pipeline subtracts before calling anything anomalous:
     * per (key, hour 0–23 UTC) the event count and mean value. Mean is

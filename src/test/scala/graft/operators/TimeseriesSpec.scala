@@ -262,4 +262,41 @@ class TimeseriesSpec extends SparkTestBase {
       "view>view" -> 1L,
       "view>view>view>view>view" -> 1L))
   }
+
+  test("reachCurve: cumulative distinct users; repeat activity adds nothing") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-03 09:00:00")),                 // repeat: no new
+      (3L, ts("2024-01-05 09:00:00"))
+    ).toDF("user_id", "t")
+    val got = Timeseries.reachCurve(ev, "user_id", "t")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-03" -> ((0L, 2L)),
+      "2024-01-05" -> ((1L, 3L))))
+  }
+
+  test("growthAccounting: new/retained/resurrected split + churn identity") {
+    val ev = Seq(
+      // w1 (Jan 1): users 1,2 new
+      (1L, ts("2024-01-02 09:00:00")), (2L, ts("2024-01-03 09:00:00")),
+      // w2 (Jan 8): 1 retained; 3 new; 2 churns out of w2
+      (1L, ts("2024-01-09 09:00:00")), (3L, ts("2024-01-10 09:00:00")),
+      // w4 (Jan 22): 2 resurrected (gap), 1 churned in w3... only weeks
+      // with activity are emitted — w3 has none
+      (2L, ts("2024-01-23 09:00:00"))
+    ).toDF("user_id", "t")
+    val got = Timeseries.growthAccounting(ev, "user_id", "t")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // (n_active, n_new, n_retained, n_resurrected, n_churned)
+    assert(got("2024-01-01") == ((2L, 2L, 0L, 0L, 0L)))
+    assert(got("2024-01-08") == ((2L, 1L, 1L, 0L, 1L))) // user 2 churned
+    // w of Jan 22: prev scaffold week (Jan 15) had 0 actives → churned
+    // = 0 − 0; user 2 resurrects
+    assert(got("2024-01-22") == ((1L, 0L, 0L, 1L, 0L)))
+  }
 }
