@@ -2334,6 +2334,22 @@ object SparkEntry {
     // the churn identity (actives(w−1) − retained(w)).
     "q172_growth" -> ((s, d) =>
       Timeseries.growthAccounting(Tables.events(s, d), "user_id", "ts")),
+
+    // --- grouped HLL rollup (distinct users per event type via per-day state) -----
+    // Registers materialize per (type, day) and roll up by max — the
+    // any-period count-distinct a lake answers from state alone. The
+    // in-plan contract checks the estimate against exact within 5%.
+    "q173_hll_grouped" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val est = Sketch.hllDistinctBy(ev, Seq("event_type"), "day", "user_id")
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_buckets"), col("z_scaled"),
+          col("est_distinct"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct").cast("double")) <=
+            lit(0.05) * col("exact_distinct").cast("double")).as("err_ok"))
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4931,5 +4947,38 @@ object SparkEntry {
         |  wk.n_resurrected,
         |  (coalesce(pa.prev_active, 0) - wk.n_retained)::BIGINT AS n_churned
         |FROM wk LEFT JOIN pa USING (week)""".stripMargin,
+
+    "q173_hll_grouped" ->
+      // register max telescopes, so the per-day rollup the Spark side
+      // materializes is bit-identical to sketching each type directly —
+      // which is what this replay does (and what MAKES it a correct
+      // oracle for the rolled-up state).
+      """WITH h AS (SELECT event_type,
+        |    CAST('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 15)
+        |      AS BIGINT) AS h FROM events),
+        |b AS (SELECT event_type, h & 4095 AS bucket, h >> 12 AS r FROM h),
+        |regs AS (SELECT event_type, bucket,
+        |    max(CASE WHEN r = 0 THEN 49
+        |             ELSE bit_count(((r & -r) - 1)::BIGINT) + 1 END) AS reg
+        |  FROM b GROUP BY 1, 2),
+        |e AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+        |    (sum(1::BIGINT << (49 - reg))
+        |      + (4096 - count(*)) * (1::BIGINT << 49))::BIGINT AS z_scaled
+        |  FROM regs GROUP BY 1),
+        |est AS (SELECT event_type, n_buckets, z_scaled,
+        |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0 * 562949953421312.0
+        |      / z_scaled::DOUBLE AS raw,
+        |    (4096 - n_buckets)::BIGINT AS v FROM e),
+        |fin AS (SELECT event_type, n_buckets, z_scaled,
+        |    round(CASE WHEN raw <= 10240.0 AND v > 0
+        |               THEN 4096.0 * ln(4096.0 / v::DOUBLE) ELSE raw END, 4)
+        |      AS est_distinct FROM est),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT f.event_type, f.n_buckets, f.z_scaled, f.est_distinct,
+        |  ex.exact_distinct,
+        |  (abs(f.est_distinct - ex.exact_distinct::DOUBLE)
+        |    <= 0.05 * ex.exact_distinct::DOUBLE) AS err_ok
+        |FROM fin f JOIN ex USING (event_type)""".stripMargin,
   )
 }

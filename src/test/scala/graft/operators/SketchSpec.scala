@@ -80,6 +80,24 @@ class SketchSpec extends SparkTestBase {
     assert(est <= 1L)
   }
 
+  test("hllDistinctBy: per-sub rollup ≡ sketching the group directly") {
+    // two groups sharing keys, split across 3 "days"; register max
+    // telescopes, so the rolled-up state must match a direct sketch
+    val rows = for {
+      g <- Seq("g1", "g2"); day <- 1 to 3; i <- 1 to 300
+    } yield (g, day, s"$g-user${(i * day) % 500}")
+    val df = rows.toDF("g", "day", "u")
+    val rolled = Sketch.hllDistinctBy(df, Seq("g"), "day", "u")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val direct = Sketch.hllDistinct(
+        df.where(col("g") === g).select("u"), Seq("u")).collect()(0)
+      assert(rolled(g)._1 == direct.getAs[Long]("z_scaled"), g)
+      assert(rolled(g)._2 == direct.getAs[Double]("est_distinct"), g)
+    }
+  }
+
   test("bloom: zero false negatives; absent keys nearly all miss") {
     val present = (1 to 2000).map(i => s"key$i").toDF("k")
     val filter = Sketch.bloomBuild(present, "k")
