@@ -35,5 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffle-heavy query triggers the expansion. (ParallelGC was tried
   // and rejected: STW full collections inside allocation-heavy queries
   // benched 1.6× worse than G1 on the same suite.)
-  "-Xms16g",
+  // Xms must never exceed Xmx: SPARK_DRIVER_MEM=8g (or a small box)
+  // with a fixed -Xms16g would refuse to start the forked JVM.
+  s"-Xms${
+    val mx = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")
+    val gib = scala.util.Try(mx.toLowerCase.stripSuffix("g").toLong).toOption
+    gib match {
+      case Some(g) if g >= 16 => "16g"
+      case _                  => mx // small or non-"Ng" value: presize to Xmx
+    }
+  }",
 )

@@ -102,6 +102,19 @@ object SparkEntry {
 
   /** Co-label ground truth for the E3 evaluation queries: items sharing
     * the query's label (the corpus' co-purchase-neighbor analog). */
+  /** Perturb an orders projection (must carry o_orderkey + cents) into
+    * the "old" snapshot BOTH CDC law queries diff against — q157 (MERGE
+    * apply) and q169 (retractable aggregate maintenance). Keys ≡ 3
+    * (mod 13) dropped → inserts; ≡ 7 price doubled → updates; ≡ 5
+    * re-keyed past 10^9 → ghost rows → deletes. One definition so the
+    * two laws can never drift apart silently. */
+  private def cdcOldSnapshot(ord: DataFrame): DataFrame =
+    ord.where(pmod(col("o_orderkey"), lit(13)) =!= 3)
+      .withColumn("cents", when(pmod(col("o_orderkey"), lit(13)) === 7,
+        col("cents") * 2).otherwise(col("cents")))
+      .unionByName(ord.where(pmod(col("o_orderkey"), lit(13)) === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+
   private def coLabelTruth(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddingsRaw(s, d).where(col("vec_id") < 20)
       .select(col("vec_id"), col("label"))
@@ -2134,11 +2147,7 @@ object SparkEntry {
         col("o_orderstatus"),
         floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long").as("cents"),
         to_date(col("o_orderdate")).cast("string").as("oday"))
-      val old = ord.where(pmod(col("o_orderkey"), lit(13)) =!= 3)
-        .withColumn("cents", when(pmod(col("o_orderkey"), lit(13)) === 7,
-          col("cents") * 2).otherwise(col("cents")))
-        .unionByName(ord.where(pmod(col("o_orderkey"), lit(13)) === 5)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      val old = cdcOldSnapshot(ord)
       val delta = Cdc.snapshotDiff(old, ord, keys, payload)
         .join(ord, keys, "left") // payload for inserts/updates; NULL on deletes
       val applied = Cdc.applyDelta(old, delta, keys, payload)
@@ -2274,11 +2283,7 @@ object SparkEntry {
         col("o_custkey"),
         floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
           .as("cents"))
-      val old = ord.where(pmod(col("o_orderkey"), lit(13)) =!= 3)
-        .withColumn("cents", when(pmod(col("o_orderkey"), lit(13)) === 7,
-          col("cents") * 2).otherwise(col("cents")))
-        .unionByName(ord.where(pmod(col("o_orderkey"), lit(13)) === 5)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      val old = cdcOldSnapshot(ord)
       val aggOld = old.groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_v"))
       val diff = Cdc.snapshotDiff(old, ord, Seq("o_orderkey"),

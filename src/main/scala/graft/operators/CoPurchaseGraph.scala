@@ -204,10 +204,14 @@ object CoPurchaseGraph {
     val light = ui.groupBy("item").agg(count(lit(1)).as("nu"))
       .where(col("nu") <= maxUsers).select("item")
     val p = ui.join(light, Seq("item"))
+    // materialize before symmetrizing: a plain unionAll would embed the
+    // pair-expansion subtree (the dominant cost) TWICE in the plan —
+    // the same hazard [[symmetrize]]'s comment documents
     val pairs = p.as("a").join(p.as("b"), col("a.item") === col("b.item"))
       .where(col("a.user") < col("b.user"))
       .groupBy(col("a.user").as("ua"), col("b.user").as("ub"))
       .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
     val sym = pairs.select(col("ua").as("user"), col("ub").as("neighbor"),
         col("shared"))
       .unionAll(pairs.select(col("ub").as("user"), col("ua").as("neighbor"),

@@ -36,27 +36,36 @@ object Sketch {
   /** rho of a zero 48-bit remainder (all bits "zero") — the register cap. */
   private val RhoMax = 61 - P // 49
 
+  /** THE register encoding — every register builder derives (hash,
+    * bucket, rho) through these three expressions, so a change to the
+    * precision P, the null sentinel, or the hash prefix can never apply
+    * to one builder and not another (the telescoping-merge law q173 and
+    * SketchSpec assert requires all builders to agree bit-for-bit).
+    * NULL values hash as the NUL sentinel (a distinct countable). */
+  private def hllHash(v: Column): Column =
+    hash60(concat(lit("hll:"), coalesce(v.cast("string"), lit("\u0000"))))
+  private def hllBucket(h: Column): Column = h.bitwiseAND(M - 1)
+  /** rho = 1 + trailing zeros of the 48-bit remainder (a geometric
+    * variable — the trailing-zero form replays in any engine as
+    * `bit_count((r & -r) - 1) + 1`, no leading-zero builtin needed). */
+  private def hllRho(h: Column): Column = {
+    val r = shiftright(h, P)
+    when(r === 0, lit(RhoMax))
+      .otherwise(bit_count((r.bitwiseAND(-r)) - 1) + 1)
+  }
+
   /** Per-value HLL register contributions: one row per (tag, bucket) with
     * the max rank. `tag` names the sketched column so several columns
     * sketch in ONE pass over the data (one partial-agg shuffle of ≤
-    * tags×4096 rows, whatever the input size).
-    *
-    * bucket = low 12 hash bits; rho = 1 + trailing zeros of the
-    * remaining 48 bits (a geometric variable — the trailing-zero form
-    * replays in any engine as `bit_count((r & -r) - 1) + 1`, no
-    * leading-zero builtin needed). */
+    * tags×4096 rows, whatever the input size). */
   def hllRegisters(df: DataFrame, cols: Seq[String]): DataFrame = {
     val tagged = df.select(explode(array(cols.map(c =>
-      struct(lit(c).as("tag"),
-        coalesce(col(c).cast("string"), lit("\u0000")).as("v"))): _*))
+      struct(lit(c).as("tag"), col(c).cast("string").as("v"))): _*))
       .as("s"))
-      .select(col("s.tag").as("tag"),
-        hash60(concat(lit("hll:"), col("s.v"))).as("__h"))
-    val r = shiftright(col("__h"), P)
-    val rho = when(r === 0, lit(RhoMax))
-      .otherwise(bit_count((r.bitwiseAND(-r)) - 1) + 1)
+      .select(col("s.tag").as("tag"), hllHash(col("s.v")).as("__h"))
     tagged
-      .select(col("tag"), col("__h").bitwiseAND(M - 1).as("bucket"), rho.as("rho"))
+      .select(col("tag"), hllBucket(col("__h")).as("bucket"),
+        hllRho(col("__h")).as("rho"))
       .groupBy("tag", "bucket").agg(max("rho").as("reg"))
   }
 
@@ -109,15 +118,11 @@ object Sketch {
     * @return (groupCols..., n_buckets, z_scaled, est_distinct) */
   def hllDistinctBy(df: DataFrame, groupCols: Seq[String], subCol: String,
                     valueCol: String): DataFrame = {
-    val h = hash60(concat(lit("hll:"),
-      coalesce(col(valueCol).cast("string"), lit("\u0000"))))
-    val r = shiftright(col("__h"), P)
-    val rho = when(r === 0, lit(RhoMax))
-      .otherwise(bit_count((r.bitwiseAND(-r)) - 1) + 1)
     val subRegs = df
-      .select(groupCols.map(col) ++ Seq(col(subCol), h.as("__h")): _*)
       .select(groupCols.map(col) ++ Seq(col(subCol),
-        col("__h").bitwiseAND(M - 1).as("bucket"), rho.as("rho")): _*)
+        hllHash(col(valueCol)).as("__h")): _*)
+      .select(groupCols.map(col) ++ Seq(col(subCol),
+        hllBucket(col("__h")).as("bucket"), hllRho(col("__h")).as("rho")): _*)
       .groupBy((groupCols :+ subCol :+ "bucket").map(col): _*)
       .agg(max("rho").as("reg"))
     // rollup: merge subdivisions by register max

@@ -182,12 +182,18 @@ object Timeseries {
     }
     val ws = (0 to lags).map(i => math.pow(1.0 - alpha, i))
     // explicit left-to-right chains fix the double-addition order the
-    // oracle replays term by term
-    val num = xs.zip(ws).map { case (x, wi) =>
-      when(x.isNotNull, x.cast("double") * lit(wi)).otherwise(lit(0.0))
+    // oracle replays term by term. Term 0 (the row's OWN value) is
+    // deliberately unconditional: a NULL current value propagates to a
+    // NULL ewma on both engines (the oracle's `cents * 1.0` does the
+    // same) — only MISSING LAGS renormalize, not missing observations.
+    val num = xs.zip(ws).map {
+      case (x, _) if x eq xs.head => x.cast("double") * lit(1.0)
+      case (x, wi) =>
+        when(x.isNotNull, x.cast("double") * lit(wi)).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
-    val den = xs.zip(ws).map { case (x, wi) =>
-      when(x.isNotNull, lit(wi)).otherwise(lit(0.0))
+    val den = xs.zip(ws).map {
+      case (x, _) if x eq xs.head => lit(1.0)
+      case (x, wi) => when(x.isNotNull, lit(wi)).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
     withLags.select(col(keyCol), col(tieCol), col("cents"),
       round(num / den, 6).as("ewma"))
