@@ -2355,6 +2355,75 @@ object SparkEntry {
           (abs(col("est_distinct") - col("exact_distinct").cast("double")) <=
             lit(0.05) * col("exact_distinct").cast("double")).as("err_ok"))
     }),
+
+    // --- revenue inequality (per-nation Gini) ------------------------------------
+    // How unevenly is order revenue spread across a nation's customers?
+    // Exact rank-form Gini: every sum DECIMAL(38,0), one final double
+    // division. The rank window sorts |customers|/|nations| per frame.
+    "q174_nation_gini" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+          .cast("long")).as("cents"))
+        .join(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      Concentration.giniBy(rev, "c_nationkey", "o_custkey", "cents")
+        .join(broadcast(Tables.tableRaw(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_units").as("n_cust"),
+          col("sum_value").as("sum_cents"), col("gini"))
+    }),
+
+    // --- cohort LTV triangle -----------------------------------------------------
+    // Cumulative revenue by (first-order-month cohort, months since) —
+    // the payback-period matrix. Integer cents throughout; the cum
+    // window sorts the months² grid, not orders.
+    "q175_ltv_triangle" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("oday"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      Timeseries.ltvTriangle(o, "o_custkey", "oday", "cents")
+    }),
+
+    // --- supplier market concentration (per-nation HHI) --------------------------
+    // Herfindahl index of lineitem revenue across each nation's
+    // suppliers: Σxᵢ²/(Σx)², numerator exact DECIMAL — two hash aggs,
+    // no rank, no window.
+    "q176_supplier_hhi" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+            .as("cents"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      Concentration.hhiBy(rev, "s_nationkey", "l_suppkey", "cents")
+        .join(broadcast(Tables.tableRaw(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_units").as("n_suppliers"),
+          col("sum_value").as("sum_cents"), col("hhi"))
+    }),
+
+    // --- customer-lifetime Kaplan–Meier ------------------------------------------
+    // Survivor curve over customer lifetimes (first→last order, days);
+    // a customer whose last order is within 90 days of the corpus edge
+    // is censored, not churned. Product-limit estimate via the
+    // snapped-ln integer fold — the windows sort the distinct-duration
+    // frame only.
+    "q177_survival" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("oday"))
+      val life = o.groupBy(col("o_custkey"))
+        .agg(min(col("oday")).as("f"), max(col("oday")).as("l"))
+      val mx = o.agg(max(col("oday")).as("mxd"))
+      val durations = life.crossJoin(broadcast(mx))
+        .select(datediff(col("l"), col("f")).as("t"),
+          when(col("l") <= date_sub(col("mxd"), 90), lit(1L))
+            .otherwise(lit(0L)).as("ev"))
+      Timeseries.kmSurvival(durations, "t", "ev")
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -4985,5 +5054,89 @@ object SparkEntry {
         |  (abs(f.est_distinct - ex.exact_distinct::DOUBLE)
         |    <= 0.05 * ex.exact_distinct::DOUBLE) AS err_ok
         |FROM fin f JOIN ex USING (event_type)""".stripMargin,
+
+    "q174_nation_gini" ->
+      // rank-form Gini, every sum HUGEINT-exact; the single double op is
+      // the final exact::DOUBLE / exact::DOUBLE both engines share
+      """WITH r AS (SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+        |    sum(floor(o.o_totalprice * 100 + 0.5::DOUBLE)::BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT nk, cents,
+        |    row_number() OVER (PARTITION BY nk ORDER BY cents, ck) AS i
+        |  FROM r),
+        |g AS (SELECT nk, count(*)::BIGINT AS n_cust,
+        |    sum(cents)::BIGINT AS sum_cents,
+        |    sum(i::HUGEINT * cents::HUGEINT) AS t FROM w GROUP BY 1)
+        |SELECT n.n_name AS nation, g.n_cust, g.sum_cents,
+        |  round((2::HUGEINT * g.t
+        |      - (g.n_cust + 1)::HUGEINT * g.sum_cents::HUGEINT)::DOUBLE
+        |    / (g.n_cust::DOUBLE * g.sum_cents::DOUBLE), 6) AS gini
+        |FROM g JOIN nation n ON g.nk = n.n_nationkey""".stripMargin,
+
+    "q175_ltv_triangle" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    date_trunc('month', o_orderdate::DATE) AS m,
+        |    floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT AS v
+        |  FROM orders),
+        |c AS (SELECT ck, m, v, min(m) OVER (PARTITION BY ck) AS m0 FROM o),
+        |t AS (SELECT m0,
+        |    (date_part('year', m) - date_part('year', m0)) * 12
+        |      + (date_part('month', m) - date_part('month', m0)) AS age,
+        |    count(*)::BIGINT AS n_orders,
+        |    count(DISTINCT ck)::BIGINT AS n_active,
+        |    sum(v)::BIGINT AS cents
+        |  FROM c GROUP BY 1, 2)
+        |SELECT m0::VARCHAR AS cohort_month, age, n_orders, n_active, cents,
+        |  (sum(cents) OVER (PARTITION BY m0 ORDER BY age
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum_cents
+        |FROM t""".stripMargin,
+
+    "q176_supplier_hhi" ->
+      """WITH r AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+        |    sum(floor(l.l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT)
+        |      AS cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT nk, count(*)::BIGINT AS n_suppliers,
+        |    sum(cents)::BIGINT AS sum_cents,
+        |    sum(cents::HUGEINT * cents::HUGEINT) AS q FROM r GROUP BY 1)
+        |SELECT n.n_name AS nation, g.n_suppliers, g.sum_cents,
+        |  round(g.q::DOUBLE
+        |    / (g.sum_cents::DOUBLE * g.sum_cents::DOUBLE), 6) AS hhi
+        |FROM g JOIN nation n ON g.nk = n.n_nationkey""".stripMargin,
+
+    "q177_survival" ->
+      // product-limit survival via the snapped-ln integer fold (the
+      // sliceEntropy pattern): per-row ln floored to a 1e-6 grid, then a
+      // pure-BIGINT ordered cumulative sum
+      """WITH d AS (SELECT o_custkey, min(o_orderdate::DATE) AS f,
+        |    max(o_orderdate::DATE) AS l
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(o_orderdate::DATE) AS mxd FROM orders),
+        |u AS (SELECT (l - f) AS t,
+        |    CASE WHEN l <= mxd - 90 THEN 1 ELSE 0 END AS ev FROM d, mx),
+        |g AS (SELECT t, sum(ev)::BIGINT AS d_ev, count(*)::BIGINT AS c
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT t, d_ev, c,
+        |    (sum(c) OVER ()
+        |      - coalesce(sum(c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    )::BIGINT AS n_risk
+        |  FROM g),
+        |s AS (SELECT t, n_risk, d_ev, c,
+        |    CASE WHEN d_ev = 0 OR d_ev >= n_risk THEN 0
+        |         ELSE floor(ln((n_risk - d_ev)::DOUBLE / n_risk::DOUBLE)
+        |                * 1e6 + 0.5)::BIGINT END AS term
+        |  FROM r),
+        |f AS (SELECT t, n_risk, d_ev, c,
+        |    sum(term) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT t, n_risk, d_ev AS n_events, (c - d_ev)::BIGINT AS n_censored,
+        |  CASE WHEN d_ev >= n_risk THEN 0.0
+        |       ELSE round(exp(cum::DOUBLE / 1e6), 6) END AS survival
+        |FROM f""".stripMargin,
   )
 }

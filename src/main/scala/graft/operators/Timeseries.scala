@@ -477,4 +477,80 @@ object Timeseries {
       .select(col(keyCol), col(tieCol),
         col("__cs").cast("long").as("cusum_scaled"), col("__n").as("n"))
   }
+
+  /** Cohort LTV triangle — the cumulative-revenue-by-cohort-age matrix a
+    * growth team reads payback periods off. Cohort = each key's first
+    * activity month; one row per (cohort month, months-since-cohort)
+    * with period and cumulative value.
+    *
+    * Shape: the cohort month comes from a window min over the SAME
+    * exchange the per-key grouping would need anyway (one shuffle on
+    * key), then one hash aggregation to the (cohort, age) grid —
+    * calendar-bounded (months², e.g. 84 months → ≤3.5 k rows), so the
+    * cumulative window sorts a dimension-sized frame. All sums are
+    * exact integers.
+    *
+    * @return (cohort_month, age, n_orders, n_active, cents, cum_cents) */
+  def ltvTriangle(orders: DataFrame, keyCol: String, dateCol: String,
+                  centsCol: String): DataFrame = {
+    val o = orders.select(col(keyCol).as("__k"),
+      trunc(col(dateCol), "month").as("__m"), col(centsCol).as("__v"))
+    val withCohort = o.withColumn("__m0",
+      min(col("__m")).over(Window.partitionBy("__k")))
+    val tri = withCohort
+      .groupBy(col("__m0"),
+        ((year(col("__m")) - year(col("__m0"))) * 12 +
+          (month(col("__m")) - month(col("__m0")))).as("age"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("__k")).as("n_active"),
+        sum(col("__v")).as("cents"))
+    val wc = Window.partitionBy("__m0").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.withColumn("cum_cents", sum(col("cents")).over(wc))
+      .select(col("__m0").cast("string").as("cohort_month"), col("age"),
+        col("n_orders"), col("n_active"), col("cents"), col("cum_cents"))
+  }
+
+  /** Kaplan–Meier survivor curve over right-censored integer durations —
+    * one row per subject in `durations` with duration `tCol` and a 0/1
+    * `eventCol` (1 = event observed, 0 = censored at t). Output: one row
+    * per distinct duration with the at-risk count, event/censor counts,
+    * and the product-limit survival estimate.
+    *
+    * Determinism: Ŝ(t) = Π (1 − dᵢ/nᵢ) is the one order-dependent
+    * product in the family, so it folds as the snapped-ln integer sum
+    * (the [[graft.operators.TextAnalysis.sliceEntropy]] pattern): each
+    * per-row ln((n−d)/n) is floored onto a 1e-6 grid BEFORE the
+    * cumulative sum, making the accumulation pure BIGINT; both engines
+    * disagree by at most 1 ulp on the per-row ln, which the grid
+    * absorbs. A time point where everyone at risk fails (d = n, only
+    * possible at the maximum duration) short-circuits to exactly 0.
+    *
+    * Shape: subjects aggregate to the distinct-duration frame first
+    * (one shuffle with map-side combine); every window below sorts that
+    * calendar-bounded frame (≤ a few thousand rows at any corpus size),
+    * never the subject set. */
+  def kmSurvival(durations: DataFrame, tCol: String, eventCol: String)
+      : DataFrame = {
+    val g = durations.groupBy(col(tCol).as("t"))
+      .agg(sum(col(eventCol)).as("d"), count(lit(1)).as("c"))
+    val wPrior = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risky = g.withColumn("n_risk",
+      sum(col("c")).over(wAll) - coalesce(sum(col("c")).over(wPrior), lit(0L)))
+    val term = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
+      .otherwise(floor(
+        log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    risky.withColumn("__cum", sum(term).over(wCum))
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        (col("c") - col("d")).as("n_censored"),
+        when(col("d") >= col("n_risk"), lit(0.0))
+          .otherwise(round(exp(col("__cum").cast("double") / lit(1e6)), 6))
+          .as("survival"))
+  }
 }

@@ -299,4 +299,49 @@ class TimeseriesSpec extends SparkTestBase {
     // = 0 − 0; user 2 resurrects
     assert(got("2024-01-22") == ((1L, 0L, 0L, 1L, 0L)))
   }
+
+  test("ltvTriangle: cum telescopes to the cohort total; ages are month gaps") {
+    import java.sql.Date
+    val o = Seq(
+      // cohort 2024-01: cust 1 buys in Jan (200), Mar (300); cust 2 Jan (100)
+      (1L, Date.valueOf("2024-01-05"), 200L),
+      (1L, Date.valueOf("2024-03-20"), 300L),
+      (2L, Date.valueOf("2024-01-31"), 100L),
+      // cohort 2024-02: cust 3 alone, two orders same month
+      (3L, Date.valueOf("2024-02-10"), 50L),
+      (3L, Date.valueOf("2024-02-11"), 70L)
+    ).toDF("cust", "day", "cents")
+    val got = Timeseries.ltvTriangle(o, "cust", "day", "cents")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (n_orders, n_active, cents, cum_cents)
+    assert(got(("2024-01-01", 0)) == ((2L, 2L, 300L, 300L)))
+    assert(got(("2024-01-01", 2)) == ((1L, 1L, 300L, 600L))) // Feb absent
+    assert(got(("2024-02-01", 0)) == ((2L, 1L, 120L, 120L)))
+    assert(got.size == 3)
+  }
+
+  test("kmSurvival: hand-computed product-limit with censoring") {
+    // classic small case: events at t=1 (2 of 5) and t=3 (1 of 2),
+    // censored at t=2 (1) and t=3 (1)
+    val d = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 1L), (3L, 0L))
+      .toDF("t", "ev")
+    val got = Timeseries.kmSurvival(d, "t", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // t=1: n=5, d=2 -> S = 3/5 = 0.6
+    // t=2: n=3, d=0 (pure censor) -> S unchanged 0.6
+    // t=3: n=2, d=1 -> S = 0.6 * 1/2 = 0.3
+    assert(got(1L) == ((5L, 2L, 0L, 0.6)))
+    assert(got(2L) == ((3L, 0L, 1L, 0.6)))
+    assert(got(3L) == ((2L, 1L, 1L, 0.3)))
+  }
+
+  test("kmSurvival: total failure at the last time point pins S to 0") {
+    val d = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("t", "ev")
+    val got = Timeseries.kmSurvival(d, "t", "ev")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(math.abs(got(1L) - 2.0 / 3.0) < 1e-6)
+    assert(got(2L) == 0.0)
+  }
 }
