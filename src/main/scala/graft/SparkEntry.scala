@@ -2424,6 +2424,25 @@ object SparkEntry {
             .otherwise(lit(0L)).as("ev"))
       Timeseries.kmSurvival(durations, "t", "ev")
     }),
+
+    // --- degree assortativity of the co-purchase graph ---------------------------
+    // Do popular products co-purchase with popular products? Newman's r
+    // over edge-endpoint degrees — exact moments, one degree build, two
+    // edge decorations, one global fold.
+    "q178_assortativity" -> ((s, d) =>
+      GraphMetrics.assortativity(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)))),
+
+    // --- brand-partition modularity ----------------------------------------------
+    // Does the co-purchase graph cluster along brand lines? Modularity
+    // of the GIVEN p_brand partition — an attribute-community quality
+    // score, exact per-community contributions that sum to Q.
+    "q179_brand_modularity" -> ((s, d) => {
+      val edges = CoPurchaseGraph.fromOrders(Tables.lineitem(s, d))
+      val partition = Tables.tableRaw(s, d, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+      GraphMetrics.modularity(edges, partition)
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -5138,5 +5157,49 @@ object SparkEntry {
         |  CASE WHEN d_ev >= n_risk THEN 0.0
         |       ELSE round(exp(cum::DOUBLE / 1e6), 6) END AS survival
         |FROM f""".stripMargin,
+
+    "q178_assortativity" ->
+      s"""WITH $basketCtes,
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t
+        |  GROUP BY 1),
+        |x AS (SELECT du.deg AS du, dv.deg AS dv FROM e
+        |  JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node),
+        |s AS (SELECT 2 * count(*)::HUGEINT AS m,
+        |    2 * sum(du::HUGEINT * dv::HUGEINT) AS sxy,
+        |    sum(du::HUGEINT + dv::HUGEINT) AS sx,
+        |    sum(du::HUGEINT * du::HUGEINT + dv::HUGEINT * dv::HUGEINT)
+        |      AS sx2
+        |  FROM x)
+        |SELECT m::BIGINT AS m_pairs, sx::BIGINT AS sum_x,
+        |  sxy::BIGINT AS sum_xy, sx2::BIGINT AS sum_x2,
+        |  round((m * sxy - sx * sx)::DOUBLE
+        |    / (m * sx2 - sx * sx)::DOUBLE, 6) AS assortativity
+        |FROM s""".stripMargin,
+
+    "q179_brand_modularity" ->
+      s"""WITH $basketCtes,
+        |pm AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+        |de AS (SELECT pu.community AS cu, pv.community AS cv FROM e
+        |  JOIN pm pu ON e.src = pu.node JOIN pm pv ON e.dst = pv.node),
+        |m AS (SELECT count(*)::BIGINT AS m FROM de),
+        |ew AS (SELECT cu AS community, count(*)::BIGINT AS e_within
+        |  FROM de WHERE cu = cv GROUP BY 1),
+        |ad AS (SELECT community, count(*)::BIGINT AS a_degree FROM (
+        |    SELECT cu AS community FROM de UNION ALL SELECT cv FROM de) t
+        |  GROUP BY 1),
+        |nn AS (SELECT community, count(*)::BIGINT AS n_nodes FROM pm
+        |  GROUP BY 1)
+        |SELECT nn.community, nn.n_nodes,
+        |  coalesce(ew.e_within, 0)::BIGINT AS e_within,
+        |  coalesce(ad.a_degree, 0)::BIGINT AS a_degree,
+        |  round((4::HUGEINT * m.m::HUGEINT
+        |      * coalesce(ew.e_within, 0)::HUGEINT
+        |      - coalesce(ad.a_degree, 0)::HUGEINT
+        |        * coalesce(ad.a_degree, 0)::HUGEINT)::DOUBLE
+        |    / (4::HUGEINT * m.m::HUGEINT * m.m::HUGEINT)::DOUBLE, 6)
+        |      AS dq
+        |FROM nn LEFT JOIN ad USING (community)
+        |  LEFT JOIN ew USING (community), m""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Triangle counting + local clustering coefficient over the
@@ -210,5 +210,91 @@ object GraphMetrics {
       }
     }
     lbl
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of the
+    * degrees at the two ends of an edge — positive means hubs attach to
+    * hubs, negative means hub-and-spoke. Over the ordered-pair edge list
+    * (each undirected edge counted in both directions) the x and y
+    * marginals coincide, so every moment folds from ONE pass over the
+    * single-orientation edge frame: M = 2E, Σxy = 2Σ dᵤdᵥ,
+    * Σx = Σ(dᵤ+dᵥ), Σx² = Σ(dᵤ²+dᵥ²), and
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²).
+    *
+    * All moments are DECIMAL(38,0)-exact; the one double op is the
+    * final exact/exact division. Shape: a degree count per node (one
+    * shuffle), two equi-joins decorating each edge with its endpoint
+    * degrees, one global aggregate — no wedge or pair expansion.
+    *
+    * @param edges undirected (src, dst), src < dst, one row per edge
+    * @return single row (m_pairs, sum_x, sum_xy, sum_x2, assortativity) */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val decorated = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dv")), Seq("dst"))
+    val m = decorated.agg(
+      (lit(2) * dec(count(lit(1)))).as("__m"),
+      (lit(2) * sum(dec(col("du")) * dec(col("dv")))).as("__sxy"),
+      sum(dec(col("du")) + dec(col("dv"))).as("__sx"),
+      sum(dec(col("du")) * dec(col("du"))
+        + dec(col("dv")) * dec(col("dv"))).as("__sx2"))
+    m.select(col("__m").cast("long").as("m_pairs"),
+      col("__sx").cast("long").as("sum_x"),
+      col("__sxy").cast("long").as("sum_xy"),
+      col("__sx2").cast("long").as("sum_x2"),
+      round((col("__m") * col("__sxy") - col("__sx") * col("__sx"))
+        .cast("double")
+        / (col("__m") * col("__sx2") - col("__sx") * col("__sx"))
+          .cast("double"), 6).as("assortativity"))
+  }
+
+  /** Newman–Girvan modularity of a GIVEN node partition (an attribute
+    * community, e.g. brand — not a learned labeling): per community c,
+    * ΔQ_c = e_c/m − (a_c/2m)² with e_c = within-community edges and
+    * a_c = degree mass; folded exactly as (4m·e_c − a_c²) / 4m².
+    *
+    * Shape: the partition map joins onto each edge's endpoints (two
+    * equi-joins against a node-sized frame), then two hash aggregations
+    * — within-edge counts and endpoint-incidence counts — meet on the
+    * community key. No iteration, no window.
+    *
+    * @param edges     undirected (src, dst), src < dst
+    * @param partition (node, community)
+    * @return per community: (community, n_nodes, e_within, a_degree, dq)
+    *         where Σ dq = modularity Q */
+  def modularity(edges: DataFrame, partition: DataFrame): DataFrame = {
+    val p = partition.select(col("node"), col("community"))
+    val decorated = edges
+      .join(p.select(col("node").as("src"), col("community").as("cu")),
+        Seq("src"))
+      .join(p.select(col("node").as("dst"), col("community").as("cv")),
+        Seq("dst"))
+      .localCheckpoint() // the edge scan feeds three aggregates below
+    val mRow = decorated.agg(count(lit(1)).as("m")) // total edges
+    val eWithin = decorated.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("e_within"))
+    val aDeg = decorated.select(col("cu").as("community"))
+      .unionAll(decorated.select(col("cv").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("a_degree"))
+    val nNodes = p.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    nNodes
+      .join(aDeg, Seq("community"), "left")
+      .join(eWithin, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"),
+        coalesce(col("a_degree"), lit(0L)).as("a_degree"),
+        round((lit(4) * dec(col("m"))
+            * dec(coalesce(col("e_within"), lit(0L)))
+            - dec(coalesce(col("a_degree"), lit(0L)))
+              * dec(coalesce(col("a_degree"), lit(0L)))).cast("double")
+          / (lit(4) * dec(col("m")) * dec(col("m"))).cast("double"), 6)
+          .as("dq"))
   }
 }

@@ -117,4 +117,53 @@ class GraphMetricsSpec extends SparkTestBase {
     // round 2: all neighbors now carry 1 (or tie resolving to 1) → 1
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"$got")
   }
+
+  test("assortativity: star graph is maximally disassortative (r = -1)") {
+    // hub 1 with three leaves: every edge joins deg-3 to deg-1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphMetrics.assortativity(edges).collect().head
+    // m_pairs = 6; per ordered pair x·y = 3, x ∈ {3,1,...}
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(4) == -1.0)
+  }
+
+  test("assortativity: hand-computed path graph P4") {
+    // 1-2-3-4: degrees 1,2,2,1; ordered pairs (1,2),(2,1),(2,2),(2,2),
+    // (2,1),(1,2): M=6, Σxy=16, Σx=10, Σx²=18
+    // r = (6·16 − 100) / (6·18 − 100) = -4/8 = -0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphMetrics.assortativity(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 10L, 16L, 18L)))
+    assert(r.getDouble(4) == -0.5)
+  }
+
+  test("modularity: two clean cliques split by the partition score Q = 0.5 - 1/m-ish") {
+    // two triangles, no cross edges; partition = the components
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val part = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("node", "community")
+    val rows = GraphMetrics.modularity(edges, part).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // m=6, per community: e=3, a=6 → dq = (4·6·3 − 36)/(4·36) = 36/144 = 0.25
+    assert(rows("a") == ((3L, 3L, 6L, 0.25)))
+    assert(rows("b") == ((3L, 3L, 6L, 0.25)))
+  }
+
+  test("modularity: a random-like partition scores ~0 and isolated communities 0") {
+    // triangle 1-2-3 with node 4 isolated in its own community
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val part = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("node", "community")
+    val rows = GraphMetrics.modularity(edges, part).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // m=3; x: e=1, a=4 → (12·1 − 16)/36 = -4/36 = -0.111111
+    // y: e=0, a=2 → -4/36; z: e=0, a=0 → 0
+    assert(rows("x") == ((2L, 1L, 4L, -0.111111)))
+    assert(rows("y") == ((1L, 0L, 2L, -0.111111)))
+    assert(rows("z") == ((1L, 0L, 0L, 0.0)))
+  }
 }
