@@ -2443,6 +2443,22 @@ object SparkEntry {
         .select(col("p_partkey").as("node"), col("p_brand").as("community"))
       GraphMetrics.modularity(edges, partition)
     }),
+
+    // --- inter-arrival burstiness per event type ---------------------------------
+    // Goh–Barabási B = (σ−μ)/(σ+μ) over the gaps between consecutive
+    // events of a type — n²σ² = nΣd²−(Σd)² folds exact in DECIMAL, and
+    // IEEE sqrt is correctly rounded, so the statistic replays
+    // bit-for-bit in any engine.
+    "q180_burstiness" -> ((s, d) =>
+      Timeseries.burstiness(Tables.events(s, d), "event_type", "ts",
+        "event_id")),
+
+    // --- Benford first-digit audit -----------------------------------------------
+    // Does o_totalprice follow the log-law a natural multi-magnitude
+    // amount should? Digit histogram + snapped-grid expectation + χ²
+    // contributions; one map-side extraction, one 9-key aggregate.
+    "q181_benford" -> ((s, d) =>
+      DataQuality.benfordAudit(Tables.orders(s, d), "o_totalprice")),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -5201,5 +5217,45 @@ object SparkEntry {
         |      AS dq
         |FROM nn LEFT JOIN ad USING (community)
         |  LEFT JOIN ew USING (community), m""".stripMargin,
+
+    "q180_burstiness" ->
+      // ties ordered by (epoch_us(ts), event_id) to match Spark's
+      // micros-truncated reader (q57 precedent)
+      """WITH g AS (SELECT event_type, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS d
+        |  FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    sum(d::HUGEINT) AS s, sum(d::HUGEINT * d::HUGEINT) AS q
+        |  FROM g WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, s::BIGINT AS sum_micros,
+        |  round((sqrt((n_gaps::HUGEINT * q - s * s)::DOUBLE) - s::DOUBLE)
+        |    / (sqrt((n_gaps::HUGEINT * q - s * s)::DOUBLE) + s::DOUBLE), 6)
+        |    AS burstiness,
+        |  round(sqrt((n_gaps::HUGEINT * q - s * s)::DOUBLE) / s::DOUBLE, 6)
+        |    AS cv
+        |FROM a""".stripMargin,
+
+    "q181_benford" ->
+      // the Benford expectation is snapped to a 1e-9 grid on BOTH sides
+      // before the χ² arithmetic — the snap absorbs the one cross-engine
+      // ±ulp ln (margins of the 9 constants verified ≥1e-4 of the grid)
+      """WITH h AS (SELECT
+        |    substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
+        |      AS digit,
+        |    count(*)::BIGINT AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM h),
+        |p AS (SELECT digit, n, total,
+        |    floor(ln(1 + 1.0 / digit::DOUBLE) / ln(10) * 1e9 + 0.5) / 1e9
+        |      AS pe
+        |  FROM h, t)
+        |SELECT digit, n, round(n::DOUBLE / total::DOUBLE, 6) AS share,
+        |  round(pe, 6) AS expected,
+        |  round((n::DOUBLE - total::DOUBLE * pe)
+        |      * (n::DOUBLE - total::DOUBLE * pe)
+        |    / (total::DOUBLE * pe), 6) AS chi2_term
+        |FROM p""".stripMargin,
   )
 }

@@ -263,4 +263,42 @@ object DataQuality {
         .as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("__h").cast("decimal(38,0)")).as("digest"))
+
+  /** Benford first-digit audit — does a positive amount column follow
+    * the log-law a natural (un-fabricated, multi-magnitude) measurement
+    * should? One row per leading digit 1–9 with the observed share, the
+    * Benford expectation log₁₀(1 + 1/d), and the χ² contribution
+    * (n_d − N·p_d)²/(N·p_d); Σ of the last column against χ²₈ is the
+    * audit statistic.
+    *
+    * Exact arithmetic: the digit histogram is integer; expectation and
+    * χ² are fixed double expressions over (exact count, exact total) —
+    * both engines replay them identically. Shape: one map-side digit
+    * extraction folded into the scan, one 9-key aggregate, and the
+    * total joins back as a broadcast single row.
+    *
+    * @return (digit, n, share, expected, chi2_term) — doubles at 6 dp */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(floor(col(valueCol)).cast("long").cast("string"),
+      1, 1).cast("int")
+    val hist = df.where(col(valueCol) >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = hist.agg(sum(col("n")).as("total"))
+    // expectation snapped to a 1e-9 grid BEFORE entering the χ²
+    // arithmetic (the repo's ln-snapping pattern): the one cross-engine
+    // ±1 ulp ln is absorbed by the snap, and everything downstream is
+    // identical double math over identical inputs
+    val p = floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+        / log(lit(10.0)) * lit(1e9) + lit(0.5)).cast("long")
+      .cast("double") / lit(1e9)
+    val diff = col("n").cast("double") - col("total").cast("double") * p
+    hist.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(p, 6).as("expected"),
+        round(diff * diff / (col("total").cast("double") * p), 6)
+          .as("chi2_term"))
+  }
 }

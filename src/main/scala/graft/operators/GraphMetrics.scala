@@ -231,10 +231,14 @@ object GraphMetrics {
     * @param edges undirected (src, dst), src < dst, one row per edge
     * @return single row (m_pairs, sum_x, sum_xy, sum_x2, assortativity) */
   def assortativity(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node")))
+    // the edge frame feeds the degree build AND both decorations (three
+    // plan consumers) — a derived edge list (basket expansion) must
+    // materialize once, not re-run per consumer
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val decorated = edges
+    val decorated = e
       .join(deg.select(col("node").as("src"), col("deg").as("du")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("deg").as("dv")), Seq("dst"))
     val m = decorated.agg(

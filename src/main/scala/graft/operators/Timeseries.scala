@@ -553,4 +553,42 @@ object Timeseries {
           .otherwise(round(exp(col("__cum").cast("double") / lit(1e6)), 6))
           .as("survival"))
   }
+
+  /** Per-key inter-arrival burstiness — Goh–Barabási
+    * B = (σ − μ)/(σ + μ) over the gaps between consecutive events of a
+    * key (−1 = metronome, 0 = Poisson, →1 = heavy-tailed bursts), plus
+    * the coefficient of variation σ/μ.
+    *
+    * Exactness: gaps are integer microseconds; with S = Σd and Q = Σd²
+    * folded in DECIMAL(38,0), n²σ² = n·Q − S² is EXACT, so
+    * B = (√(nQ−S²) − S)/(√(nQ−S²) + S) and cv = √(nQ−S²)/S are fixed
+    * expressions over exact integers — IEEE sqrt is correctly rounded,
+    * so any engine replays them bit-for-bit.
+    *
+    * Shape: one exchange on the key, a lag window within it (the cusum
+    * shape — a mega-key sorts within its partition and spills, nothing
+    * collects), then a per-key aggregate on the same partitioning.
+    *
+    * @return (key, n_gaps, sum_micros, burstiness, cv) */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(tieCol))
+    val gaps = events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(tieCol))
+      .withColumn("__d", col("__us") - lag(col("__us"), 1).over(w))
+      .where(col("__d").isNotNull)
+    val agg = gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(dec(col("__d"))).as("__s"),
+        sum(dec(col("__d")) * dec(col("__d"))).as("__q"))
+    val disc = (dec(col("n_gaps")) * col("__q") - col("__s") * col("__s"))
+      .cast("double")
+    val root = sqrt(disc)
+    val sd = col("__s").cast("double")
+    agg.select(col(keyCol), col("n_gaps"),
+      col("__s").cast("long").as("sum_micros"),
+      round((root - sd) / (root + sd), 6).as("burstiness"),
+      round(root / sd, 6).as("cv"))
+  }
 }

@@ -202,4 +202,43 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q176 HHI: two hash aggregations, no window, no cartesian") {
+    val p = planOf("q176_supplier_hhi")
+    assert(!p.contains("Window"), s"HHI must not rank:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q174 gini: the rank window partitions by the group key") {
+    // a global (empty-partition) window here would funnel every customer
+    // through one task — the window spec must carry the nation key
+    val p = planOf("q174_nation_gini")
+    assert(p.contains("Window"), "rank form needs a window")
+    assert(!p.contains("Window [") ||
+      p.matches("(?s).*windowspecdefinition\\(c_nationkey.*"),
+      s"window must partition by c_nationkey:\n$p")
+  }
+
+  test("q178 assortativity: edges materialize once for three consumers") {
+    val p = planOf("q178_assortativity")
+    assert(!p.contains("CartesianProduct"))
+    // the basket-expansion subtree must be checkpointed, not re-derived
+    // by the degree build and each decoration join
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"expected a checkpointed edge frame:\n$p")
+  }
+
+  test("q177 survival: windows sort the duration frame, not subjects") {
+    // the per-subject reduction (groupBy custkey) must happen BEFORE any
+    // window; the windows are over the distinct-duration frame
+    val df = SparkEntry.queries("q177_survival")(spark, sf())
+    val opt = df.queryExecution.optimizedPlan
+    // count plan nodes: Window must sit above the duration aggregation
+    val s = opt.toString
+    val winIdx = s.indexOf("Window")
+    val aggIdx = s.indexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected Aggregate (subject reduce) BELOW the windows:\n$s")
+  }
 }

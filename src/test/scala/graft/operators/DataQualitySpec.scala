@@ -163,4 +163,26 @@ class DataQualitySpec extends SparkTestBase {
       .collect()(0)
     assert(changed.toString != d1.toString)
   }
+
+  test("benfordAudit: digit extraction, shares, and a perfect-fit chi2 of 0") {
+    // 301 ones, 176 twos: shares 0.631027/0.368973; not Benford-perfect,
+    // but digit counts and share arithmetic are exactly checkable
+    val vals = Seq.fill(301)(1.5) ++ Seq.fill(176)(25.0)
+    val got = DataQuality.benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1, 2))
+    assert(got(1)._1 == 301L && got(2)._1 == 176L)
+    assert(got(1)._2 == 0.631027 && got(2)._2 == 0.368973)
+    // snapped expectations match the Benford constants at 6 dp
+    assert(got(1)._3 == 0.30103 && got(2)._3 == 0.176091)
+  }
+
+  test("benfordAudit: sub-1 and multi-magnitude values route by leading digit") {
+    // 0.7 is excluded (< 1); 9234.0 counts as digit 9; 1e6 as digit 1
+    val got = DataQuality.benfordAudit(
+      Seq(0.7, 9234.0, 1000000.0, 3.2).toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(9 -> 1L, 1 -> 1L, 3 -> 1L))
+  }
 }

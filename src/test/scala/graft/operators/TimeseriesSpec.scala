@@ -337,6 +337,21 @@ class TimeseriesSpec extends SparkTestBase {
     assert(got(3L) == ((2L, 1L, 1L, 0.3)))
   }
 
+  test("burstiness: metronome is -1, a heavy-tailed key is positive") {
+    // key "m": gaps all 10us -> sigma=0 -> B=-1, cv=0
+    // key "b": gaps 1,1,1,97 -> B=0.248902, cv=1.662769 (hand-computed)
+    val df = (Seq(0L, 1L, 2L, 3L, 100L).map(u => ("b", u)) ++
+      (0 to 4).map(i => ("m", 10L * i)))
+      .toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("t"),
+        col("us").as("tie"))
+    val got = Timeseries.burstiness(df, "k", "t", "tie")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("m") == ((4L, 40L, -1.0, 0.0)))
+    assert(got("b") == ((4L, 100L, 0.248902, 1.662769)))
+  }
+
   test("kmSurvival: total failure at the last time point pins S to 0") {
     val d = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("t", "ev")
     val got = Timeseries.kmSurvival(d, "t", "ev")
