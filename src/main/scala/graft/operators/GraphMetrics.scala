@@ -235,8 +235,9 @@ object GraphMetrics {
     // plan consumers) — a derived edge list (basket expansion) must
     // materialize once, not re-run per consumer
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node")))
+    // explode, not union: one read of the checkpointed frame emits both
+    // endpoints (the symmetrize idiom)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val decorated = e
       .join(deg.select(col("node").as("src"), col("deg").as("du")), Seq("src"))
