@@ -38,11 +38,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Xms must never exceed Xmx: SPARK_DRIVER_MEM=8g (or a small box)
   // with a fixed -Xms16g would refuse to start the forked JVM.
   s"-Xms${
-    val mx = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")
-    val gib = scala.util.Try(mx.toLowerCase.stripSuffix("g").toLong).toOption
+    // only an explicit "<N>g" can be compared against 16 GiB — a
+    // suffix-less value is bytes/other JVM units, so presize to Xmx
+    val mx = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g").toLowerCase
+    val gib =
+      if (mx.endsWith("g")) scala.util.Try(mx.stripSuffix("g").toLong).toOption
+      else None
     gib match {
       case Some(g) if g >= 16 => "16g"
-      case _                  => mx // small or non-"Ng" value: presize to Xmx
+      case _                  => mx // small, non-"Ng", or byte-valued: presize to Xmx
     }
   }",
 )

@@ -100,8 +100,6 @@ object SparkEntry {
       .withColumn("final", round(col("final"), 6))
   }
 
-  /** Co-label ground truth for the E3 evaluation queries: items sharing
-    * the query's label (the corpus' co-purchase-neighbor analog). */
   /** Perturb an orders projection (must carry o_orderkey + cents) into
     * the "old" snapshot BOTH CDC law queries diff against — q157 (MERGE
     * apply) and q169 (retractable aggregate maintenance). Keys ≡ 3
@@ -115,6 +113,8 @@ object SparkEntry {
       .unionByName(ord.where(pmod(col("o_orderkey"), lit(13)) === 5)
         .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
 
+  /** Co-label ground truth for the E3 evaluation queries: items sharing
+    * the query's label (the corpus' co-purchase-neighbor analog). */
   private def coLabelTruth(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddingsRaw(s, d).where(col("vec_id") < 20)
       .select(col("vec_id"), col("label"))
@@ -5241,11 +5241,13 @@ object SparkEntry {
       // the Benford expectation is snapped to a 1e-9 grid on BOTH sides
       // before the χ² arithmetic — the snap absorbs the one cross-engine
       // ±ulp ln (margins of the 9 constants verified ≥1e-4 of the grid)
-      """WITH h AS (SELECT
+      """WITH obs AS (SELECT
         |    substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
         |      AS digit,
         |    count(*)::BIGINT AS n
         |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |h AS (SELECT d.range::INT AS digit, coalesce(obs.n, 0)::BIGINT AS n
+        |  FROM range(1, 10) d LEFT JOIN obs ON d.range = obs.digit),
         |t AS (SELECT sum(n)::BIGINT AS total FROM h),
         |p AS (SELECT digit, n, total,
         |    floor(ln(1 + 1.0 / digit::DOUBLE) / ln(10) * 1e9 + 0.5) / 1e9

@@ -281,9 +281,17 @@ object DataQuality {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val digit = substring(floor(col(valueCol)).cast("long").cast("string"),
       1, 1).cast("int")
-    val hist = df.where(col(valueCol) >= 1)
+    val observed = df.where(col(valueCol) >= 1)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+    // a digit with ZERO observations is the canonical Benford red flag
+    // (its χ² contribution N·p_d is the largest possible) — the 1–9
+    // scaffold makes absent digits explicit rows instead of silently
+    // dropping exactly the anomaly the audit exists to detect
+    val hist = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
     val total = hist.agg(sum(col("n")).as("total"))
     // expectation snapped to a 1e-9 grid BEFORE entering the χ²
     // arithmetic (the repo's ln-snapping pattern): the one cross-engine

@@ -186,14 +186,14 @@ object Timeseries {
     // deliberately unconditional: a NULL current value propagates to a
     // NULL ewma on both engines (the oracle's `cents * 1.0` does the
     // same) — only MISSING LAGS renormalize, not missing observations.
-    val num = xs.zip(ws).map {
-      case (x, _) if x eq xs.head => x.cast("double") * lit(1.0)
-      case (x, wi) =>
+    val num = xs.zip(ws).zipWithIndex.map {
+      case ((x, _), 0) => x.cast("double") * lit(1.0)
+      case ((x, wi), _) =>
         when(x.isNotNull, x.cast("double") * lit(wi)).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
-    val den = xs.zip(ws).map {
-      case (x, _) if x eq xs.head => lit(1.0)
-      case (x, wi) => when(x.isNotNull, lit(wi)).otherwise(lit(0.0))
+    val den = xs.zip(ws).zipWithIndex.map {
+      case ((_, _), 0) => lit(1.0)
+      case ((x, wi), _) => when(x.isNotNull, lit(wi)).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
     withLags.select(col(keyCol), col(tieCol), col("cents"),
       round(num / den, 6).as("ewma"))

@@ -215,8 +215,7 @@ class PlanSpec extends SparkTestBase {
     // through one task — the window spec must carry the nation key
     val p = planOf("q174_nation_gini")
     assert(p.contains("Window"), "rank form needs a window")
-    assert(!p.contains("Window [") ||
-      p.matches("(?s).*windowspecdefinition\\(c_nationkey.*"),
+    assert(p.matches("(?s).*windowspecdefinition\\(c_nationkey.*"),
       s"window must partition by c_nationkey:\n$p")
   }
 

@@ -171,11 +171,23 @@ class DataQualitySpec extends SparkTestBase {
     val got = DataQuality.benfordAudit(vals.toDF("v"), "v")
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
         r.getDouble(3)))).toMap
-    assert(got.keySet == Set(1, 2))
+    // ALL nine digits are rows — absent ones as explicit zeros
+    assert(got.keySet == (1 to 9).toSet)
     assert(got(1)._1 == 301L && got(2)._1 == 176L)
+    assert((3 to 9).forall(d => got(d)._1 == 0L && got(d)._2 == 0.0))
     assert(got(1)._2 == 0.631027 && got(2)._2 == 0.368973)
     // snapped expectations match the Benford constants at 6 dp
     assert(got(1)._3 == 0.30103 && got(2)._3 == 0.176091)
+  }
+
+  test("benfordAudit: a zero-count digit contributes its full N*p to chi2") {
+    // 477 rows, none starting with 9: chi2_term(9) = N*p9 exactly
+    val vals = Seq.fill(301)(1.5) ++ Seq.fill(176)(25.0)
+    val row9 = DataQuality.benfordAudit(vals.toDF("v"), "v")
+      .collect().find(_.getInt(0) == 9).get
+    val p9 = math.floor(math.log(1 + 1.0 / 9) / math.log(10) * 1e9 + 0.5) / 1e9
+    assert(row9.getLong(1) == 0L)
+    assert(math.abs(row9.getDouble(4) - 477.0 * p9) < 1e-6)
   }
 
   test("benfordAudit: sub-1 and multi-magnitude values route by leading digit") {
@@ -183,6 +195,8 @@ class DataQualitySpec extends SparkTestBase {
     val got = DataQuality.benfordAudit(
       Seq(0.7, 9234.0, 1000000.0, 3.2).toDF("v"), "v")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(got == Map(9 -> 1L, 1 -> 1L, 3 -> 1L))
+    assert(got.size == 9)
+    assert(got(9) == 1L && got(1) == 1L && got(3) == 1L)
+    assert(Seq(2, 4, 5, 6, 7, 8).forall(got(_) == 0L))
   }
 }
