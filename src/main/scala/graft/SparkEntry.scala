@@ -2459,6 +2459,32 @@ object SparkEntry {
     // contributions; one map-side extraction, one 9-key aggregate.
     "q181_benford" -> ((s, d) =>
       DataQuality.benfordAudit(Tables.orders(s, d), "o_totalprice")),
+
+    // --- lead–lag cross-correlation ----------------------------------------------
+    // By how many days do views lead purchases? corr(views(t),
+    // purchases(t+lag)) for lag ∈ [−7, 7] — exact moments per lag over
+    // the calendar-bounded daily frame.
+    "q182_lag_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("a"),
+          count(when(col("event_type") === "purchase", 1)).as("b"))
+      Timeseries.lagCorrelation(daily, "day", "a", "b", 7)
+    }),
+
+    // --- IPS off-policy replay ---------------------------------------------------
+    // Counterfactual value of "per segment, play the best logged
+    // action" under a declared uniform-over-5-arms behavior policy —
+    // the offline sibling of q137's team-draft interleaving. Segments =
+    // user_id mod 10; reward = event value in cents.
+    "q183_ips_replay" -> ((s, d) => {
+      val log = Tables.events(s, d).select(
+        pmod(col("user_id"), lit(10)).as("segment"),
+        col("event_type"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("r"))
+      Experiment.ipsReplay(log, "segment", "event_type", "r", 5)
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -5259,5 +5285,50 @@ object SparkEntry {
         |      * (n::DOUBLE - total::DOUBLE * pe)
         |    / (total::DOUBLE * pe), 6) AS chi2_term
         |FROM p""".stripMargin,
+
+    "q182_lag_corr" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT
+        |      AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |l AS (SELECT range::INT AS lag FROM range(-7, 8)),
+        |j AS (SELECT l.lag, x.a AS xa, y.b AS yb
+        |  FROM daily x CROSS JOIN l JOIN daily y ON x.day + l.lag = y.day),
+        |g AS (SELECT lag, count(*)::BIGINT AS n_days,
+        |    sum(xa::HUGEINT) AS sa, sum(yb::HUGEINT) AS sb,
+        |    sum(xa::HUGEINT * yb::HUGEINT) AS sab,
+        |    sum(xa::HUGEINT * xa::HUGEINT) AS saa,
+        |    sum(yb::HUGEINT * yb::HUGEINT) AS sbb
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days,
+        |  round((n_days::HUGEINT * sab - sa * sb)::DOUBLE
+        |    / (sqrt((n_days::HUGEINT * saa - sa * sa)::DOUBLE)
+        |      * sqrt((n_days::HUGEINT * sbb - sb * sb)::DOUBLE)), 6)
+        |    AS corr
+        |FROM g""".stripMargin,
+
+    "q183_ips_replay" ->
+      // deterministic argmax: rank by (mean reward DESC, action DESC) —
+      // the mean is one division of two exact integers, identical in
+      // both engines, so the rank (and thus the policy) replays exactly
+      """WITH log AS (SELECT user_id % 10 AS segment, event_type,
+        |    floor(value * 100 + 0.5::DOUBLE)::BIGINT AS r FROM events),
+        |cells AS (SELECT segment, event_type AS action,
+        |    count(*)::BIGINT AS n_cell, sum(r)::BIGINT AS r_cell
+        |  FROM log GROUP BY 1, 2),
+        |best AS (SELECT segment, action AS target_action,
+        |    n_cell AS n_matched, r_cell AS r_best,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY r_cell::DOUBLE / n_cell::DOUBLE DESC,
+        |        action DESC) AS rk
+        |  FROM cells),
+        |segs AS (SELECT segment, sum(n_cell)::BIGINT AS n_log,
+        |    sum(r_cell)::BIGINT AS r_log FROM cells GROUP BY 1)
+        |SELECT s.segment, s.n_log, b.target_action, b.n_matched,
+        |  round(s.r_log::DOUBLE / s.n_log::DOUBLE, 6) AS v_logged,
+        |  round(5 * b.r_best::DOUBLE / s.n_log::DOUBLE, 6) AS v_ips
+        |FROM segs s JOIN best b ON s.segment = b.segment AND b.rk = 1""".stripMargin,
   )
 }

@@ -52,4 +52,50 @@ object Experiment {
               col("xbar"))) / lit(displayScale)).as("adj_mean"),
         col("theta"))
   }
+
+  /** Inverse-propensity-score (IPS) offline replay — evaluate a
+    * DETERMINISTIC target policy ("per segment, play the action with
+    * the highest logged mean reward") against a log whose declared
+    * behavior policy was uniform over `nActions` arms, without ever
+    * deploying it. V̂_IPS(s) = (1/n_s)·Σ_{aᵢ=π(s)} rᵢ/p with p = 1/n_A
+    * — the offline sibling of team-draft interleaving (q137): that
+    * compares rankers online, this replays a counterfactual policy from
+    * the log alone.
+    *
+    * With a deterministic π the matched set is exactly the (segment,
+    * π(s)) cell, so the estimate collapses to closed form
+    * n_A·Σr_cell/n_s — every input an exact integer fold, the final
+    * expression one division both engines replay identically. The
+    * argmax tie-breaks toward the lexicographically larger action
+    * (explicit window order), so the policy is reproducible.
+    *
+    * Shape: one (segment, action) hash aggregate (map-side combined),
+    * a segment-keyed rank over the ≤|segments|·n_A cell frame, one
+    * broadcast-sized join back. Nothing touches raw rows twice.
+    *
+    * @return (segment, n_log, target_action, n_matched, v_logged,
+    *         v_ips) — values in cents at 6 dp. */
+  def ipsReplay(log: DataFrame, segCol: String, actionCol: String,
+                rewardCentsCol: String, nActions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = log.groupBy(col(segCol).as("segment"),
+        col(actionCol).as("action"))
+      .agg(count(lit(1)).as("n_cell"), sum(col(rewardCentsCol)).as("r_cell"))
+    val w = Window.partitionBy("segment")
+      .orderBy((col("r_cell").cast("double") / col("n_cell").cast("double"))
+        .desc, col("action").desc)
+    val best = cells.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("segment"), col("action").as("target_action"),
+        col("n_cell").as("n_matched"), col("r_cell").as("__r_best"))
+    val segs = cells.groupBy("segment")
+      .agg(sum(col("n_cell")).as("n_log"), sum(col("r_cell")).as("__r_log"))
+    segs.join(best, Seq("segment"))
+      .select(col("segment"), col("n_log"), col("target_action"),
+        col("n_matched"),
+        round(col("__r_log").cast("double") / col("n_log").cast("double"),
+          6).as("v_logged"),
+        round(lit(nActions) * col("__r_best").cast("double")
+          / col("n_log").cast("double"), 6).as("v_ips"))
+  }
 }

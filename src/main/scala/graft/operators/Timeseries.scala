@@ -591,4 +591,40 @@ object Timeseries {
       round((root - sd) / (root + sd), 6).as("burstiness"),
       round(root / sd, 6).as("cv"))
   }
+
+  /** Lead–lag cross-correlation profile between two daily series —
+    * corr(a(t), b(t+lag)) for lag ∈ [−maxLag, maxLag]; the lag that
+    * maximizes it is the lead time of a over b ("views lead purchases
+    * by k days"). All Pearson moments fold as DECIMAL(38,0)-exact
+    * integers per lag; the final expression (one division, two IEEE
+    * sqrts) replays identically in any engine.
+    *
+    * Shape: the input is already the per-day aggregate (calendar-
+    * bounded), so the lag fan-out is |days|·(2·maxLag+1) rows meeting
+    * on a date equi-join — never a range join, never raw events.
+    *
+    * @param daily one row per day: (dayCol DATE, aCol, bCol integers)
+    * @return (lag, n_days, corr) — corr at 6 dp */
+  def lagCorrelation(daily: DataFrame, dayCol: String, aCol: String,
+                     bCol: String, maxLag: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lags = daily.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val x = daily.select(col(dayCol).as("__xd"), col(aCol).as("__xa"))
+    val y = daily.select(col(dayCol).as("__yd"), col(bCol).as("__yb"))
+    val j = x.crossJoin(broadcast(lags))
+      .join(y, date_add(col("__xd"), col("lag")) === col("__yd"))
+    val g = j.groupBy("lag").agg(count(lit(1)).as("n_days"),
+      sum(dec(col("__xa"))).as("__sa"), sum(dec(col("__yb"))).as("__sb"),
+      sum(dec(col("__xa")) * dec(col("__yb"))).as("__sab"),
+      sum(dec(col("__xa")) * dec(col("__xa"))).as("__saa"),
+      sum(dec(col("__yb")) * dec(col("__yb"))).as("__sbb"))
+    g.select(col("lag"), col("n_days"),
+      round((dec(col("n_days")) * col("__sab") - col("__sa") * col("__sb"))
+          .cast("double")
+        / (sqrt((dec(col("n_days")) * col("__saa")
+              - col("__sa") * col("__sa")).cast("double"))
+          * sqrt((dec(col("n_days")) * col("__sbb")
+              - col("__sb") * col("__sb")).cast("double"))), 6).as("corr"))
+  }
 }

@@ -44,4 +44,21 @@ class ExperimentSpec extends SparkTestBase {
     val b = Experiment.cuped(pu.repartition(11)).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("ipsReplay: closed-form IPS of the greedy policy, ties break to larger action") {
+    // segment 0: action "x" mean 10 (2 rows), "y" mean 20 (1 row) -> target y
+    //   v_ips = 3 * 20 / 3 = 20.0; v_logged = 40/3 = 13.333333
+    // segment 1: "x" and "y" both mean 5 -> tie -> larger action "y"
+    val log = Seq(
+      (0L, "x", 10L), (0L, "x", 10L), (0L, "y", 20L),
+      (1L, "x", 5L), (1L, "y", 5L)
+    ).toDF("seg", "act", "r")
+    val got = Experiment.ipsReplay(log, "seg", "act", "r", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) == ((3L, "y", 1L, 13.333333, 20.0)))
+    // tie: both arms mean 5; "y" wins; v_ips = 3 * 5 / 2 = 7.5
+    assert(got(1L) == ((2L, "y", 1L, 5.0, 7.5)))
+  }
 }

@@ -352,6 +352,24 @@ class TimeseriesSpec extends SparkTestBase {
     assert(got("b") == ((4L, 100L, 0.248902, 1.662769)))
   }
 
+  test("lagCorrelation: a shifted copy peaks at exactly its lag") {
+    import java.sql.Date
+    // b(t) = a(t-2): corr(a(t), b(t+lag)) = 1.0 at lag = 2
+    val base = Seq(5L, 9L, 2L, 7L, 4L, 8L, 1L, 6L, 3L, 10L)
+    val days = base.indices.map(i => Date.valueOf(f"2024-01-${i + 1}%02d"))
+    val shifted = base.indices.map(i =>
+      if (i >= 2) base(i - 2) else 0L) // first two days arbitrary
+    val daily = days.indices.map(i => (days(i), base(i), shifted(i)))
+      .toDF("day", "a", "b")
+    val got = Timeseries.lagCorrelation(daily, "day", "a", "b", 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(2)._1 == 8L)    // 8 aligned days at lag 2
+    assert(got(2)._2 == 1.0)   // perfect correlation at the true lag
+    assert(got.keySet == (-3 to 3).toSet)
+    assert((-3 to 3).filter(_ != 2).forall(l => got(l)._2 < 1.0))
+  }
+
   test("kmSurvival: total failure at the last time point pins S to 0") {
     val d = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("t", "ev")
     val got = Timeseries.kmSurvival(d, "t", "ev")
