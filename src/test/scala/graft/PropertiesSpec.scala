@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.VectorFunctions._
-import graft.operators.{CoPurchaseGraph, Evaluation, HybridScorer}
+import graft.operators.{Concentration, CoPurchaseGraph, Evaluation,
+  HybridScorer, Timeseries}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -174,6 +175,59 @@ class PropertiesSpec extends SparkTestBase {
         assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
           s"code $c scale $scale orig $x")
       }
+    }
+  }
+
+  test("gini ∈ [0, 1) and hhi ∈ [1/n, 1] for any positive value multiset") {
+    // arbitrary grouped positive-cent distributions, many shapes
+    val groupGen = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+    } yield vs
+    val rows = sample(groupGen, 30).zipWithIndex.flatMap { case (vs, g) =>
+      vs.zipWithIndex.map { case (v, i) => (s"g$g", i.toLong, v) }
+    }
+    val s2 = spark
+    import s2.implicits._
+    val df = rows.toDF("g", "k", "v")
+    val gini = Concentration.giniBy(df, "g", "k", "v").collect()
+    gini.foreach { r =>
+      val (n, gv) = (r.getLong(1), r.getDouble(3))
+      assert(gv >= 0.0 && gv < 1.0, s"gini $gv out of range")
+      // rank-form upper bound is (n-1)/n
+      assert(gv <= (n - 1).toDouble / n + 1e-9, s"gini $gv exceeds (n-1)/n")
+    }
+    val hhi = Concentration.hhiBy(df, "g", "k", "v").collect()
+    hhi.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(3))
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9, s"hhi $h n $n")
+    }
+  }
+
+  test("kmSurvival is nonincreasing in t and bounded in [0, 1]") {
+    val subjGen = for {
+      t <- Gen.choose(0L, 50L)
+      ev <- Gen.oneOf(0L, 1L)
+    } yield (t, ev)
+    val s2 = spark
+    import s2.implicits._
+    val df = sample(subjGen, 300).toDF("t", "ev")
+    val curve = Timeseries.kmSurvival(df, "t", "ev")
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(4)))
+    curve.foreach { case (_, sv) =>
+      assert(sv >= 0.0 && sv <= 1.0 + 1e-9, s"survival $sv") }
+    curve.sliding(2).foreach {
+      case Array((t1, s1v), (t2, s2v)) =>
+        assert(t1 < t2 && s2v <= s1v + 1e-9,
+          s"survival must not increase: $s1v -> $s2v")
+      case _ =>
+    }
+    // at-risk counts telescope: n_risk(t_next) = n_risk(t) - c(t)
+    val rows = Timeseries.kmSurvival(df, "t", "ev").orderBy("t")
+      .collect().map(r => (r.getLong(1), r.getLong(2) + r.getLong(3)))
+    rows.sliding(2).foreach {
+      case Array((n1, c1), (n2, _)) => assert(n2 == n1 - c1)
+      case _ =>
     }
   }
 }
