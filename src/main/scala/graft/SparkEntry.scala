@@ -2473,6 +2473,18 @@ object SparkEntry {
       Timeseries.lagCorrelation(daily, "day", "a", "b", 7)
     }),
 
+    // --- GLOBAL Gini via the two-phase distributed rank --------------------------
+    // The lake-scale form of q174: one worldwide coefficient with NO
+    // single-partition window — range-partitioned sort + zipWithIndex
+    // global ordinals, moments folded exactly as the grouped form.
+    "q184_global_gini" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+          .cast("long")).as("cents"))
+      Concentration.giniGlobal(rev, "o_custkey", "cents")
+    }),
+
     // --- IPS off-policy replay ---------------------------------------------------
     // Counterfactual value of "per segment, play the best logged
     // action" under a declared uniform-over-5-arms behavior policy —
@@ -5307,6 +5319,21 @@ object SparkEntry {
         |    / (sqrt((n_days::HUGEINT * saa - sa * sa)::DOUBLE)
         |      * sqrt((n_days::HUGEINT * sbb - sb * sb)::DOUBLE)), 6)
         |    AS corr
+        |FROM g""".stripMargin,
+
+    "q184_global_gini" ->
+      """WITH r AS (SELECT o_custkey AS ck,
+        |    sum(floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, ck) AS i FROM r),
+        |g AS (SELECT count(*)::BIGINT AS n_cust,
+        |    sum(cents)::BIGINT AS sum_cents,
+        |    sum(i::HUGEINT * cents::HUGEINT) AS t FROM w)
+        |SELECT n_cust AS n_units, sum_cents AS sum_value,
+        |  round((2::HUGEINT * t
+        |      - (n_cust + 1)::HUGEINT * sum_cents::HUGEINT)::DOUBLE
+        |    / (n_cust::DOUBLE * sum_cents::DOUBLE), 6) AS gini
         |FROM g""".stripMargin,
 
     "q183_ips_replay" ->

@@ -58,6 +58,45 @@ object Concentration {
         6).as("gini"))
   }
 
+  /** GLOBAL Gini without the single-partition window [[giniBy]] would
+    * need for one worldwide group: the two-phase distributed exact
+    * rank. Values range-partition on (value, key) and sort within
+    * partitions — a spillable distributed sort — and `zipWithIndex`
+    * assigns the global ordinal with one extra (cheap) count job; no
+    * task ever holds more than its own range slice. The moments then
+    * fold exactly as in [[giniBy]].
+    *
+    * The RDD hop is deliberate: Spark has no global-ordinal SQL
+    * primitive that avoids funneling all rows through one window
+    * partition, and `zipWithIndex` over a range-sorted frame IS the
+    * canonical two-phase rank (per-partition counts → offsets →
+    * local index + offset).
+    *
+    * @return one row: (n_units, sum_value, gini) — gini at 6 dp. */
+  def giniGlobal(df: DataFrame, keyCol: String, valueCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(valueCol).cast("long").as("v"),
+        col(keyCol).cast("long").as("k"))
+      .repartitionByRange(col("v"), col("k"))
+      .sortWithinPartitions(col("v"), col("k"))
+    val ranked = sorted.as[(Long, Long)].rdd.zipWithIndex
+      .map { case ((v, _), i) => (v, i + 1L) } // ascending rank, 1-based
+      .toDF("v", "__i")
+    ranked
+      .agg(count(lit(1)).as("n_units"),
+        sum(dec(col("v"))).as("__s"),
+        sum(dec(col("__i")) * dec(col("v"))).as("__t"))
+      .select(col("n_units"), col("__s").cast("long").as("sum_value"),
+        round(
+          (lit(2) * col("__t") - dec(col("n_units") + 1) * col("__s"))
+            .cast("double")
+            / (col("n_units").cast("double") * col("__s").cast("double")),
+          6).as("gini"))
+  }
+
   /** Per-group Herfindahl–Hirschman index: Σ sᵢ² over the value shares
     * sᵢ of the units in the group, computed as Σxᵢ² / (Σx)² so the
     * numerator folds exactly (xᵢ² ≤ 10^26 per unit; the sum stays in

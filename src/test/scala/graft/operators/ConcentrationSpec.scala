@@ -48,6 +48,19 @@ class ConcentrationSpec extends SparkTestBase {
     assert(h("e") == 0.125)
   }
 
+  test("giniGlobal: the two-phase rank equals the windowed form exactly") {
+    // an arbitrary skewed multiset — both forms must agree bit-for-bit
+    val rows = (1L to 500L).map(k => (k, (k * k * 7) % 9973 + 1))
+    val grouped = Concentration.giniBy(
+      rows.map { case (k, v) => ("all", k, v) }.toDF("g", "k", "v"),
+      "g", "k", "v").collect().head
+    val global = Concentration.giniGlobal(
+      rows.toDF("k", "v"), "k", "v").collect().head
+    assert(global.getLong(0) == grouped.getLong(1))   // n_units
+    assert(global.getLong(1) == grouped.getLong(2))   // sum_value
+    assert(global.getDouble(2) == grouped.getDouble(3)) // gini
+  }
+
   test("hhi: pre-aggregates multiple rows per unit before squaring") {
     // unit 1 appears twice (300+200=500), unit 2 once (500): duopoly 0.5
     val h = hhiOf(Seq(("d", 1L, 300L), ("d", 1L, 200L), ("d", 2L, 500L)))
