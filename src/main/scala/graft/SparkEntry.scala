@@ -2473,6 +2473,29 @@ object SparkEntry {
       Timeseries.lagCorrelation(daily, "day", "a", "b", 7)
     }),
 
+    // --- KMV set-operation sketch: distinct-INTERSECTION estimates ---------------
+    // "How many user-days did both event types" from per-type KMV
+    // states alone — the set operation HLL registers cannot answer.
+    // Estimates gated against the exact intersections with a 25% error
+    // contract (k=1024 → Jaccard rel std ≈ 6%, ≈3.5σ headroom).
+    "q185_kmv_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("key"),
+        concat_ws(":", col("user_id"), to_date(col("ts"))).as("val"))
+      val st = Sketch.kmvSketch(ev, "key", "val")
+      val est = Sketch.kmvIntersect(st)
+      val vd = ev.distinct()
+      val exact = vd.as("x").join(vd.as("y"),
+          col("x.val") === col("y.val") && col("x.key") < col("y.key"))
+        .groupBy(col("x.key").as("ka"), col("y.key").as("kb"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      est.join(exact, Seq("ka", "kb"))
+        .select(col("ka"), col("kb"), col("n_union_minima"), col("n_both"),
+          col("est_union"), col("est_intersect"), col("exact_intersect"),
+          (abs(col("est_intersect") - col("exact_intersect").cast("double"))
+            <= lit(0.25) * col("exact_intersect").cast("double"))
+            .as("err_ok"))
+    }),
+
     // --- GLOBAL Gini via the two-phase distributed rank --------------------------
     // The lake-scale form of q174: one worldwide coefficient with NO
     // single-partition window — range-partitioned sort + zipWithIndex
@@ -5320,6 +5343,52 @@ object SparkEntry {
         |      * sqrt((n_days::HUGEINT * sbb - sb * sb)::DOUBLE)), 6)
         |    AS corr
         |FROM g""".stripMargin,
+
+    "q185_kmv_intersect" ->
+      // full KMV replay: per-type bottom-256 of the kmv: hash space,
+      // pair union minima (set-dedup on h), Jaccard numerator, and the
+      // (k-1)*2^60/h_k union estimate — plus the exact intersections
+      """WITH ev AS (SELECT DISTINCT event_type AS key,
+        |    user_id::VARCHAR || ':' || (ts::DATE)::VARCHAR AS val
+        |  FROM events),
+        |v AS (SELECT key,
+        |    CAST('0x' || substr(md5('kmv:' || val), 1, 15) AS BIGINT) AS h
+        |  FROM ev),
+        |st AS (SELECT key, h FROM (SELECT key, h,
+        |      row_number() OVER (PARTITION BY key ORDER BY h) AS rk
+        |    FROM (SELECT DISTINCT key, h FROM v) dv) t WHERE rk <= 1024),
+        |keys AS (SELECT DISTINCT key FROM st),
+        |pk AS (SELECT a.key AS ka, b.key AS kb FROM keys a, keys b
+        |  WHERE a.key < b.key),
+        |u AS (SELECT ka, kb, h, max(ia)::BIGINT AS ia,
+        |    max(ib)::BIGINT AS ib FROM (
+        |    SELECT pk.ka, pk.kb, st.h, 1 AS ia, 0 AS ib FROM st
+        |      JOIN pk ON st.key = pk.ka
+        |    UNION ALL
+        |    SELECT pk.ka, pk.kb, st.h, 0 AS ia, 1 AS ib FROM st
+        |      JOIN pk ON st.key = pk.kb) t GROUP BY 1, 2, 3),
+        |uk AS (SELECT * FROM (SELECT ka, kb, h, ia, ib,
+        |      row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rk
+        |    FROM u) t WHERE rk <= 1024),
+        |ag AS (SELECT ka, kb, count(*)::BIGINT AS n_union_minima,
+        |    max(h) AS hk, sum(ia * ib)::BIGINT AS n_both
+        |  FROM uk GROUP BY 1, 2),
+        |es AS (SELECT ka, kb, n_union_minima, n_both,
+        |    CASE WHEN n_union_minima < 1024 THEN n_union_minima::DOUBLE
+        |         ELSE 1023.0 * (1::BIGINT << 60)::DOUBLE / hk::DOUBLE
+        |    END AS eu FROM ag),
+        |ex AS (SELECT p.ka, p.kb, count(*)::BIGINT AS exact_intersect
+        |  FROM pk p JOIN ev x ON x.key = p.ka
+        |  JOIN ev y ON y.key = p.kb AND y.val = x.val GROUP BY 1, 2)
+        |SELECT e.ka, e.kb, e.n_union_minima, e.n_both,
+        |  round(e.eu, 4) AS est_union,
+        |  round(e.n_both::DOUBLE / e.n_union_minima::DOUBLE * e.eu, 4)
+        |    AS est_intersect,
+        |  ex.exact_intersect,
+        |  (abs(round(e.n_both::DOUBLE / e.n_union_minima::DOUBLE * e.eu, 4)
+        |      - ex.exact_intersect::DOUBLE)
+        |    <= 0.25 * ex.exact_intersect::DOUBLE) AS err_ok
+        |FROM es e JOIN ex ON e.ka = ex.ka AND e.kb = ex.kb""".stripMargin,
 
     "q184_global_gini" ->
       """WITH r AS (SELECT o_custkey AS ck,

@@ -248,4 +248,92 @@ object Sketch {
       .groupBy(groupCol)
       .agg(max("n").as("n"), pick(50), pick(95), pick(99))
   }
+
+  /** KMV (k-minimum-values) distinct sketch — the set-OPERATION sketch
+    * the HLL cannot be: because the state is the k smallest hash values
+    * themselves (a uniform sample of the distinct-value hash space),
+    * two sketches support an INTERSECTION estimate via the union
+    * sketch's Jaccard, not just a union. "How many users did both X
+    * and Y" over arbitrary key pairs, from per-key states alone.
+    *
+    * State per key: the k smallest distinct [[hash60]] values (one
+    * distinct-aggregate shuffle, then a per-key bottom-k that compiles
+    * to WindowGroupLimit — rank pushes below the sort, so no key ever
+    * materializes more than k rows past the aggregate).
+    * Estimate: (k−1)·2^60 / h_(k) (the classic KMV estimator).
+    * Merge: union the value lists, keep the k smallest — associative.
+    * Intersection of A, B: J ≈ |union-minima present in BOTH| / k,
+    * |A∩B| ≈ J · |A∪B|-estimate. Everything until the final division
+    * is exact BIGINT, so any engine replays it bit-for-bit.
+    *
+    * k sizing: the Jaccard numerator is a k-sample of J, rel std
+    * ≈ √((1−J)/(kJ)) — at J ≈ 0.2, k = 256 gives a 12% std (too loose
+    * to gate), k = 1024 gives ~6%, so the q185 error contract (25%)
+    * sits at ≈3.5σ. State is still ≤ 1024 longs per key. */
+  val KmvK = 1024
+
+  /** Per-key KMV state: one row per (key, rank ≤ k) with the hash. */
+  def kmvSketch(df: DataFrame, keyCol: String, valueCol: String,
+                k: Int = KmvK): DataFrame = {
+    val h = hash60(concat(lit("kmv:"),
+      coalesce(col(valueCol).cast("string"), lit("\u0000"))))
+    val distinctH = df.select(col(keyCol).as("key"), h.as("h")).distinct()
+    val w = Window.partitionBy("key").orderBy("h")
+    distinctH.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("key"), col("h"))
+  }
+
+  /** Distinct-count estimate from a KMV state: exact n when the key
+    * holds fewer than k values, else (k−1)·2^60/h_(k). */
+  def kmvEstimate(state: DataFrame, k: Int = KmvK): DataFrame =
+    state.groupBy("key")
+      .agg(count(lit(1)).as("n_minima"), max(col("h")).as("h_k"))
+      .select(col("key"), col("n_minima"),
+        when(col("n_minima") < k, col("n_minima").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Two60)
+            / col("h_k").cast("double"), 4)).as("est_distinct"))
+
+  private val Two60 = math.pow(2.0, 60)
+
+  /** Intersection-cardinality estimate for every key pair (a < b) from
+    * the per-key states alone: dedup the two sides' minima into the
+    * pair's UNION minima (same value → same hash, so set-union is a
+    * groupBy on h), keep the k smallest, count how many sit in BOTH
+    * sides (the Jaccard numerator), and scale the union estimate.
+    * Everything runs over STATES (≤ k rows per key) — the pair fan-out
+    * is |keys|²·k state rows, never the data.
+    *
+    * @return (ka, kb, n_union_minima, n_both, est_union, est_intersect) */
+  def kmvIntersect(state: DataFrame, k: Int = KmvK): DataFrame = {
+    val keys = state.select(col("key")).distinct()
+    val pairKeys = keys.select(col("key").as("ka"))
+      .crossJoin(keys.select(col("key").as("kb")))
+      .where(col("ka") < col("kb"))
+    val left = state.join(pairKeys, col("key") === col("ka"))
+      .select(col("ka"), col("kb"), col("h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val right = state.join(pairKeys, col("key") === col("kb"))
+      .select(col("ka"), col("kb"), col("h"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    val u = left.unionByName(right)
+      .groupBy("ka", "kb", "h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val w = Window.partitionBy("ka", "kb").orderBy("h")
+    val uk = u.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+    val agg = uk.groupBy("ka", "kb")
+      .agg(count(lit(1)).as("n_union_minima"),
+        max(col("h")).as("__hk"),
+        sum(col("ia") * col("ib")).as("n_both"))
+    val estU = when(col("n_union_minima") < k,
+        col("n_union_minima").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Two60)
+        / col("__hk").cast("double"))
+    agg.select(col("ka"), col("kb"), col("n_union_minima"), col("n_both"),
+      round(estU, 4).as("est_union"),
+      round(col("n_both").cast("double")
+          / col("n_union_minima").cast("double") * estU, 4)
+        .as("est_intersect"))
+  }
 }

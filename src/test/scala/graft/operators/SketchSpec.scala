@@ -143,4 +143,54 @@ class SketchSpec extends SparkTestBase {
       .unionByName(b.toDF("g", "v")), "g", "v").collect()(0).toSeq
     assert(whole == merged)
   }
+
+  test("kmv: below k the sketch is EXACT — estimate, union, intersection") {
+    // keys A = {1..300}, B = {200..450}: |A|=300, |B|=251, |A∩B|=101,
+    // |A∪B|=450 — all under k=1024, so every estimate must be exact
+    val rows = (1 to 300).map(v => ("A", s"v$v")) ++
+      (200 to 450).map(v => ("B", s"v$v"))
+    val st = Sketch.kmvSketch(rows.toDF("k", "v"), "k", "v")
+    val est = Sketch.kmvEstimate(st).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est == Map("A" -> 300.0, "B" -> 251.0))
+    val ix = Sketch.kmvIntersect(st).collect()(0)
+    assert(ix.getString(0) == "A" && ix.getString(1) == "B")
+    assert(ix.getLong(2) == 450L)          // union minima = full union
+    assert(ix.getLong(3) == 101L)          // both-sides count is exact
+    assert(ix.getDouble(4) == 450.0)       // est_union exact
+    assert(ix.getDouble(5) == 101.0)       // est_intersect exact
+  }
+
+  test("kmv: estimation branch lands within 3 rel-std of the truth") {
+    // 8000 distinct values per key, 50% overlap — well past k=1024
+    val rows = (1 to 8000).map(v => ("A", s"x$v")) ++
+      (4001 to 12000).map(v => ("B", s"x$v"))
+    val st = Sketch.kmvSketch(rows.toDF("k", "v"), "k", "v")
+    val ix = Sketch.kmvIntersect(st).collect()(0)
+    // union = 12000, intersection = 4000, J = 1/3
+    assert(math.abs(ix.getDouble(4) - 12000.0) < 0.15 * 12000)
+    assert(math.abs(ix.getDouble(5) - 4000.0) < 0.2 * 4000)
+  }
+
+  test("kmv: sharded sketch states merge to the whole-corpus state") {
+    // bottom-k of (bottom-k(shard1) ∪ bottom-k(shard2)) == bottom-k(all):
+    // re-sketching the union of two shard STATES must equal sketching
+    // the concatenated data — the property that lets a lake keep
+    // per-partition KMV states and fold them
+    val s1 = (1 to 3000).map(v => ("A", s"m$v"))
+    val s2 = (2000 to 6000).map(v => ("A", s"m$v"))
+    val st1 = Sketch.kmvSketch(s1.toDF("k", "v"), "k", "v")
+    val st2 = Sketch.kmvSketch(s2.toDF("k", "v"), "k", "v")
+    // merge = distinct union of the two states, keep k smallest per key
+    // (directly on h — the states already live in hash space)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("h")
+    val mergedDirect = st1.unionByName(st2).distinct()
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rk") <= Sketch.KmvK).select(col("key"), col("h"))
+    val whole = Sketch.kmvSketch((s1 ++ s2).distinct.toDF("k", "v"),
+      "k", "v")
+    assert(mergedDirect.orderBy("key", "h").collect().toSeq ==
+      whole.orderBy("key", "h").collect().toSeq)
+  }
 }
