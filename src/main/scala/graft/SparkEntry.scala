@@ -2479,8 +2479,13 @@ object SparkEntry {
     // Estimates gated against the exact intersections with a 25% error
     // contract (k=1024 → Jaccard rel std ≈ 6%, ≈3.5σ headroom).
     "q185_kmv_intersect" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type").as("key"),
-        concat_ws(":", col("user_id"), to_date(col("ts"))).as("val"))
+      // NULL components are excluded identically on both engines: the
+      // oracle's || would propagate NULL through the hash while
+      // concat_ws would silently drop the field — filter, don't coalesce
+      val ev = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_type").as("key"),
+          concat_ws(":", col("user_id"), to_date(col("ts"))).as("val"))
       val st = Sketch.kmvSketch(ev, "key", "val")
       val est = Sketch.kmvIntersect(st)
       val vd = ev.distinct()
@@ -5345,12 +5350,13 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     "q185_kmv_intersect" ->
-      // full KMV replay: per-type bottom-256 of the kmv: hash space,
+      // full KMV replay: per-type bottom-k (k = Sketch.KmvK = 1024) of
+      // the kmv: hash space,
       // pair union minima (set-dedup on h), Jaccard numerator, and the
       // (k-1)*2^60/h_k union estimate — plus the exact intersections
       """WITH ev AS (SELECT DISTINCT event_type AS key,
         |    user_id::VARCHAR || ':' || (ts::DATE)::VARCHAR AS val
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |v AS (SELECT key,
         |    CAST('0x' || substr(md5('kmv:' || val), 1, 15) AS BIGINT) AS h
         |  FROM ev),

@@ -43,19 +43,28 @@ object Concentration {
              valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(keyCol))
-    val g = df
-      .withColumn("__i", row_number().over(w))
-      .groupBy(col(groupCol))
+    giniFromRanked(df.withColumn("__i", row_number().over(w)),
+      Seq(groupCol), valueCol)
+  }
+
+  /** THE rank-form moment fold both Gini forms share — one definition
+    * so a precision or formula change can never desynchronize the
+    * grouped and global paths (ConcentrationSpec asserts them
+    * bit-equal). Expects a `__i` ascending-rank column. */
+  private def giniFromRanked(ranked: DataFrame, groupCols: Seq[String],
+                             valueCol: String): DataFrame = {
+    val g = (if (groupCols.isEmpty) ranked.groupBy()
+             else ranked.groupBy(groupCols.map(col): _*))
       .agg(count(lit(1)).as("n_units"),
         sum(dec(col(valueCol))).as("__s"),
         sum(dec(col("__i")) * dec(col(valueCol))).as("__t"))
-    g.select(col(groupCol), col("n_units"),
+    g.select(groupCols.map(col) ++ Seq(col("n_units"),
       col("__s").cast("long").as("sum_value"),
       round(
         (lit(2) * col("__t") - dec(col("n_units") + 1) * col("__s"))
           .cast("double")
           / (col("n_units").cast("double") * col("__s").cast("double")),
-        6).as("gini"))
+        6).as("gini")): _*)
   }
 
   /** GLOBAL Gini without the single-partition window [[giniBy]] would
@@ -85,16 +94,7 @@ object Concentration {
     val ranked = sorted.as[(Long, Long)].rdd.zipWithIndex
       .map { case ((v, _), i) => (v, i + 1L) } // ascending rank, 1-based
       .toDF("v", "__i")
-    ranked
-      .agg(count(lit(1)).as("n_units"),
-        sum(dec(col("v"))).as("__s"),
-        sum(dec(col("__i")) * dec(col("v"))).as("__t"))
-      .select(col("n_units"), col("__s").cast("long").as("sum_value"),
-        round(
-          (lit(2) * col("__t") - dec(col("n_units") + 1) * col("__s"))
-            .cast("double")
-            / (col("n_units").cast("double") * col("__s").cast("double")),
-          6).as("gini"))
+    giniFromRanked(ranked, Seq.empty, "v")
   }
 
   /** Per-group Herfindahl–Hirschman index: Σ sᵢ² over the value shares

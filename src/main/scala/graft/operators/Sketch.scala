@@ -272,17 +272,32 @@ object Sketch {
     * sits at ≈3.5σ. State is still ≤ 1024 longs per key. */
   val KmvK = 1024
 
+  /** THE per-group bottom-k-hashes idiom every KMV path shares — the
+    * row_number-over-(partition, ORDER BY h) ≤ k form that compiles to
+    * WindowGroupLimit (rank pushes below the sort), which the scale
+    * claim depends on. One definition so a tie-break or rank-function
+    * change cannot reach one site and miss another. */
+  private def bottomK(df: DataFrame, partCols: Seq[String],
+                      k: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy("h")
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   /** Per-key KMV state: one row per (key, rank ≤ k) with the hash. */
   def kmvSketch(df: DataFrame, keyCol: String, valueCol: String,
                 k: Int = KmvK): DataFrame = {
     val h = hash60(concat(lit("kmv:"),
       coalesce(col(valueCol).cast("string"), lit("\u0000"))))
-    val distinctH = df.select(col(keyCol).as("key"), h.as("h")).distinct()
-    val w = Window.partitionBy("key").orderBy("h")
-    distinctH.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k)
-      .select(col("key"), col("h"))
+    bottomK(df.select(col(keyCol).as("key"), h.as("h")).distinct(),
+      Seq("key"), k)
   }
+
+  /** Merge two KMV states (shard → lake fold): distinct union of the
+    * minima, keep the k smallest per key — associative, and equal to
+    * sketching the concatenated data (SketchSpec merge law). */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame =
+    bottomK(a.unionByName(b).distinct(), Seq("key"), k)
 
   /** Distinct-count estimate from a KMV state: exact n when the key
     * holds fewer than k values, else (k−1)·2^60/h_(k). */
@@ -319,9 +334,7 @@ object Sketch {
     val u = left.unionByName(right)
       .groupBy("ka", "kb", "h")
       .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-    val w = Window.partitionBy("ka", "kb").orderBy("h")
-    val uk = u.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k)
+    val uk = bottomK(u, Seq("ka", "kb"), k)
     val agg = uk.groupBy("ka", "kb")
       .agg(count(lit(1)).as("n_union_minima"),
         max(col("h")).as("__hk"),

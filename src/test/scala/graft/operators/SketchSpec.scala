@@ -181,13 +181,7 @@ class SketchSpec extends SparkTestBase {
     val s2 = (2000 to 6000).map(v => ("A", s"m$v"))
     val st1 = Sketch.kmvSketch(s1.toDF("k", "v"), "k", "v")
     val st2 = Sketch.kmvSketch(s2.toDF("k", "v"), "k", "v")
-    // merge = distinct union of the two states, keep k smallest per key
-    // (directly on h — the states already live in hash space)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy("h")
-    val mergedDirect = st1.unionByName(st2).distinct()
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
-      .where(col("rk") <= Sketch.KmvK).select(col("key"), col("h"))
+    val mergedDirect = Sketch.kmvMerge(st1, st2)
     val whole = Sketch.kmvSketch((s1 ++ s2).distinct.toDF("k", "v"),
       "k", "v")
     assert(mergedDirect.orderBy("key", "h").collect().toSeq ==
