@@ -46,6 +46,14 @@ object Bench {
         // squeeze execution memory (BENCH_r05's suite-wide spill churn:
         // unchanged queries ran 4-30× slower in-suite than isolated).
         // Nudge the reaper every few queries, OUTSIDE the timed region.
+        // And reap DETERMINISTICALLY: one-shot queries (graph metrics,
+        // userNeighbors) leave localCheckpoint blocks pinned until a GC
+        // proves the frame unreachable; the result is already counted
+        // and no store keeps a cached RDD (plan references only), so
+        // dropping every persistent RDD here is safe and does not wait
+        // on the async ContextCleaner.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (qIdx % 8 == 7) System.gc()
         name -> dt
       }
