@@ -2615,7 +2615,7 @@ object SparkEntry {
       |content AS (SELECT query_id, item, greatest(0.0, least(1.0, s)) AS cs,
       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, item) AS rr
       |  FROM sc QUALIFY rr <= 60),
-      |cf AS (SELECT a.vec_id AS query_id, b.vec_id AS item, 1.0 AS fs,
+      |cf AS (SELECT a.vec_id AS query_id, b.vec_id AS item, 1.0::DOUBLE AS fs,
       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rr
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
       |  WHERE a.vec_id < 20 QUALIFY rr <= 60),
@@ -3013,7 +3013,8 @@ object SparkEntry {
         |  (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END
         |   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.25 ELSE 0.0 END
         |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE alpha_chars::DOUBLE / n_char::DOUBLE END) >= 0.6 THEN 0.25 ELSE 0.0 END
-        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE punct_chars::DOUBLE / n_char::DOUBLE END) <= 0.1 THEN 0.25 ELSE 0.0 END) AS quality
+        |   + CASE WHEN (CASE WHEN n_char = 0 THEN 0.0 ELSE punct_chars::DOUBLE / n_char::DOUBLE END) <= 0.1 THEN 0.25 ELSE 0.0 END
+        |  )::DOUBLE AS quality
         |FROM c""".stripMargin,
 
     "q21_token_counts" ->
@@ -4235,9 +4236,9 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |sm AS (SELECT i, sum(v)::BIGINT AS s FROM v GROUP BY 1),
         |nn AS (SELECT count(*)::BIGINT AS n FROM e)
-        |SELECT p.i, p.j, nn.n::DECIMAL(38,0) AS n,
-        |  si.s::DECIMAL(38,0) AS s_i, sj.s::DECIMAL(38,0) AS s_j,
-        |  p.s_ij::DECIMAL(38,0) AS s_ij,
+        |SELECT p.i, p.j, nn.n::BIGINT AS n,
+        |  si.s::BIGINT AS s_i, sj.s::BIGINT AS s_j,
+        |  p.s_ij::BIGINT AS s_ij,
         |  (nn.n * p.s_ij - si.s::HUGEINT * sj.s::HUGEINT)::DOUBLE /
         |    (nn.n * (nn.n - 1))::DOUBLE AS cov
         |FROM pr p JOIN sm si ON p.i = si.i JOIN sm sj ON p.j = sj.i
@@ -4771,11 +4772,12 @@ object SparkEntry {
 
     "q152_table_digest" ->
       """SELECT count(*)::BIGINT AS n_rows,
-        |  sum(CAST('0x' || substr(md5(
+        |  (sum(CAST('0x' || substr(md5(
         |    l_orderkey::VARCHAR || chr(1) || l_linenumber::VARCHAR || chr(1) ||
         |    l_partkey::VARCHAR || chr(1) || l_returnflag || chr(1) ||
         |    floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT::VARCHAR),
-        |    1, 15) AS BIGINT)::HUGEINT)::DECIMAL(38,0) AS digest
+        |    1, 15) AS BIGINT)::HUGEINT)
+        |   % 4611686018427387904::HUGEINT)::BIGINT AS digest
         |FROM lineitem""".stripMargin,
 
     "q153_hll_distinct" ->
@@ -4852,12 +4854,13 @@ object SparkEntry {
       // reconstruct `orders` exactly, so the expected digest is computed
       // from orders directly — any apply/diff defect hash-mismatches.
       """SELECT count(*)::BIGINT AS n_rows,
-        |  sum(CAST('0x' || substr(md5(
+        |  (sum(CAST('0x' || substr(md5(
         |    o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR || chr(1) ||
         |    o_orderstatus || chr(1) ||
         |    floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT::VARCHAR || chr(1) ||
         |    (o_orderdate::DATE)::VARCHAR),
-        |    1, 15) AS BIGINT)::HUGEINT)::DECIMAL(38,0) AS digest
+        |    1, 15) AS BIGINT)::HUGEINT)
+        |   % 4611686018427387904::HUGEINT)::BIGINT AS digest
         |FROM orders""".stripMargin,
 
     "q158_cusum" ->

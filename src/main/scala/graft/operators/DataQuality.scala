@@ -252,17 +252,23 @@ object DataQuality {
     * string forms are not portable across engines). chr(1) separates
     * columns, chr(0) marks NULL (the [[Cdc]] encoding).
     *
-    * Scale: map-side hash + one single-row aggregate; DECIMAL(38,0)
-    * accumulation is exact at any row count.
+    * Scale: map-side hash + one single-row aggregate. The sum
+    * accumulates as DECIMAL(38,0) (exact at any row count) but the
+    * SURFACED digest folds mod 2⁶² into a BIGINT: modular addition is
+    * still order-free and any single-bit row change still flips it,
+    * while a DECIMAL(38,0) output column is bridged lossily (float64,
+    * 2⁵³ exact range) by consumers without decimal128 — the round-6
+    * q152/q157 hash-fail root cause.
     *
-    * @return one row: (n_rows, digest). */
+    * @return one row: (n_rows, digest) — both BIGINT. */
   def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(graft.functions.TextFunctions.hash60(
         concat_ws("\u0001",
           cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
         .as("__h"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__h").cast("decimal(38,0)")).as("digest"))
+        (sum(col("__h").cast("decimal(38,0)")) % lit(4611686018427387904L))
+          .cast("long").as("digest"))
 
   /** Benford first-digit audit — does a positive amount column follow
     * the log-law a natural (un-fabricated, multi-magnitude) measurement

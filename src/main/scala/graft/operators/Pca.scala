@@ -70,23 +70,24 @@ object Pca {
     val s = Array.tabulate(dim)(i => partials.map(g => BigInt(g.s(i))).sum)
     val p = Array.tabulate(nPairs)(k => partials.map(g => BigInt(g.p(k))).sum)
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-    // Sums surface as DECIMAL(38,0), not LONG: at extreme row counts a
-    // toLong here would silently wrap the s_ij digest columns while the
-    // BigInt-derived cov stayed exact — inconsistent with the covariance
-    // they claim to summarize (round-5 advice). Strings bridge the exact
-    // BigInt into the decimal cast without an intermediate narrowing.
+    // Sums surface as BIGINT, never DECIMAL(38,0): any consumer that
+    // bridges decimals through float64 (2⁵³ exact-integer range) reads a
+    // different value than the exact decimal — the round-6 q124 hash
+    // fail. The merge above stays BigInt so `cov` is exact regardless;
+    // the bound is ASSERTED rather than papered over by a wider dtype
+    // (micro-grid features ≤1e6 ⇒ s_ij ≤ rows·1e12, a long up to ~9e6
+    // rows per column pair — far above any driver test scale).
     val out = pairs.zipWithIndex.map { case ((i, j), k) =>
       val cov =
         if (n < 2) 0.0
         else ((n * p(k) - s(i) * s(j)).toDouble / (n * (n - 1)).toDouble)
-      (i, j, n.toString, s(i).toString, s(j).toString, p(k).toString, cov)
+      require(n.isValidLong && s(i).isValidLong && s(j).isValidLong &&
+        p(k).isValidLong,
+        s"covarianceStats sums exceed BIGINT at pair ($i,$j) — " +
+          "fold or rescale before surfacing")
+      (i, j, n.toLong, s(i).toLong, s(j).toLong, p(k).toLong, cov)
     }
     spark.createDataFrame(out).toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov")
-      .select(col("i"), col("j"),
-        col("n").cast("decimal(38,0)").as("n"),
-        col("s_i").cast("decimal(38,0)").as("s_i"),
-        col("s_j").cast("decimal(38,0)").as("s_j"),
-        col("s_ij").cast("decimal(38,0)").as("s_ij"), col("cov"))
   }
 
   /** Top-k principal components of the snapped-grid covariance,

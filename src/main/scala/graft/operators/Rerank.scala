@@ -107,11 +107,25 @@ object Rerank {
 
   /** Greedy MMR top-k per query.
     *
+    * Pool-size contract: the pairwise sim list below is O(pool²) PER
+    * QUERY (struct list of every co-candidate). That is safe only
+    * because the pool is a RETRIEVED candidate set — bounded by
+    * content_top_n + cf_top_n (≤60/query in q116), never a data-scale
+    * set. `maxPool` enforces the bound in-plan: a caller that feeds an
+    * unbounded frame gets its per-query pool cut to the top-`maxPool`
+    * by retrieval score (deterministic item tiebreak) BEFORE the
+    * quadratic join, so the worst case is pool²=64k sim entries per
+    * query, not |data|².
+    *
     * @param candidates (query_id, item, rel, embedding) — the retrieved
     *                   pool; `rel` is the retrieval score (any scale).
+    * @param maxPool    defensive per-query pool cap ahead of the O(pool²)
+    *                   pairwise stage; 256 ≫ any configured
+    *                   content_top_n + cf_top_n.
     * @return (query_id, item, rnk, mmr) with rnk = 1..k selection order.
     */
-  def mmr(candidates: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+  def mmr(candidates: DataFrame, k: Int, lambda: Double = 0.7,
+          maxPool: Int = 256): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     // floor-snap (not round(,6)): the trace inputs need the same pure-
@@ -119,9 +133,18 @@ object Rerank {
     // fork from DuckDB's float round at a 7th-digit half and would then
     // fork the whole greedy trace, not just a printed value
     val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val cand = candidates.select(col("query_id").cast("long").as("query_id"),
+    val candAll = candidates.select(
+      col("query_id").cast("long").as("query_id"),
       col("item").cast("long").as("item"), snap6(col("rel")).as("rel"),
       col("embedding"))
+    // enforce the pool contract before anything quadratic; WindowGroupLimit
+    // keeps this a single-exchange top-k, and at the contracted pool size
+    // (≤60 < maxPool) it selects every row — q116 results are unchanged
+    val cand = candAll
+      .withColumn("__pr", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("item"))))
+      .where(col("__pr") <= maxPool).drop("__pr")
     // pairwise candidate-candidate sims, snapped to the contract grid
     val a = cand.select(col("query_id").as("qa"), col("item").as("i"),
       col("embedding").as("va"))

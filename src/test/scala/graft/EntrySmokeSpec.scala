@@ -30,4 +30,20 @@ class EntrySmokeSpec extends SparkTestBase {
       s"asymmetric: ${SparkEntry.oracleSql.keySet.diff(qs.keySet)} / ${qs.keySet.diff(SparkEntry.oracleSql.keySet)}")
     qs.foreach { case (_, fn) => fn(spark, sf()).schema } // analyzes the plan
   }
+
+  test("no declared query surfaces a DECIMAL output column") {
+    // Round-6 q124/q152/q157 class: DuckDB's pandas bridge returns
+    // DECIMAL(38,0) as float64, so any value beyond 2⁵³ hash-mismatches
+    // at the driver while float-tolerant local compares collapse both
+    // sides to the same lossy double and pass. Decimals are fine as
+    // internal accumulators; the SURFACED column must be BIGINT (fold
+    // digests mod 2⁶²) or DOUBLE (snap first).
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sf()).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"DECIMAL in output: ${offenders.mkString(", ")}")
+  }
 }

@@ -48,6 +48,67 @@ class CalibrateSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 2L && out(0).getDouble(3) == 0.5)
   }
 
+  test("distributed split-PAV matches a single-pass reference (random)") {
+    // brute-force sequential PAV, the pre-round-7 single-task algorithm
+    def refPav(blocks: Seq[(Double, Long, Long)]): Map[Double, Double] = {
+      val arr = blocks.sortBy(_._1)
+      val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      arr.foreach { case (_, c, p) =>
+        var cur = (c, p, 1)
+        while (st.nonEmpty && st.last._2 * cur._1 >= cur._2 * st.last._1) {
+          val t = st.remove(st.length - 1)
+          cur = (t._1 + cur._1, t._2 + cur._2, t._3 + cur._3)
+        }
+        st += cur
+      }
+      val out = scala.collection.mutable.Map.empty[Double, Double]
+      var idx = 0
+      st.foreach { case (c, p, nb) =>
+        (0 until nb).foreach { _ =>
+          out(arr(idx)._1) = p.toDouble / c.toDouble; idx += 1
+        }
+      }
+      out.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 4000).map { _ =>
+      (rnd.nextInt(700) / 700.0, if (rnd.nextBoolean()) 1 else 0)
+    }
+    val byScore = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.size.toLong, g.count(_._2 == 1).toLong)
+    }.toSeq
+    val expect = refPav(byScore)
+    val got = Calibrate.isotonic(rows.toDF("score", "y"), "score", "y")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (s, f) =>
+      assert(got(s) == f, s"fitted mismatch at score $s")
+    }
+  }
+
+  test("scale path: 1e6 distinct scores, no single-task sort of them") {
+    // the per-score sort must be the distributed range partition, never
+    // one task holding the full score list (round-6 verdict item 5)
+    val big = spark.range(1000000L).selectExpr(
+      "id / 1e6 AS score", "cast(id % 2 AS int) AS y")
+    val out = Calibrate.isotonic(big, "score", "y")
+    assert(out.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"),
+      "phase-1 sort must be a distributed range partition")
+    val agg = out.agg(
+      count(lit(1)), sum("n"), sum(col("fitted") * col("n"))).collect()(0)
+    assert(agg.getLong(0) == 1000000L, "one row per distinct score")
+    assert(agg.getLong(1) == 1000000L)
+    // mass preservation: Σ fitted·n = total positives (500000 odd ids)
+    assert(math.abs(agg.getDouble(2) - 500000.0) < 1e-4)
+    // monotone without a driver-side pass: count adjacent inversions
+    val inv = out.select(col("score"), col("fitted"))
+      .withColumn("prev", lag("fitted", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("score")))
+      .where(col("prev") > col("fitted")).count()
+    assert(inv == 0L, "fitted must be non-decreasing in score")
+  }
+
   test("mean preservation: sum of fitted*n equals total positives") {
     val df = Seq((0.9, 0), (0.8, 1), (0.7, 1), (0.6, 0), (0.5, 1))
       .toDF("score", "y")

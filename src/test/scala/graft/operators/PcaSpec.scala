@@ -21,8 +21,7 @@ class PcaSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val out = Pca.covarianceStats(df, "embedding", 2, 1.0).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
-        ((r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact,
-          r.getDecimal(5).longValueExact, r.getDouble(6)))).toMap
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
     // snapped at scale=1: x=(1,3,5), y=(2,4,9)
     // cov(x,x) = (3*35 - 81)/(3*2) = 4; cov(x,y) = (3*59-9*15)/6 = 7
     // cov(y,y) = (3*101 - 225)/6 = 13
@@ -31,7 +30,7 @@ class PcaSpec extends SparkTestBase {
     assert(out((1, 1)) == ((15L, 15L, 101L, 13.0)))
   }
 
-  test("covarianceStats is partition-invariant (decimal sums)") {
+  test("covarianceStats is partition-invariant (exact BigInt merge)") {
     val a = Pca.covarianceStats(planted.repartition(1), "embedding", 2)
       .collect().map(_.toString).sorted
     val b = Pca.covarianceStats(planted.repartition(7), "embedding", 2)

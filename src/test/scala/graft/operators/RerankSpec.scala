@@ -35,6 +35,19 @@ class RerankSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 5L)  // equal rel: lowest id first
   }
 
+  test("maxPool caps each query's pool ahead of the quadratic sim stage") {
+    // 50 candidates, rel increasing with item id: only the 10 highest-rel
+    // items (41..50) may appear once the defensive cap bites
+    val wide = (1 to 50).map(i =>
+      (1L, i.toLong, i / 100.0, Array(1.0, 0.0))).toDF(
+      "query_id", "item", "rel", "embedding")
+    val out = Rerank.mmr(wide, 10, 0.7, maxPool = 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).forall(_ >= 41L))
+    // and the default cap leaves a contracted-size pool untouched
+    assert(Rerank.mmr(pool, 3, 0.7).count() == 3)
+  }
+
   test("teamDraft: balanced credit, no duplicates, exhausted pool falls back") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))

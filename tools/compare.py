@@ -44,9 +44,23 @@ def main(sfdir, outdir):
         if name not in oracle:
             print(f"[rows] {name}: {len(got)} rows (no oracle)"); continue
         try:
-            exp = con.sql(oracle[name]).df()
+            # Arrow path, NOT .df(): the pandas bridge returns DECIMAL(38,0)
+            # as float64, so digests beyond 2^53 collapse to the same lossy
+            # double on both sides and the gate passes what the driver's
+            # exact-hash gate rejects (round-6 q124/q152/q157). Arrow
+            # preserves decimal128 as exact Decimal objects.
+            exp_arrow = con.sql(oracle[name]).fetch_arrow_table()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # Policy (round-6 postmortem): no oracle may SURFACE a decimal —
+        # the driver's pandas bridge collapses it to float64, which is
+        # lossy beyond 2^53 and only coincidentally exact below. Cast to
+        # DOUBLE or fold to BIGINT in the SQL.
+        deccols = [f.name for f in exp_arrow.schema if "decimal" in str(f.type)]
+        if deccols:
+            print(f"[FAIL] {name}: oracle emits DECIMAL {deccols} — cast to DOUBLE/BIGINT")
+            n_fail += 1; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"[FAIL] {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
@@ -55,7 +69,15 @@ def main(sfdir, outdir):
         bad = []
         for c in g.columns:
             gv, ev = g[c].values, e[c].values
-            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+            # Float branch ONLY when both sides are true numeric dtypes:
+            # an object column (Decimal, str) against a float must go to
+            # the exact string branch, or astype(float) collapses both to
+            # the same lossy double and masks exactly what the driver's
+            # hash gate detects.
+            both_num = (np.issubdtype(g[c].dtype, np.number)
+                        and np.issubdtype(e[c].dtype, np.number))
+            if both_num and (np.issubdtype(g[c].dtype, np.floating)
+                             or np.issubdtype(e[c].dtype, np.floating)):
                 eq = np.allclose(gv.astype(float), ev.astype(float), rtol=0, atol=0, equal_nan=True)
                 close = np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True)
                 if not eq:
