@@ -15,6 +15,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); read as long, converted
       // to a microsecond timestamp in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

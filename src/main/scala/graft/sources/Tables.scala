@@ -53,17 +53,25 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
-    * sessions) it arrives as a nanosecond LongType, converted here to a
-    * microsecond TimestampType (floor division — same truncation DuckDB
-    * applies). */
+  /** `events.ts` normalizes to TimestampType (LTZ; session tz is UTC)
+    * whatever the driver generation wrote:
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    Verify/Bench sessions) it arrives as a nanosecond LongType,
+    *    converted here by floor division (same truncation DuckDB applies);
+    *  - parquet timestamp[us] without timezone (the round-7 corpus):
+    *    our sessions set `spark.sql.parquet.inferTimestampNTZ.enabled=
+    *    false` so it already scans as TimestampType, but a foreign
+    *    session (the driver's own) would see TIMESTAMP_NTZ, which
+    *    `unix_micros`/`window()` reject — cast it; under UTC the values
+    *    are identical. */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
