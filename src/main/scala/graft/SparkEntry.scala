@@ -2525,6 +2525,50 @@ object SparkEntry {
         floor(col("value") * lit(100) + lit(0.5)).cast("long").as("r"))
       Experiment.ipsReplay(log, "segment", "event_type", "r", 5)
     }),
+
+    // --- HITS hubs & authorities over the directed basket DAG --------------------
+    // PageRank's link-analysis complement: separates gateway products
+    // (hubs — point into the catalog) from destination products
+    // (authorities — baskets converge on them). 10 L1-normalized power
+    // iterations; oracle = the same 10 rounds as chained CTEs.
+    "q186_hits" -> ((s, d) =>
+      GraphMetrics.hits(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)), 10)),
+
+    // --- centroid silhouette: is the label partition geometrically real? ---------
+    // a = distance to own prototype, b = nearest other prototype,
+    // s = (b−a)/max(a,b) — the O(n·|labels|) scale form of the O(n²)
+    // silhouette. Prototypes and distances snap to 6 dp before any
+    // compare, so both engines branch identically.
+    "q187_silhouette" -> ((s, d) =>
+      ClusterEval.centroidSilhouette(
+        Tables.embeddings(s, d), "vec_id", "label", "embedding")),
+
+    // --- intra-list diversity of the served top-10 (beyond-accuracy audit) -------
+    // Mean pairwise cosine distance WITHIN each query's rec list —
+    // catches the precise-but-monotone page. Pair expansion is
+    // k(k−1)/2 per list, never corpus × corpus.
+    "q188_ild" -> ((s, d) => {
+      val ranked = ContentRetriever.topK(
+          Tables.embeddings(s, d), queryVecs(s, d), 10)
+        .select(col("query_id"), col("vec_id").as("item"), col("rnk"))
+      Evaluation.intraListDiversity(ranked,
+        Tables.embeddings(s, d), "vec_id", "embedding")
+    }),
+
+    // --- split-conformal prediction intervals ------------------------------------
+    // Distribution-free ŷ ± q̂ coverage: per-quantity train-fold mean as
+    // the predictor, q̂ = ⌈(n_cal+1)·0.9⌉-th smallest calibration
+    // residual (integer order statistic over snapped cents — no float
+    // quantile anywhere), audited by the test-fold coverage table.
+    "q189_conformal" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty_group"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"),
+        pmod(col("l_orderkey"), lit(4)).as("fold"))
+      Calibrate.conformalSplit(li, "qty_group", "cents", "fold")
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -5435,5 +5479,94 @@ object SparkEntry {
         |  round(s.r_log::DOUBLE / s.n_log::DOUBLE, 6) AS v_logged,
         |  round(5 * b.r_best::DOUBLE / s.n_log::DOUBLE, 6) AS v_ips
         |FROM segs s JOIN best b ON s.segment = b.segment AND b.rk = 1""".stripMargin,
+
+    "q186_hits" -> {
+      // the same 10 L1-normalized half-step pairs as GraphMetrics.hits,
+      // unrolled: auth round = join on src + dst-grouped fold, hub
+      // round = join on dst + src-grouped fold, each divided by its
+      // scalar L1 total. Every chained CTE is MATERIALIZED: inlined,
+      // the recursive references re-expand the basket scan per round
+      // (DuckDB runs out of file handles before finishing)
+      val rounds = (1 to 10).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT e.dst AS node, sum(e.weight * h.hub) AS v
+           |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+           |an$i AS MATERIALIZED (SELECT node, v / (SELECT sum(v) FROM a$i) AS auth FROM a$i),
+           |hr$i AS MATERIALIZED (SELECT e.src AS node, sum(e.weight * a.auth) AS v
+           |  FROM e JOIN an$i a ON e.dst = a.node GROUP BY 1),
+           |h$i AS MATERIALIZED (SELECT node, v / (SELECT sum(v) FROM hr$i) AS hub FROM hr$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+        |      FROM items a JOIN items b USING (okey) WHERE a.item < b.item GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes),
+        |$rounds
+        |SELECT n.node, round(coalesce(h10.hub, 0), 6) AS hub,
+        |  round(coalesce(an10.auth, 0), 6) AS auth
+        |FROM nodes n LEFT JOIN h10 ON n.node = h10.node
+        |LEFT JOIN an10 ON n.node = an10.node""".stripMargin
+    },
+
+    "q187_silhouette" ->
+      // prototypes round to 6 dp BEFORE distances, distances round to
+      // 6 dp BEFORE the a/b compare — mirrors ClusterEval exactly
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY 1, 2),
+        |c AS (SELECT label, list(round(m, 6) ORDER BY i) AS cent FROM p GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label, c.label AS clabel,
+        |    round(sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))), 6) AS d
+        |  FROM e CROSS JOIN c),
+        |per AS (SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN d END) AS a,
+        |    min(CASE WHEN clabel != label THEN d END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s AS (SELECT label, CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |    ELSE (b - a) / greatest(a, b) END AS sil FROM per)
+        |SELECT label, count(*)::BIGINT AS n, round(avg(sil), 6) AS mean_sil
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q188_ild" ->
+      // the q08 top-10 lists re-derived, then pairwise within each list
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, e.vec_id AS item, ${cosSql("q.qv", "e.v")} AS sim
+        |       FROM q CROSS JOIN e WHERE q.query_id != e.vec_id),
+        |r AS (SELECT query_id, item,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item) AS rnk
+        |      FROM sc),
+        |t AS (SELECT * FROM r WHERE rnk <= 10),
+        |pr AS (SELECT a.query_id,
+        |    1.0::DOUBLE - round(${cosSql("x.v", "y.v")}, 6) AS d
+        |  FROM t a JOIN t b ON a.query_id = b.query_id AND a.rnk < b.rnk
+        |  JOIN e x ON x.vec_id = a.item JOIN e y ON y.vec_id = b.item)
+        |SELECT query_id, count(*)::BIGINT AS n_pairs, round(avg(d), 6) AS ild
+        |FROM pr GROUP BY 1""".stripMargin,
+
+    "q189_conformal" ->
+      // integer order statistic: k = ceil((n_cal+1)*0.9) over snapped
+      // residual units — no float quantile interpolation on either side
+      """WITH b AS (SELECT l_quantity::BIGINT AS g,
+        |    floor(l_extendedprice * 100 + 0.5::DOUBLE)::BIGINT AS cents,
+        |    l_orderkey % 4 AS fold FROM lineitem),
+        |m AS (SELECT g, sum(cents)::DOUBLE / count(*)::DOUBLE AS yhat
+        |  FROM b WHERE fold <= 1 GROUP BY 1),
+        |cal AS (SELECT floor(abs(b.cents::DOUBLE - m.yhat) * 100 + 0.5::DOUBLE)::BIGINT AS ru
+        |  FROM b JOIN m USING (g) WHERE fold = 2),
+        |k AS (SELECT ((count(*) + 1) * 90 + 99) // 100 AS k FROM cal),
+        |byv AS (SELECT ru, count(*)::BIGINT AS c FROM cal GROUP BY 1),
+        |cum AS (SELECT ru, sum(c) OVER (ORDER BY ru) AS cum FROM byv),
+        |qh AS (SELECT min(ru) AS qhat_u FROM cum CROSS JOIN k WHERE cum >= k.k),
+        |test AS (SELECT b.g,
+        |    floor(abs(b.cents::DOUBLE - m.yhat) * 100 + 0.5::DOUBLE)::BIGINT AS ru
+        |  FROM b JOIN m USING (g) WHERE fold = 3)
+        |SELECT g AS qty_group, count(*)::BIGINT AS n_test,
+        |  count(CASE WHEN ru <= qh.qhat_u THEN 1 END)::BIGINT AS n_covered,
+        |  round(count(CASE WHEN ru <= qh.qhat_u THEN 1 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS coverage,
+        |  qh.qhat_u::DOUBLE / 100.0 AS qhat
+        |FROM test CROSS JOIN qh GROUP BY 1, qh.qhat_u""".stripMargin,
   )
 }

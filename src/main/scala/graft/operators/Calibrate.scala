@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -137,5 +138,73 @@ object Calibrate {
     local.toDF()
       .join(fittedByPool, Seq("pid", "pool"))
       .select(col("score"), col("n"), col("n_pos"), col("fitted"))
+  }
+
+  /** Split-conformal prediction intervals (Vovk; Lei et al., JASA'18) —
+    * the distribution-free guarantee layer over ANY point predictor:
+    * fit on the train folds, take the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on a held-out CALIBRATION fold as the interval
+    * half-width q̂, and ŷ ± q̂ then covers a fresh point with
+    * probability ≥ 1−α regardless of the model or the distribution.
+    * The test-fold coverage table is the audit that the guarantee
+    * actually landed.
+    *
+    * Predictor here: the per-group mean of the train folds (the
+    * simplest exact-replayable model — the conformal machinery is
+    * identical for any predictor emitting ŷ per row).
+    *
+    * Exactness: values are cents (long); ŷ = Σcents/n is ONE double
+    * division of exact longs; residuals snap to 1e-2-cent units
+    * (floor(|y−ŷ|·100+0.5) — exact longs), so the order statistic is
+    * an INTEGER k-th smallest: deterministic on any engine, no float
+    * quantile interpolation anywhere.
+    *
+    * Scale: the rank runs over the DISTINCT-residual frame (one
+    * groupBy shuffle, then a cumulative count over value cardinality,
+    * not row cardinality — the coverageGini discipline). Folds come
+    * from the caller's key hash, so the split replays on any engine.
+    *
+    * @param df       input rows
+    * @param groupCol per-group model key (also the coverage breakdown)
+    * @param centsCol exact integer value column (cents)
+    * @param foldCol  fold in 0..3: {0,1}=train, 2=calibration, 3=test
+    * @param alphaPct target coverage in percent (90 → α = 0.1)
+    * @return per group: (group, n_test, n_covered, coverage, qhat) —
+    *         qhat constant across rows (global interval half-width in
+    *         cents at 2 dp); coverage at 6 dp. */
+  def conformalSplit(df: DataFrame, groupCol: String, centsCol: String,
+                     foldCol: String, alphaPct: Int = 90): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      col(centsCol).cast("long").as("cents"), col(foldCol).as("fold"))
+    val model = base.where(col("fold") <= 1)
+      .groupBy("g").agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      .select(col("g"),
+        (col("s").cast("double") / col("n").cast("double")).as("yhat"))
+    def resid(part: DataFrame): DataFrame =
+      part.join(broadcast(model), Seq("g"))
+        .withColumn("ru",
+          floor(abs(col("cents").cast("double") - col("yhat")) * 100 + 0.5)
+            .cast("long"))
+    val cal = resid(base.where(col("fold") === 2))
+    // k = ⌈(n_cal+1)·(1−α)⌉ in pure integer arithmetic
+    val kRow = cal.agg(count(lit(1)).as("n_cal"))
+      .select(((col("n_cal") + 1) * alphaPct + 99).divide(100)
+        .cast("long").as("k"))
+    val byVal = cal.groupBy("ru").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ru"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qhat = byVal.crossJoin(broadcast(kRow))
+      .where(col("cum") >= col("k"))
+      .agg(min(col("ru")).as("qhat_u"))
+    resid(base.where(col("fold") === 3))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("ru") <= col("qhat_u"), 1)).as("n_covered"),
+        max(col("qhat_u")).as("__q"))
+      .select(col("g").as(groupCol), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"),
+          6).as("coverage"),
+        (col("__q").cast("double") / 100.0).as("qhat"))
   }
 }

@@ -197,6 +197,43 @@ object Evaluation {
             / col("rec_items").cast("double"), 6).as("gini"))
   }
 
+  /** Intra-list diversity (ILD) of a recommendation surface — the
+    * beyond-accuracy metric that catches a precise-but-monotone
+    * recommender (ten near-identical items score high on Precision@K
+    * and are still a bad page): per query, the mean pairwise cosine
+    * DISTANCE among the items actually shown.
+    *
+    * Shape: the pairwise expansion is per-LIST — k(k−1)/2 rows per
+    * query at list length k (45 at k=10), never a corpus-level pair
+    * join — then two shuffle equi-joins decorate both pair ends with
+    * their embeddings and one per-query aggregate folds the mean.
+    * Work is O(|Q|·k²) with dimension-sized joins: this survives any
+    * corpus size because nothing touches item×item.
+    *
+    * Determinism: each pair's cosine rounds to 6 dp before the mean
+    * (identical doubles enter the fold in both engines), mean rounds
+    * at 6 dp on output.
+    *
+    * @param ranked (query_id, item, rnk) — the served top-k lists
+    * @param emb    frame with the item id and embedding array
+    * @return (query_id, n_pairs, ild) — ild = mean 1−cos at 6 dp */
+  def intraListDiversity(ranked: DataFrame, emb: DataFrame, idCol: String,
+                         embCol: String): DataFrame = {
+    val v = emb.select(col(idCol).as("item"),
+      graft.functions.VectorFunctions.asDouble(col(embCol)).as("v"))
+    val a = ranked.select(col("query_id"), col("item").as("ia"),
+      col("rnk").as("ra"))
+    val b = ranked.select(col("query_id"), col("item").as("ib"),
+      col("rnk").as("rb"))
+    a.join(b, Seq("query_id")).where(col("ra") < col("rb"))
+      .join(v.select(col("item").as("ia"), col("v").as("va")), Seq("ia"))
+      .join(v.select(col("item").as("ib"), col("v").as("vb")), Seq("ib"))
+      .withColumn("d", lit(1.0) - round(
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("d")), 6).as("ild"))
+  }
+
   def reliabilityBins(scored: DataFrame, truth: DataFrame,
                       nBins: Int = 10): DataFrame = {
     val flagged = scored.join(

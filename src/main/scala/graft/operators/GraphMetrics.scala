@@ -258,6 +258,62 @@ object GraphMetrics {
           .cast("double"), 6).as("assortativity"))
   }
 
+  /** Weighted HITS hubs & authorities (Kleinberg, JACM'99) over the
+    * DIRECTED co-purchase DAG — the link-analysis complement to
+    * PageRank: a good HUB points at many good authorities, a good
+    * AUTHORITY is pointed at by many good hubs. On the src<dst basket
+    * DAG this separates "gateway" products (bought first, pointing into
+    * the catalog) from "destination" products (what baskets converge
+    * on) — the two roles PageRank's single score conflates.
+    *
+    * `rounds` synchronous power iterations, L1-normalized each
+    * half-step so the mutual recursion converges instead of
+    * overflowing; the fixed round budget keeps it oracle-replayable
+    * (the q63/q94 chained-CTE pattern). Nodes without in-edges carry
+    * authority 0 and nodes without out-edges hub 0 — they drop out of
+    * the contribution frames mid-loop (contributing exactly 0) and
+    * rejoin as 0 in the final node frame, so the shrunken iteration
+    * state is output-equivalent to the dense form.
+    *
+    * Spark shape per round: two equi-join + groupBy shuffles (edges ⋈
+    * scores on one endpoint, fold on the other) and a broadcast
+    * single-row L1 total — never a cross product; score frames roll
+    * through [[Iterate.roll]] so live state is one checkpoint per
+    * score vector regardless of `rounds`.
+    *
+    * @param edges directed (src, dst, weight)
+    * @return (node, hub, auth), both rounded to 6 dp */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint()
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var hubCp: Option[DataFrame] = None
+    var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("auth"))
+    var authCp: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("weight") * col("hub")).as("v"))
+      val aTot = aRaw.agg(sum(col("v")).as("t"))
+      auth = Iterate.roll(aRaw.crossJoin(broadcast(aTot))
+        .select(col("node"), (col("v") / col("t")).as("auth")), authCp)
+      authCp = Some(auth)
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("weight") * col("auth")).as("v"))
+      val hTot = hRaw.agg(sum(col("v")).as("t"))
+      hub = Iterate.roll(hRaw.crossJoin(broadcast(hTot))
+        .select(col("node"), (col("v") / col("t")).as("hub")), hubCp)
+      hubCp = Some(hub)
+    }
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("auth"), lit(0.0)), 6).as("auth"))
+  }
+
   /** Newman–Girvan modularity of a GIVEN node partition (an attribute
     * community, e.g. brand — not a learned labeling): per community c,
     * ΔQ_c = e_c/m − (a_c/2m)² with e_c = within-community edges and

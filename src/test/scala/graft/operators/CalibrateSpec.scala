@@ -116,4 +116,39 @@ class CalibrateSpec extends SparkTestBase {
     val mass = out.map(r => r.getDouble(3) * r.getLong(1)).sum
     assert(math.abs(mass - 3.0) < 1e-9)
   }
+
+  test("conformalSplit: q-hat is the exact k-th smallest calibration residual") {
+    // one group, yhat = 100 exactly; 19 calibration residuals 0..18
+    // cents → k = ceil(20·0.9) = 18 → q̂ = the 18th smallest = 17 cents
+    val rows =
+      Seq((1L, 100L, 0L)) ++                        // train: mean 100
+      (0 to 18).map(i => (1L, 100L + i, 2L)) ++     // calibration
+      Seq((1L, 100L, 3L), (1L, 117L, 3L), (1L, 118L, 3L)) // test
+    val out = Calibrate.conformalSplit(
+      rows.toDF("g", "cents", "fold"), "g", "cents", "fold").collect()(0)
+    assert(out.getDouble(4) == 17.0, "q-hat")
+    // residuals 0 and 17 are covered (≤ q̂), 18 is not
+    assert(out.getLong(1) == 3L && out.getLong(2) == 2L)
+    assert(out.getDouble(3) == 0.666667)
+  }
+
+  test("conformalSplit: calibration coverage hits ≥ 1−α on exchangeable data") {
+    // residuals are iid uniform noise around a per-group mean: the
+    // finite-sample guarantee says test coverage ≥ 0.9 in expectation;
+    // with 2000 test points the realized rate sits well above 0.85
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 8000).map { i =>
+      val g = (i % 4).toLong
+      // fold decoupled from the group so every group spans all folds
+      (g, 1000 + g * 100 + rnd.nextInt(61) - 30, (i / 4).toLong % 4)
+    }
+    val out = Calibrate.conformalSplit(
+      rows.map { case (g, c, f) => (g, c.toLong, f) }.toDF("g", "cents", "fold"),
+      "g", "cents", "fold").collect()
+    val cov = out.map(r => r.getLong(2)).sum.toDouble /
+      out.map(r => r.getLong(1)).sum
+    assert(cov >= 0.85, s"aggregate coverage $cov")
+    // q̂ constant across groups (one global order statistic)
+    assert(out.map(_.getDouble(4)).distinct.length == 1)
+  }
 }

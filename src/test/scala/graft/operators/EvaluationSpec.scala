@@ -96,4 +96,37 @@ class EvaluationSpec extends SparkTestBase {
       .collect()(0)
     assert(s.getDouble(4) > 0.7)
   }
+
+  test("intraListDiversity: orthogonal lists score 1, clones score 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)),
+      (4L, Seq(1.0, 1.0, 0.0)), (5L, Seq(1.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val ranked = Seq(
+      // query 1: three mutually orthogonal items → every pair d = 1
+      (1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      // query 2: two identical items → d = 0
+      (2L, 4L, 1), (2L, 5L, 2))
+      .toDF("query_id", "item", "rnk")
+    val out = Evaluation.intraListDiversity(ranked, emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((3L, 1.0)))
+    assert(out(2L) == ((1L, 0.0)))
+  }
+
+  test("intraListDiversity: a mixed list averages its pairwise distances") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val ranked = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3))
+      .toDF("query_id", "item", "rnk")
+    val out = Evaluation.intraListDiversity(ranked, emb, "vec_id", "embedding")
+      .collect()(0)
+    // pairs: (1,2) d=1, (1,3) d=0, (2,3) d=1 → mean 2/3
+    assert(out.getLong(1) == 3L && out.getDouble(2) == 0.666667)
+  }
 }

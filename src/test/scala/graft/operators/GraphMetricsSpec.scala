@@ -166,4 +166,38 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(rows("y") == ((1L, 0L, 2L, -0.111111)))
     assert(rows("z") == ((1L, 0L, 0L, 0.0)))
   }
+
+  test("hits: two hubs feeding one authority reach the fixed point") {
+    // 1→3 and 2→3: node 3 is the only authority, 1 and 2 split the
+    // hub mass equally; the fixed point is exact from round 1
+    val edges = Seq((1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    val rows = GraphMetrics.hits(edges, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == ((0.5, 0.0)))
+    assert(rows(2L) == ((0.5, 0.0)))
+    assert(rows(3L) == ((0.0, 1.0)))
+  }
+
+  test("hits: weights shift hub mass and scores stay L1-normalized") {
+    // 1→3 weight 3, 2→3 weight 1: hub(1) pulls 3/4 of the mass
+    val edges = Seq((1L, 3L, 3L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    val rows = GraphMetrics.hits(edges, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows(1L)._1 == 0.75 && rows(2L)._1 == 0.25)
+    assert(rows(3L)._2 == 1.0)
+    // L1 norms: hubs and auths each sum to 1 on a connected graph
+    assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: a chain separates the hub role from the authority role") {
+    // 1→2→3: node 1 is pure hub, 3 pure authority, 2 carries both
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    val rows = GraphMetrics.hits(edges, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows(1L)._2 == 0.0, "no in-edges → zero authority")
+    assert(rows(3L)._1 == 0.0, "no out-edges → zero hub")
+    assert(rows(1L)._1 > 0 && rows(2L)._1 > 0)
+    assert(rows(2L)._2 > 0 && rows(3L)._2 > 0)
+  }
 }
