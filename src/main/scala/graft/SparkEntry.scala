@@ -2529,11 +2529,14 @@ object SparkEntry {
     // --- HITS hubs & authorities over the directed basket DAG --------------------
     // PageRank's link-analysis complement: separates gateway products
     // (hubs — point into the catalog) from destination products
-    // (authorities — baskets converge on them). 10 L1-normalized power
-    // iterations; oracle = the same 10 rounds as chained CTEs.
+    // (authorities — baskets converge on them). 5 raw power iterations
+    // + one final L1 normalization (the labelProp round budget: each
+    // HITS round is TWO join+fold half-steps, so 5 rounds costs what
+    // 10 PageRank rounds cost); oracle = the same 5 rounds as chained
+    // CTEs.
     "q186_hits" -> ((s, d) =>
       GraphMetrics.hits(
-        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)), 10)),
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)), 5)),
 
     // --- centroid silhouette: is the label partition geometrically real? ---------
     // a = distance to own prototype, b = nearest other prototype,
@@ -5481,19 +5484,18 @@ object SparkEntry {
         |FROM segs s JOIN best b ON s.segment = b.segment AND b.rk = 1""".stripMargin,
 
     "q186_hits" -> {
-      // the same 10 L1-normalized half-step pairs as GraphMetrics.hits,
-      // unrolled: auth round = join on src + dst-grouped fold, hub
-      // round = join on dst + src-grouped fold, each divided by its
-      // scalar L1 total. Every chained CTE is MATERIALIZED: inlined,
-      // the recursive references re-expand the basket scan per round
-      // (DuckDB runs out of file handles before finishing)
-      val rounds = (1 to 10).map { i =>
-        s"""a$i AS MATERIALIZED (SELECT e.dst AS node, sum(e.weight * h.hub) AS v
+      // the same 5 RAW half-step pairs as GraphMetrics.hits, unrolled:
+      // auth round = join on src + dst-grouped fold, hub round = join
+      // on dst + src-grouped fold; ONE L1 normalization at the end
+      // (scaling commutes through the linear half-steps). Every chained
+      // CTE is MATERIALIZED: inlined, the recursive references
+      // re-expand the basket scan per round (DuckDB runs out of file
+      // handles before finishing)
+      val rounds = (1 to 5).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT e.dst AS node, sum(e.weight * h.hub) AS auth
            |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
-           |an$i AS MATERIALIZED (SELECT node, v / (SELECT sum(v) FROM a$i) AS auth FROM a$i),
-           |hr$i AS MATERIALIZED (SELECT e.src AS node, sum(e.weight * a.auth) AS v
-           |  FROM e JOIN an$i a ON e.dst = a.node GROUP BY 1),
-           |h$i AS MATERIALIZED (SELECT node, v / (SELECT sum(v) FROM hr$i) AS hub FROM hr$i)"""
+           |h$i AS MATERIALIZED (SELECT e.src AS node, sum(e.weight * a.auth) AS hub
+           |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1)"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
@@ -5503,10 +5505,11 @@ object SparkEntry {
         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         |h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes),
         |$rounds
-        |SELECT n.node, round(coalesce(h10.hub, 0), 6) AS hub,
-        |  round(coalesce(an10.auth, 0), 6) AS auth
-        |FROM nodes n LEFT JOIN h10 ON n.node = h10.node
-        |LEFT JOIN an10 ON n.node = an10.node""".stripMargin
+        |SELECT n.node,
+        |  round(coalesce(h5.hub, 0) / (SELECT sum(hub) FROM h5), 6) AS hub,
+        |  round(coalesce(a5.auth, 0) / (SELECT sum(auth) FROM a5), 6) AS auth
+        |FROM nodes n LEFT JOIN h5 ON n.node = h5.node
+        |LEFT JOIN a5 ON n.node = a5.node""".stripMargin
     },
 
     "q187_silhouette" ->

@@ -182,9 +182,13 @@ object GraphMetrics {
     *              internally
     * @return (node, community) after `rounds` synchronous updates */
   def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    // src-partitioned checkpoint + shuffle-hash joins: the edge-sized
+    // frame neither re-exchanges nor sorts in ANY round — only the
+    // node-sized label frame moves (the q186/PageRank discipline)
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
       .localCheckpoint()
@@ -192,7 +196,8 @@ object GraphMetrics {
     var lblCp: Option[DataFrame] = None
     for (i <- 1 to rounds) {
       val contrib = sym
-        .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+        .join(lbl.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst").as("node"), col("community"))
         .agg(sum(col("weight")).as("w"))
       // argmax as a struct-max: (w, −community) orders ties toward the
@@ -266,52 +271,75 @@ object GraphMetrics {
     * the catalog) from "destination" products (what baskets converge
     * on) — the two roles PageRank's single score conflates.
     *
-    * `rounds` synchronous power iterations, L1-normalized each
-    * half-step so the mutual recursion converges instead of
-    * overflowing; the fixed round budget keeps it oracle-replayable
-    * (the q63/q94 chained-CTE pattern). Nodes without in-edges carry
-    * authority 0 and nodes without out-edges hub 0 — they drop out of
-    * the contribution frames mid-loop (contributing exactly 0) and
-    * rejoin as 0 in the final node frame, so the shrunken iteration
-    * state is output-equivalent to the dense form.
+    * `rounds` synchronous RAW power iterations with ONE L1
+    * normalization at the end; the fixed round budget keeps it
+    * oracle-replayable (the q63/q94 chained-CTE pattern). Nodes
+    * without in-edges carry authority 0 and nodes without out-edges
+    * hub 0 — they drop out of the contribution frames mid-loop
+    * (contributing exactly 0) and rejoin as 0 in the final node frame,
+    * so the shrunken iteration state is output-equivalent to the dense
+    * form.
     *
     * Spark shape per round: two equi-join + groupBy shuffles (edges ⋈
-    * scores on one endpoint, fold on the other) and a broadcast
-    * single-row L1 total — never a cross product; score frames roll
-    * through [[Iterate.roll]] so live state is one checkpoint per
-    * score vector regardless of `rounds`.
+    * scores on one endpoint, fold on the other) — never a cross
+    * product, no mid-loop driver action; lineage truncates through
+    * [[Iterate.roll]] every 2nd round so live state is one checkpoint
+    * regardless of `rounds`.
     *
     * @param edges directed (src, dst, weight)
     * @return (node, hub, auth), both rounded to 6 dp */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight"))
-      .localCheckpoint()
+    // TWO checkpointed copies of the edge frame, each pre-partitioned
+    // on the key its half-step joins by: localCheckpoint preserves the
+    // hash partitioning, so every iteration's join streams the BIG side
+    // in place (shuffle-hash, no sort, no re-exchange) and only the
+    // node-sized score frame moves. One extra materialization up front
+    // buys `rounds`×2 exchange+sort-free joins.
+    val eSrc = edges.select(col("src"), col("dst"), col("weight"))
+      .repartition(col("src")).localCheckpoint()
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint()
+    val e = eSrc
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().localCheckpoint()
+    // Scaling commutes through the linear half-steps, so the RAW power
+    // iteration normalized ONCE at the end points exactly where the
+    // per-round-normalized one does — and costs nothing mid-loop: no
+    // L1-total aggregate, no driver action per half-step, just the two
+    // join+fold shuffles (a per-round-normalized draft benched 3× the
+    // PageRank per-round cost from those extra actions). Magnitudes
+    // grow by ≤ max weighted degree per half-step; doubles hold ~1e308,
+    // so any realistic (rounds, degree) stays finite — the round budget
+    // is the caller's overflow contract (5 here ⇒ safe through
+    // weighted degrees of 1e30).
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
-    var hubCp: Option[DataFrame] = None
     var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("auth"))
-    var authCp: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val aRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+    var hubCp: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      auth = eSrc.join(hub.withColumnRenamed("node", "src")
+          .hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("weight") * col("hub")).as("v"))
-      val aTot = aRaw.agg(sum(col("v")).as("t"))
-      auth = Iterate.roll(aRaw.crossJoin(broadcast(aTot))
-        .select(col("node"), (col("v") / col("t")).as("auth")), authCp)
-      authCp = Some(auth)
-      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .agg(sum(col("weight") * col("hub")).as("auth"))
+      // the FINAL frames are each consumed twice (L1 total + output
+      // join): materialize them once so no half-step ever re-executes
+      if (i == rounds) auth = auth.localCheckpoint()
+      hub = eDst.join(auth.select(col("node").as("dst"), col("auth"))
+          .hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(sum(col("weight") * col("auth")).as("v"))
-      val hTot = hRaw.agg(sum(col("v")).as("t"))
-      hub = Iterate.roll(hRaw.crossJoin(broadcast(hTot))
-        .select(col("node"), (col("v") / col("t")).as("hub")), hubCp)
-      hubCp = Some(hub)
+        .agg(sum(col("weight") * col("auth")).as("hub"))
+      // labelProp's lineage discipline: truncate every 2nd round and at
+      // the end; intermediate frames are consumed exactly once
+      if (i == rounds || (i % 2 == 0)) {
+        hub = Iterate.roll(hub, hubCp); hubCp = Some(hub)
+      }
     }
+    val at = auth.agg(sum(col("auth"))).collect()(0)
+    val ht = hub.agg(sum(col("hub"))).collect()(0)
+    val aTot = if (at.isNullAt(0) || at.getDouble(0) == 0.0) 1.0 else at.getDouble(0)
+    val hTot = if (ht.isNullAt(0) || ht.getDouble(0) == 0.0) 1.0 else ht.getDouble(0)
     nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
       .select(col("node"),
-        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
-        round(coalesce(col("auth"), lit(0.0)), 6).as("auth"))
+        round(coalesce(col("hub"), lit(0.0)) / lit(hTot), 6).as("hub"),
+        round(coalesce(col("auth"), lit(0.0)) / lit(aTot), 6).as("auth"))
   }
 
   /** Newman–Girvan modularity of a GIVEN node partition (an attribute

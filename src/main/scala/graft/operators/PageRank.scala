@@ -45,7 +45,13 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      ranks = frac.join(ranks, frac("src") === ranks("node"))
+      // frac is already hash-partitioned on src (the out-weight window
+      // exchange, preserved through localCheckpoint); the shuffle-hash
+      // hint keeps the join from planning sort-merge, which would
+      // re-SORT the edge-sized side every round — only the node-sized
+      // rank frame moves and hashes
+      ranks = frac.join(ranks.hint("shuffle_hash"),
+          frac("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg((lit(base) + lit(damping) * sum(col("frac") * col("rank")))
           .as("rank"))
@@ -88,7 +94,10 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = frac.join(ranks.select("node", "rank"),
+      // same discipline as [[run]]: the edge-sized side stays put
+      // (src-partitioned checkpoint) and hashes, never sorts
+      val contrib = frac.join(ranks.select("node", "rank")
+            .hint("shuffle_hash"),
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
@@ -100,7 +109,12 @@ object PageRank {
           (lit(base) + lit(damping) *
             (coalesce(col("m"), lit(0.0)) + col("dm") / n)).as("rank"),
           col("dang"))
-      if (i % 4 == 0 && i < iterations) {
+      // contrib AND the dangling-mass aggregate each embed the previous
+      // round's rank plan: unmaterialized, the plan tree DOUBLES per
+      // round (2^k copies of the last checkpoint's subtree by round k).
+      // The rank frame is node-sized, so rolling every round is one
+      // tiny job that keeps every round's work exactly O(E)
+      if (i < iterations) {
         ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
       }
     }
@@ -149,7 +163,8 @@ object PageRank {
       col("dang"), col("seed"))
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = frac.join(ranks.select("node", "rank"),
+      val contrib = frac.join(ranks.select("node", "rank")
+            .hint("shuffle_hash"),
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
@@ -162,7 +177,8 @@ object PageRank {
             (coalesce(col("m"), lit(0.0)) +
               col("dm") * restart)).as("rank"),
           col("dang"), col("seed"))
-      if (i % 4 == 0 && i < iterations) {
+      // same doubling hazard as [[runDirected]]: roll every round
+      if (i < iterations) {
         ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
       }
     }
