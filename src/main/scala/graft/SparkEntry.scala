@@ -2572,6 +2572,40 @@ object SparkEntry {
         pmod(col("l_orderkey"), lit(4)).as("fold"))
       Calibrate.conformalSplit(li, "qty_group", "cents", "fold")
     }),
+
+    // --- Wald SPRT early stopping (sequential A/B) -------------------------------
+    // Per segment, the running Bernoulli log-likelihood ratio of
+    // "purchase share ≥ 0.20" vs "≤ 0.15" with α = β = 0.05; both log
+    // terms and both thresholds are 1e-9-snapped integer literals, so
+    // the prefix sum is exact and the first-crossing index replays on
+    // any engine.
+    "q190_sprt" -> ((s, d) =>
+      Experiment.sprt(
+        // NULL user/ts rows are excluded on BOTH engines: the two
+        // disagree on default NULL placement in window orders
+        Tables.events(s, d)
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(
+            pmod(col("user_id"), lit(10)).as("seg"),
+            (col("event_type") === "purchase").cast("int").as("x"),
+            col("ts"), col("event_id")),
+        "seg", "x", "ts", "event_id", 0.15, 0.20)),
+
+    // --- difference-in-differences (quasi-experimental lift) ---------------------
+    // Treated = nations 0-11, cutover 1996-01-01 on the order date:
+    // (ΔT) − (ΔC) over order-value cents — one 4-cell aggregate, means
+    // rounded before the fixed DiD expression.
+    "q191_did" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (col("o_orderdate") >= lit("1996-01-01")).as("post"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"),
+        (col("c_nationkey") < 12).as("treated"))
+      Experiment.diffInDiff(o.join(cust, Seq("o_custkey")),
+        "treated", "post", "cents")
+    }),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -5571,5 +5605,60 @@ object SparkEntry {
         |    / count(*)::DOUBLE, 6) AS coverage,
         |  qh.qhat_u::DOUBLE / 100.0 AS qhat
         |FROM test CROSS JOIN qh GROUP BY 1, qh.qhat_u""".stripMargin,
+
+    "q190_sprt" -> {
+      // the SAME 1e-9-snapped integer weights/thresholds the Spark side
+      // computes (identical Scala expressions → identical literals)
+      val w1 = math.round(math.log(0.20 / 0.15) * 1e9)
+      val w0 = math.round(math.log((1 - 0.20) / (1 - 0.15)) * 1e9)
+      val hi = math.round(math.log((1 - 0.05) / 0.05) * 1e9)
+      val lo = math.round(math.log(0.05 / (1 - 0.05)) * 1e9)
+      s"""WITH obs AS (SELECT user_id % 10 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+        |    ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT segment, x,
+        |    count(*) OVER (PARTITION BY segment ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS step,
+        |    sum(CASE WHEN x = 1 THEN $w1 ELSE $w0 END)
+        |      OVER (PARTITION BY segment ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS llr
+        |  FROM obs),
+        |cr AS (SELECT segment, step, llr FROM r
+        |  WHERE llr >= $hi OR llr <= $lo),
+        |fc AS (SELECT segment, min(step) AS fstep FROM cr GROUP BY 1),
+        |fl AS (SELECT r.segment, r.step, r.llr FROM r
+        |  JOIN fc ON r.segment = fc.segment AND r.step = fc.fstep),
+        |ls AS (SELECT segment, max(step) AS lstep FROM r GROUP BY 1),
+        |ll AS (SELECT r.segment, r.llr FROM r
+        |  JOIN ls ON r.segment = ls.segment AND r.step = ls.lstep),
+        |g AS (SELECT segment, count(*)::BIGINT AS n_obs,
+        |    sum(x)::BIGINT AS n_pos FROM obs GROUP BY 1)
+        |SELECT g.segment, g.n_obs, g.n_pos,
+        |  CASE WHEN fl.llr IS NULL THEN 'continue'
+        |       WHEN fl.llr >= $hi THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  fl.step AS first_cross_step,
+        |  round(ll.llr::DOUBLE / 1e9, 6) AS llr_final
+        |FROM g LEFT JOIN fl ON g.segment = fl.segment
+        |JOIN ll ON g.segment = ll.segment""".stripMargin
+    },
+
+    "q191_did" ->
+      """WITH j AS (SELECT (c.c_nationkey < 12) AS treated,
+        |    (o.o_orderdate >= DATE '1996-01-01') AS post,
+        |    floor(o.o_totalprice * 100 + 0.5::DOUBLE)::BIGINT AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT treated, post, count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS s FROM j GROUP BY 1, 2),
+        |cm AS (SELECT treated, post, n,
+        |    round(s::DOUBLE / n::DOUBLE, 6) AS mean_cents FROM cells),
+        |d AS (SELECT round(
+        |    max(CASE WHEN treated AND post THEN mean_cents END)
+        |  - max(CASE WHEN treated AND NOT post THEN mean_cents END)
+        |  - (max(CASE WHEN NOT treated AND post THEN mean_cents END)
+        |    - max(CASE WHEN NOT treated AND NOT post THEN mean_cents END)),
+        |    6) AS did FROM cm)
+        |SELECT treated, post, n, mean_cents, did FROM cm CROSS JOIN d""".stripMargin,
   )
 }

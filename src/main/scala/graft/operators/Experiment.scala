@@ -98,4 +98,93 @@ object Experiment {
         round(lit(nActions) * col("__r_best").cast("double")
           / col("n_log").cast("double"), 6).as("v_ips"))
   }
+
+  /** Wald's sequential probability ratio test (SPRT, 1945) — the
+    * early-stopping layer an experiment platform runs so a clearly
+    * winning (or hopeless) treatment stops burning traffic: after every
+    * observation the Bernoulli log-likelihood ratio
+    * LLR_t = Σ x_i·ln(p1/p0) + (1−x_i)·ln((1−p1)/(1−p0)) is compared
+    * against ln((1−β)/α) (accept H1: rate ≥ p1) and ln(β/(1−α))
+    * (accept H0: rate ≤ p0); first crossing decides.
+    *
+    * Exactness (the DCG nano-weight trick): both per-observation log
+    * terms and both thresholds snap to 1e-9 units in the DRIVER and
+    * enter Spark and the oracle as the SAME integer literals, so the
+    * running LLR is an exact long prefix sum and the crossing index is
+    * integer-deterministic — no float accumulation anywhere.
+    *
+    * Shape: one window prefix-sum per segment over (orderCol, tieCol)
+    * — the sequential scan is per-SEGMENT (an experiment's observation
+    * stream), so segments parallelize and nothing global sorts; the
+    * readout is one aggregate over the flagged frame.
+    *
+    * @param obs (segCol, outcomeCol 0/1, orderCol, tieCol)
+    * @return per segment: (segment, n_obs, n_pos, decision,
+    *         first_cross_step, llr_final) — decision ∈
+    *         {accept_h1, accept_h0, continue}; llr_final in nats, 6 dp */
+  def sprt(obs: DataFrame, segCol: String, outcomeCol: String,
+           orderCol: String, tieCol: String,
+           p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = math.round(math.log(p1 / p0) * 1e9)            // win term
+    val w0 = math.round(math.log((1 - p1) / (1 - p0)) * 1e9) // loss term
+    val hi = math.round(math.log((1 - beta) / alpha) * 1e9)  // accept H1
+    val lo = math.round(math.log(beta / (1 - alpha)) * 1e9)  // accept H0
+    val seq = Window.partitionBy("segment")
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = obs.select(col(segCol).as("segment"),
+        col(outcomeCol).cast("long").as("x"), col(orderCol), col(tieCol))
+      .withColumn("__llr", sum(
+        when(col("x") === 1, lit(w1)).otherwise(lit(w0))).over(seq))
+      .withColumn("__step", count(lit(1)).over(seq))
+      .withColumn("__cross",
+        when(col("__llr") >= hi || col("__llr") <= lo, col("__step")))
+    run.groupBy("segment")
+      .agg(count(lit(1)).as("n_obs"), sum(col("x")).as("n_pos"),
+        // struct-min on (step, llr): the LLR AT the first crossing —
+        // a later opposite-boundary crossing must not flip the verdict
+        min(when(col("__cross").isNotNull,
+          struct(col("__step"), col("__llr")))).as("__fc"),
+        max(struct(col("__step"), col("__llr"))).as("__last"))
+      .select(col("segment"), col("n_obs"), col("n_pos"),
+        when(col("__fc").isNull, lit("continue"))
+          .otherwise(when(col("__fc.__llr") >= lit(hi), lit("accept_h1"))
+            .otherwise(lit("accept_h0"))).as("decision"),
+        col("__fc.__step").as("first_cross_step"),
+        round(col("__last.__llr").cast("double") / 1e9, 6).as("llr_final"))
+  }
+
+  /** Difference-in-differences (the canonical quasi-experimental
+    * estimator): when a change ships to a treated population at a known
+    * cutover while a control population stays put, the causal lift
+    * estimate is (ΔT) − (ΔC) = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    * ȳ_C,pre) — the control differences out the common time trend that
+    * a naive before/after comparison absorbs.
+    *
+    * Exactness: cents are exact longs, each cell's (n, Σ) folds
+    * map-side, and the four means + DiD are a fixed handful of double
+    * ops both engines replay identically. Shape: ONE 4-cell hash
+    * aggregate over the stream — nothing else.
+    *
+    * @param df (treatedCol boolean, postCol boolean, centsCol long)
+    * @return one row per (treated, post) cell: (treated, post, n,
+    *         mean_cents, did) — did repeated on each row, 6 dp. */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 centsCol: String): DataFrame = {
+    val cells = df.groupBy(col(treatedCol).as("treated"),
+        col(postCol).as("post"))
+      .agg(count(lit(1)).as("n"), sum(col(centsCol)).as("s"))
+      .withColumn("mean_cents",
+        round(col("s").cast("double") / col("n").cast("double"), 6))
+    def m(t: Boolean, p: Boolean): Column =
+      max(when(col("treated") === t && col("post") === p, col("mean_cents")))
+    val did = cells.agg(
+      round(m(true, true) - m(true, false) - (m(false, true) - m(false, false)),
+        6).as("did"))
+    cells.crossJoin(broadcast(did))
+      .select(col("treated"), col("post"), col("n"), col("mean_cents"),
+        col("did"))
+  }
 }

@@ -61,4 +61,56 @@ class ExperimentSpec extends SparkTestBase {
     // tie: both arms mean 5; "y" wins; v_ips = 3 * 5 / 2 = 7.5
     assert(got(1L) == ((2L, "y", 1L, 5.0, 7.5)))
   }
+
+  test("sprt: all-wins crosses the H1 boundary at the exact integer step") {
+    // p0=0.25, p1=0.75, α=β=0.05: w1 = ln(3)·1e9, hi = ln(19)·1e9 →
+    // first crossing at step ceil(ln19/ln3) = 3; all-losses mirrors to
+    // H0 at the same step (w0 = −ln 3)
+    val wins = (1 to 10).map(i => (1L, 1, i.toLong, i.toLong)) ++
+      (1 to 10).map(i => (2L, 0, i.toLong, i.toLong))
+    val out = Experiment.sprt(wins.toDF("seg", "x", "t", "id"),
+      "seg", "x", "t", "id", 0.25, 0.75).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("accept_h1", 3L)))
+    assert(out(2L) == (("accept_h0", 3L)))
+  }
+
+  test("sprt: a balanced stream never crosses and reports continue") {
+    // alternating win/loss under a symmetric test hovers near 0
+    val obs = (1 to 40).map(i => (1L, i % 2, i.toLong, i.toLong))
+    val out = Experiment.sprt(obs.toDF("seg", "x", "t", "id"),
+      "seg", "x", "t", "id", 0.4, 0.6).collect()(0)
+    assert(out.getString(3) == "continue")
+    assert(out.isNullAt(4), "no crossing step")
+    // 20 wins and 20 losses under symmetric weights → LLR returns to ~0
+    assert(math.abs(out.getDouble(5)) < 1e-6)
+  }
+
+  test("sprt: the verdict reads the FIRST crossing, not a later one") {
+    // 3 wins (cross hi at step 3) then 20 losses (would cross lo):
+    // decision must stay accept_h1 with first_cross_step 3
+    val obs = (1 to 3).map(i => (1L, 1, i.toLong, i.toLong)) ++
+      (4 to 23).map(i => (1L, 0, i.toLong, i.toLong))
+    val out = Experiment.sprt(obs.toDF("seg", "x", "t", "id"),
+      "seg", "x", "t", "id", 0.25, 0.75).collect()(0)
+    assert(out.getString(3) == "accept_h1" && out.getLong(4) == 3L)
+  }
+
+  test("diffInDiff: the control trend is differenced out exactly") {
+    // control rises 100→150 (trend +50); treated rises 200→300
+    // (trend +100) → DiD = +50
+    val rows = Seq(
+      (false, false, 100L), (false, false, 100L),
+      (false, true, 150L),
+      (true, false, 200L),
+      (true, true, 300L), (true, true, 300L))
+    val out = Experiment.diffInDiff(rows.toDF("tr", "po", "cents"),
+      "tr", "po", "cents").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(4) == 50.0))
+    val cells = out.map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+      ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cells((false, false)) == ((2L, 100.0)))
+    assert(cells((true, true)) == ((2L, 300.0)))
+  }
 }
