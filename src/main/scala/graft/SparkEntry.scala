@@ -2606,6 +2606,29 @@ object SparkEntry {
       Experiment.diffInDiff(o.join(cust, Seq("o_custkey")),
         "treated", "post", "cents")
     }),
+
+    // --- RFM segmentation (recency / frequency / monetary quintiles) -------------
+    // The CRM customer-value partition: per customer days-since-last-
+    // order / order count / lifetime cents, ntile(5) scores over total
+    // orders (value, then customer — both engines bucket identically),
+    // fixed anchor date.
+    "q192_rfm" -> ((s, d) =>
+      Timeseries.rfm(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+            .as("cents")),
+        "o_custkey", "o_orderdate", "cents", "1998-08-02")),
+
+    // --- two-hop co-purchase expansion ("also-bought-also-bought") ---------------
+    // score(a,c) = Σ_b w(a,b)·w(b,c) over shared mids with hub mids
+    // (>200 neighbors) excluded before pairing and anchors pushed into
+    // the left side — work scales with the query set. Top-10 per
+    // anchor, direct neighbors flagged for the re-ranker.
+    "q193_twohop" -> ((s, d) =>
+      CoPurchaseGraph.twoHop(
+        CoPurchaseGraph.fromOrders(Tables.lineitem(s, d)),
+        Tables.tableRaw(s, d, "part").where(col("p_partkey") < 50)
+          .select(col("p_partkey").as("node")), 200, 10)),
   )
 
   /** Pre-query setup the harnesses run OUTSIDE the timed/verified region:
@@ -5660,5 +5683,45 @@ object SparkEntry {
         |    - max(CASE WHEN NOT treated AND NOT post THEN mean_cents END)),
         |    6) AS did FROM cm)
         |SELECT treated, post, n, mean_cents, did FROM cm CROSS JOIN d""".stripMargin,
+
+    "q192_rfm" ->
+      """WITH per AS (SELECT o_custkey AS customer,
+        |    date_diff('day', max(o_orderdate), DATE '1998-08-02')::BIGINT AS recency_days,
+        |    count(*)::BIGINT AS frequency,
+        |    sum(floor(o_totalprice * 100 + 0.5::DOUBLE)::BIGINT)::BIGINT AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT customer, recency_days, frequency, monetary_cents,
+        |    ntile(5) OVER (ORDER BY recency_days DESC, customer)::BIGINT AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency ASC, customer)::BIGINT AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary_cents ASC, customer)::BIGINT AS m_score
+        |  FROM per)
+        |SELECT customer, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 4 THEN 'recent'
+        |       WHEN f_score >= 4 THEN 'loyal_lapsing'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
+
+    "q193_twohop" ->
+      s"""WITH $basketCtes,
+        |deg AS (SELECT src AS mid, count(*) AS d FROM sym GROUP BY 1),
+        |lm AS (SELECT mid FROM deg WHERE d <= 200),
+        |l AS (SELECT s.src AS anchor, s.dst AS mid, s.weight AS w1 FROM sym s
+        |  JOIN lm ON s.dst = lm.mid
+        |  WHERE s.src IN (SELECT p_partkey FROM part WHERE p_partkey < 50)),
+        |r AS (SELECT src AS mid, dst AS rec, weight AS w2 FROM sym),
+        |p AS (SELECT anchor, rec, count(*)::BIGINT AS n_paths,
+        |    sum(w1 * w2)::BIGINT AS path_weight
+        |  FROM l JOIN r USING (mid) WHERE anchor != rec GROUP BY 1, 2),
+        |dj AS (SELECT src AS anchor, dst AS rec, true AS hd FROM sym),
+        |x AS (SELECT p.anchor, p.rec, p.n_paths, p.path_weight,
+        |    coalesce(dj.hd, false) AS has_direct,
+        |    row_number() OVER (PARTITION BY p.anchor
+        |      ORDER BY p.path_weight DESC, p.rec) AS rnk
+        |  FROM p LEFT JOIN dj ON p.anchor = dj.anchor AND p.rec = dj.rec)
+        |SELECT anchor, rec, n_paths, path_weight, has_direct, rnk
+        |FROM x WHERE rnk <= 10""".stripMargin,
   )
 }

@@ -239,4 +239,50 @@ object CoPurchaseGraph {
     edges.withColumn("norm",
       col("weight").cast("double") /
         max(col("weight")).over(Window.partitionBy("src")).cast("double"))
+
+  /** Two-hop "customers-also-bought-also-bought" expansion — the
+    * candidate source a recommender reaches for when an item's direct
+    * co-purchase neighborhood is thin: score(a, c) = Σ_b w(a,b)·w(b,c)
+    * over shared middle items, with the path count and a flag for
+    * pairs that are ALSO direct neighbors (a re-ranker demotes those).
+    *
+    * Scale: the wedge expansion is Σ deg² in the MID node — one hub
+    * item would blow it up quadratically, so mids above `maxDeg`
+    * neighbors are excluded before pairing (the userNeighbors /
+    * dedup df-cap discipline; the spam-hub exclusion is the standard
+    * semantic trade). Anchors restrict the left side FIRST, so work
+    * scales with the query set, not the catalog. Everything else is
+    * equi-keyed: join on mid, direct-edge decoration on (anchor, rec),
+    * per-anchor top-k via one rank window.
+    *
+    * @param edges   undirected (src, dst, weight), src < dst
+    * @param anchors one column `node` — the query items
+    * @return (anchor, rec, n_paths, path_weight, has_direct, rnk),
+    *         rnk 1..k by (path_weight desc, rec) */
+  def twoHop(edges: DataFrame, anchors: DataFrame, maxDeg: Int,
+             k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = symmetrize(edges).localCheckpoint()
+    val lightMid = sym.groupBy(col("src").as("mid"))
+      .agg(count(lit(1)).as("d")).where(col("d") <= maxDeg).select("mid")
+    val left = sym.select(col("src").as("anchor"), col("dst").as("mid"),
+        col("weight").as("w1"))
+      .join(anchors.select(col("node").as("anchor")), Seq("anchor"),
+        "left_semi")
+      .join(lightMid, Seq("mid"), "left_semi")
+    val right = sym.select(col("src").as("mid"), col("dst").as("rec"),
+      col("weight").as("w2"))
+    val paths = left.join(right, Seq("mid"))
+      .where(col("anchor") =!= col("rec"))
+      .groupBy("anchor", "rec")
+      .agg(count(lit(1)).as("n_paths"),
+        sum(col("w1") * col("w2")).as("path_weight"))
+    val direct = sym.select(col("src").as("anchor"), col("dst").as("rec"),
+      lit(true).as("has_direct"))
+    paths.join(direct, Seq("anchor", "rec"), "left")
+      .withColumn("has_direct", coalesce(col("has_direct"), lit(false)))
+      .withColumn("rnk", row_number().over(Window.partitionBy("anchor")
+        .orderBy(col("path_weight").desc, col("rec"))))
+      .where(col("rnk") <= k)
+  }
 }

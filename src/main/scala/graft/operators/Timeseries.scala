@@ -627,4 +627,46 @@ object Timeseries {
           * sqrt((dec(col("n_days")) * col("__sbb")
               - col("__sb") * col("__sb")).cast("double"))), 6).as("corr"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-value partition every CRM/marketing pipeline derives from
+    * the order stream: days since last order, order count, lifetime
+    * cents, each scored into equal-frequency quintiles (5 = best), and
+    * a named segment off the standard (R, F) grid.
+    *
+    * Determinism: scores are `ntile(5)` over TOTAL orders — value,
+    * then customer id — so both engines assign identical buckets; the
+    * anchor date is an explicit parameter, never now().
+    *
+    * Scale: one groupBy(customer) over orders (map-side combinable),
+    * then three rank windows over the CUSTOMER-dimension frame — the
+    * same dimension-sized single-exchange class as reliabilityBins;
+    * shard the ntile by market/region first at lake scale.
+    *
+    * @return (customer, recency_days, frequency, monetary_cents,
+    *         r_score, f_score, m_score, segment) */
+  def rfm(orders: DataFrame, custCol: String, dateCol: String,
+          centsCol: String, anchorDate: String): DataFrame = {
+    val per = orders.groupBy(col(custCol).as("customer"))
+      .agg(datediff(lit(anchorDate).cast("date"), max(col(dateCol)))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(centsCol)).as("monetary_cents"))
+    // 5 = best: most recent / most orders / most spend land in tile 5
+    val r = ntile(5).over(Window.orderBy(col("recency_days").desc,
+      col("customer")))
+    val f = ntile(5).over(Window.orderBy(col("frequency").asc,
+      col("customer")))
+    val m = ntile(5).over(Window.orderBy(col("monetary_cents").asc,
+      col("customer")))
+    per.withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "loyal_lapsing")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+  }
 }

@@ -96,4 +96,34 @@ class CoPurchaseGraphSpec extends SparkTestBase {
     assert(got(("a", "b", "d")) == 1L && got(("b", "c", "d")) == 1L)
     assert(!got.keySet.exists(_._1.startsWith("x")), "jumbo basket leaked")
   }
+
+  test("twoHop: path weights sum over shared mids, direct edges flagged") {
+    import spark.implicits._
+    // 1-2-3 and 1-4-3: two 2-hop paths from 1 to 3, no direct 1-3 edge
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 4L, 1L), (3L, 4L, 5L))
+      .toDF("src", "dst", "weight")
+    val anchors = Seq(Tuple1(1L)).toDF("node")
+    val out = CoPurchaseGraph.twoHop(edges, anchors, 200, 10).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // (anchor, rec, n_paths, path_weight, has_direct, rnk)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2 * 3 + 1 * 5)
+    assert(!r.getBoolean(4) && r.getInt(5) == 1)
+  }
+
+  test("twoHop: hub mids above the degree cap never generate paths") {
+    import spark.implicits._
+    // node 9 is a 4-neighbor hub; with maxDeg = 2 it cannot be a mid,
+    // so recs 5 and 6 (reachable only through 9) never appear
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L),
+      (1L, 9L, 1L), (3L, 9L, 1L), (5L, 9L, 1L), (6L, 9L, 1L))
+      .toDF("src", "dst", "weight")
+    val anchors = Seq(Tuple1(1L)).toDF("node")
+    val capped = CoPurchaseGraph.twoHop(edges, anchors, 2, 10).collect()
+    assert(capped.map(_.getLong(1)).toSet == Set(3L),
+      "only the 1-2-3 path survives the mid cap")
+    val uncapped = CoPurchaseGraph.twoHop(edges, anchors, 200, 10).collect()
+    assert(uncapped.map(_.getLong(1)).toSet == Set(3L, 5L, 6L))
+  }
 }

@@ -377,4 +377,25 @@ class TimeseriesSpec extends SparkTestBase {
     assert(math.abs(got(1L) - 2.0 / 3.0) < 1e-6)
     assert(got(2L) == 0.0)
   }
+
+  test("rfm: quintiles rank value-then-customer and segments follow the grid") {
+    import spark.implicits._
+    // customer i has i orders, last order on 1998-01-0i, 100*i cents
+    // each: with 5 customers every ntile(5) bucket holds exactly one
+    val orders = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong, s"1998-01-0$i", 100L * i))
+    }.toDF("c", "dt", "cents").withColumn("dt", col("dt").cast("date"))
+    val out = Timeseries.rfm(orders, "c", "dt", "cents", "1998-08-02")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // customer 5: most recent, most orders, most spend -> 5/5/5 champion
+    assert(out(5L)._4 == 5L && out(5L)._5 == 5L && out(5L)._6 == 5L)
+    assert(out(5L)._7 == "champion")
+    // customer 1: oldest, fewest, least -> 1/1/1 hibernating
+    assert(out(1L)._4 == 1L && out(1L)._5 == 1L && out(1L)._6 == 1L)
+    assert(out(1L)._7 == "hibernating")
+    // recency/frequency/monetary raw values are exact
+    assert(out(3L)._2 == 3L && out(3L)._3 == 3L * 300L)
+  }
 }
