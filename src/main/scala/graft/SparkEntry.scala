@@ -5573,10 +5573,13 @@ object SparkEntry {
       // prototypes round to 6 dp BEFORE distances, distances round to
       // 6 dp BEFORE the a/b compare — mirrors ClusterEval exactly
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY 1, 2),
+        |p AS (SELECT label, i, avg(v[i]) AS m
+        |  FROM e CROSS JOIN (SELECT unnest(range(1,
+        |    (SELECT max(len(v)) FROM e) + 1)) AS i) idx
+        |  GROUP BY 1, 2),
         |c AS (SELECT label, list(round(m, 6) ORDER BY i) AS cent FROM p GROUP BY 1),
         |d AS (SELECT e.vec_id, e.label, c.label AS clabel,
-        |    round(sqrt(list_sum(list_transform(range(1, 65),
+        |    round(sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
         |      i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))), 6) AS d
         |  FROM e CROSS JOIN c),
         |per AS (SELECT vec_id, label,

@@ -186,10 +186,11 @@ object Calibrate {
           floor(abs(col("cents").cast("double") - col("yhat")) * 100 + 0.5)
             .cast("long"))
     val cal = resid(base.where(col("fold") === 2))
-    // k = ⌈(n_cal+1)·(1−α)⌉ in pure integer arithmetic
+    // k = ⌈(n_cal+1)·(1−α)⌉ in pure integer arithmetic — `div`, not
+    // `/`: double division would hold exactly only below 2^53, and the
+    // DuckDB oracle's `// 100` is integer floor division at any size
     val kRow = cal.agg(count(lit(1)).as("n_cal"))
-      .select(((col("n_cal") + 1) * alphaPct + 99).divide(100)
-        .cast("long").as("k"))
+      .selectExpr(s"((n_cal + 1) * $alphaPct + 99) div 100 AS k")
     val byVal = cal.groupBy("ru").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ru"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -152,16 +152,32 @@ object CoPurchaseGraph {
     * the documented cap that keeps a pathological jumbo basket from
     * contributing B³ rows. Global top-k is TakeOrderedAndProject.
     *
+    * Apriori frequent-singleton prune (`prune`, on by default): a triple
+    * with support ≥ minSupport forces each member to appear in
+    * ≥ minSupport capped baskets, so semi-joining away items whose
+    * SINGLETON support is below minSupport before the C(B,3) expansion
+    * is provably output-preserving — it only shrinks the baskets feeding
+    * the cubic join (the free level of the apriori lattice; at 100 TB
+    * the long tail of once-bought parts vanishes before pairing instead
+    * of after). The prune counts support over the SAME capped basket
+    * frame the triples count over, so the bound is exact, and the
+    * singleton frame is item-sized — a broadcast semi-join.
+    *
     * @param orderItems (okey, item) basket membership
     * @return (x, y, z, support) — top k by support desc, then keys */
   def frequentTriples(orderItems: DataFrame, minSupport: Long, k: Int,
-                      maxBasket: Int = 32): DataFrame = {
+                      maxBasket: Int = 32, prune: Boolean = true): DataFrame = {
     val it = orderItems.select(col("okey"), col("item")).distinct()
-    val sized = it
+    val capped = it
       .withColumn("__b", count(lit(1)).over(Window.partitionBy("okey")))
       .where(col("__b") <= maxBasket)
       .select("okey", "item")
-      .localCheckpoint() // feeds three join legs — materialize once
+      .localCheckpoint() // feeds the singleton count + three join legs
+    val sized = if (!prune) capped else {
+      val freq1 = capped.groupBy("item").agg(count(lit(1)).as("__n1"))
+        .where(col("__n1") >= minSupport).select("item")
+      capped.join(freq1.hint("broadcast"), Seq("item"), "left_semi")
+    }
     val a = sized.select(col("okey"), col("item").as("x"))
     val b = sized.select(col("okey"), col("item").as("y"))
     val c = sized.select(col("okey"), col("item").as("z"))

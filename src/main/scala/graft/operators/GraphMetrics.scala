@@ -310,7 +310,16 @@ object GraphMetrics {
     // grow by ≤ max weighted degree per half-step; doubles hold ~1e308,
     // so any realistic (rounds, degree) stays finite — the round budget
     // is the caller's overflow contract (5 here ⇒ safe through
-    // weighted degrees of 1e30).
+    // weighted degrees of 1e30). CROSS-ENGINE DETERMINISM is the
+    // tighter bound: with integer weights the half-step sums are exact
+    // while they stay below 2^53 (doubles represent every integer up to
+    // there; order-dependent float rounding kicks in beyond it), so the
+    // 6-dp oracle match is guaranteed for weighted degrees up to
+    // ~2^(53/(2·rounds)) per node — ≈ 40 at rounds=5 for unit weights
+    // scaled by corpus degree products; the gating graph's max weighted
+    // degree keeps every sum exact. Past that, periodically rescale by
+    // a power of two (exact in binary, preserves the fixed point) —
+    // finiteness alone (1e308) is NOT the determinism contract.
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("auth"))
     var hubCp: Option[DataFrame] = None
@@ -332,10 +341,13 @@ object GraphMetrics {
         hub = Iterate.roll(hub, hubCp); hubCp = Some(hub)
       }
     }
-    val at = auth.agg(sum(col("auth"))).collect()(0)
-    val ht = hub.agg(sum(col("hub"))).collect()(0)
-    val aTot = if (at.isNullAt(0) || at.getDouble(0) == 0.0) 1.0 else at.getDouble(0)
-    val hTot = if (ht.isNullAt(0) || ht.getDouble(0) == 0.0) 1.0 else ht.getDouble(0)
+    // ONE action for both L1 totals: the two single-row aggregates meet
+    // in a broadcast cross join, so the tail is one job instead of two
+    val tot = auth.agg(sum(col("auth")).as("a"))
+      .crossJoin(broadcast(hub.agg(sum(col("hub")).as("h"))))
+      .collect()(0)
+    val aTot = if (tot.isNullAt(0) || tot.getDouble(0) == 0.0) 1.0 else tot.getDouble(0)
+    val hTot = if (tot.isNullAt(1) || tot.getDouble(1) == 0.0) 1.0 else tot.getDouble(1)
     nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
       .select(col("node"),
         round(coalesce(col("hub"), lit(0.0)) / lit(hTot), 6).as("hub"),

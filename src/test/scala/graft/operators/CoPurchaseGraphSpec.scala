@@ -97,6 +97,29 @@ class CoPurchaseGraphSpec extends SparkTestBase {
     assert(!got.keySet.exists(_._1.startsWith("x")), "jumbo basket leaked")
   }
 
+  test("frequentTriples: apriori singleton prune is output-preserving") {
+    import spark.implicits._
+    // a corpus with a real infrequent tail: core items a-d co-occur
+    // across baskets, r1..r40 are rare (one basket each) — the prune
+    // removes all 40 singletons before the cubic expansion
+    val rows =
+      (1 to 5).flatMap(o => Seq("a", "b", "c").map(i => (o.toLong, i))) ++
+        (3 to 7).flatMap(o => Seq("b", "c", "d").map(i => (o.toLong, i))) ++
+        (1 to 40).map(i => (i.toLong % 7 + 1, s"r$i"))
+    val df = rows.toDF("okey", "item")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val pruned = canon(CoPurchaseGraph.frequentTriples(df, 3L, 100,
+      maxBasket = 32, prune = true))
+    val full = canon(CoPurchaseGraph.frequentTriples(df, 3L, 100,
+      maxBasket = 32, prune = false))
+    assert(pruned == full, "apriori prune changed the output")
+    assert(pruned.nonEmpty && pruned.forall(_._4 >= 3L))
+    assert(!pruned.exists(t => t._1.startsWith("r") ||
+      t._2.startsWith("r") || t._3.startsWith("r")))
+  }
+
   test("twoHop: path weights sum over shared mids, direct edges flagged") {
     import spark.implicits._
     // 1-2-3 and 1-4-3: two 2-hop paths from 1 to 3, no direct 1-3 edge

@@ -118,6 +118,43 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"$got")
   }
 
+  test("labelProp: a 100x-median-degree hub stays bounded and correct") {
+    import spark.implicits._
+    // shuffle_hash opts the per-round join out of AQE skew splitting, so
+    // a celebrity node's edges land in ONE task of the src-pinned edge
+    // frame — this spec pins the behavior: same edge count, one graph
+    // uniform, one with a single hub at 100x the median degree. The
+    // hub's contribution fold survives because partial (map-side)
+    // aggregation collapses (dst, community) before the exchange; the
+    // assert bounds hub wall-time against the uniform baseline run
+    // IN THE SAME SESSION (uniform first, so JIT warmup lands on it).
+    val n = 2000
+    // uniform: ring + skip edges, degree ~4 everywhere, 2n edges
+    val uniform = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong, 1L),
+          (i.toLong, ((i + 7) % n).toLong, 1L))
+    }.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .distinct.toDF("src", "dst", "weight")
+    // hub: node 0 linked to 0.2n others (100x the median degree of ~2)
+    // plus a sparse ring over the rest — edge count comparable
+    val hubEdges = ((1 to n / 5).map(i => (0L, i.toLong * 4 % n + 1, 1L)) ++
+      (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong, 1L)))
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    def timed(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = GraphMetrics.labelProp(df, 3).count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cu, tu) = timed(uniform)
+    val (ch, th) = timed(hubEdges)
+    assert(cu == n && ch == n, "labelProp lost nodes")
+    // generous bound: a skew-stalled fold would blow past this by an
+    // order of magnitude; normal jitter stays well inside it
+    assert(th <= tu * 4 + 5.0,
+      f"hub graph took $th%.1f s vs uniform $tu%.1f s — skew stall")
+  }
+
   test("assortativity: star graph is maximally disassortative (r = -1)") {
     // hub 1 with three leaves: every edge joins deg-3 to deg-1
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
