@@ -200,11 +200,34 @@ object CoPurchaseGraph {
     * DROPPED before pairing — the q14 df-cap argument: a ubiquitous
     * item contributes O(n²) pairs and near-zero similarity signal
     * (its posting means "both shop here"). With the cap, pair volume is
-    * bounded by |items|·maxUsers², independent of any hub item. Per-user
-    * top-k compiles to WindowGroupLimit.
+    * bounded by |items|·maxUsers², independent of any hub item.
+    *
+    * Pair generation is a postings self-join with a shuffle-HASH hint,
+    * not a [[basketPairs]]-style array expansion — a measured choice
+    * (same-JVM A/B, sf0.1, 8.56M pairs): collecting each posting into a
+    * sorted array and exploding C(n,2) map-side saves one exchange but
+    * costs ~2× CPU materializing the quadratic array per row (and an
+    * unhinted sort-merge join re-sorts both legs each run, wobbling
+    * 1.4–3.8 s where the hash join holds 1.6 s). The hinted join streams
+    * codegen'd pairs from a per-partition hash table; skew on the join
+    * key is bounded by construction (≤ maxUsers postings per item), so
+    * opting out of AQE skew-splitting is safe here. The only pair-sized
+    * shuffle is the (ua, ub) count, which map-side partial aggregation
+    * compacts. Per-user top-k compiles to WindowGroupLimit.
     *
     * cosine = shared / sqrt(n_a·n_b) over FULL per-user item counts
-    * (the cap prunes pair GENERATION, not the norm).
+    * (the cap prunes pair GENERATION, not the norm). The norm counts are
+    * attached to the POSTING rows before pairing and ride through the
+    * pair aggregation as `min` (n is functionally determined by the
+    * user key, so min = the value): joining norms onto the
+    * postings-sized frame costs one |postings| join, where the naive
+    * order — symmetrize first, then join norms on user and again on
+    * neighbor — exchanges and sorts the PAIR-sized frame (2·C(n,2)
+    * rows, the largest frame in the query) twice more before the window
+    * exchange even starts. Measured on sf0.1 that was 3 exchanges + 4
+    * sorts of 17M rows collapsed to the single window exchange, and the
+    * window's partial WindowGroupLimit caps what that one exchange
+    * carries.
     *
     * @return (user, neighbor, shared, cosine, rnk) — rnk 1..k */
   def userNeighbors(orders: DataFrame, lineitem: DataFrame, k: Int,
@@ -219,26 +242,30 @@ object CoPurchaseGraph {
     val norms = ui.groupBy("user").agg(count(lit(1)).as("n"))
     val light = ui.groupBy("item").agg(count(lit(1)).as("nu"))
       .where(col("nu") <= maxUsers).select("item")
-    val p = ui.join(light, Seq("item"))
-    // materialize before symmetrizing: a plain unionAll would embed the
-    // pair-expansion subtree (the dominant cost) TWICE in the plan —
-    // the same hazard [[symmetrize]]'s comment documents
-    val pairs = p.as("a").join(p.as("b"), col("a.item") === col("b.item"))
+    val p = ui.join(light, Seq("item")).join(norms, Seq("user"))
+    val pairs = p.as("a").join(p.as("b").hint("shuffle_hash"),
+        col("a.item") === col("b.item"))
       .where(col("a.user") < col("b.user"))
       .groupBy(col("a.user").as("ua"), col("b.user").as("ub"))
-      .agg(count(lit(1)).as("shared"))
-      .localCheckpoint()
-    val sym = pairs.select(col("ua").as("user"), col("ub").as("neighbor"),
-        col("shared"))
-      .unionAll(pairs.select(col("ub").as("user"), col("ua").as("neighbor"),
-        col("shared")))
-    val scored = sym
-      .join(norms.select(col("user"), col("n").as("na")), Seq("user"))
-      .join(norms.select(col("user").as("neighbor"), col("n").as("nb")),
-        Seq("neighbor"))
-      .withColumn("cosine", round(col("shared").cast("double") /
+      .agg(count(lit(1)).as("shared"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    val scored = pairs.withColumn("cosine",
+      round(col("shared").cast("double") /
         sqrt((col("na") * col("nb")).cast("double")), 6))
-    scored
+    // symmetrize by exploding both orientations, not unionAll: a union
+    // embeds the pair-expansion subtree TWICE (the [[symmetrize]]
+    // hazard), which earlier versions paid a pair-sized localCheckpoint
+    // to avoid — the explode keeps the subtree single-use, so no
+    // materialization barrier is needed at all (measured: dropping the
+    // checkpoint is another ~1.7× on the warm full query)
+    val sym = scored.select(explode(array(
+        struct(col("ua").as("user"), col("ub").as("neighbor"),
+          col("shared"), col("cosine")),
+        struct(col("ub").as("user"), col("ua").as("neighbor"),
+          col("shared"), col("cosine")))).as("e"))
+      .select(col("e.user"), col("e.neighbor"), col("e.shared"),
+        col("e.cosine"))
+    sym
       .withColumn("rnk", row_number().over(Window.partitionBy("user")
         .orderBy(col("cosine").desc, col("neighbor"))))
       .where(col("rnk") <= k)
