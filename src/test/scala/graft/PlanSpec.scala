@@ -228,6 +228,22 @@ class PlanSpec extends SparkTestBase {
       s"expected a checkpointed edge frame:\n$p")
   }
 
+  test("q165 user-kNN: no join above the pair aggregation, top-k pushes down") {
+    // The norm counts ride THROUGH the pair aggregation (attached to
+    // posting rows before pairing); the tail is explode-symmetrize →
+    // window, with NO pair-sized join. Plans print root-first, so every
+    // Join must appear BELOW (after) the symmetrizing Generate, and the
+    // rank filter must compile to WindowGroupLimit so the one window
+    // exchange carries capped rows.
+    val df = SparkEntry.queries("q165_user_knn")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"top-k must push down:\n$p")
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, s"expected explode symmetrization:\n$p")
+    val joinAbove = p.substring(0, gen).contains("Join")
+    assert(!joinAbove, s"pair-sized frame must not be joined post-expansion:\n$p")
+  }
+
   test("q177 survival: windows sort the duration frame, not subjects") {
     // the per-subject reduction (groupBy custkey) must happen BEFORE any
     // window; the windows are over the distinct-duration frame
