@@ -199,9 +199,12 @@ object Bench {
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    try Files.writeString(Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
-    catch { case _: Throwable => () }
+    // SPARK_GRAFT_NO_ARTIFACT=1: skip the cwd artifact — ad-hoc probe
+    // runs from the repo root would clobber the committed driver file
+    if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACT"))
+      try Files.writeString(Paths.get("BENCH_FULL.json"),
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+      catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => () }
   }
