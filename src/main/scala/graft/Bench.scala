@@ -41,10 +41,14 @@ object Bench {
     * every heavy runs on light-query context (≈ the isolated-warm
     * protocol) and no light query ever follows a heavy. */
   private val heavyQueries = Seq(
+    "q14_ngram_jaccard", "q33_brp_pairs", "q44_dedup_keep",
     "q53_corpus_filter", "q63_pagerank", "q94_pagerank_directed",
-    "q98_rag_retrieve", "q114_als_mf", "q119_feature_hash", "q149_ppr",
-    "q163_label_prop", "q165_user_knn", "q167_freq_triples",
-    "q169_retract_agg", "q185_kmv_intersect", "q186_hits", "q193_twohop")
+    "q98_rag_retrieve", "q102_triangles", "q114_als_mf",
+    "q119_feature_hash", "q127_kcore", "q130_lsh_quality",
+    "q144_bfs_hops", "q149_ppr", "q163_label_prop", "q165_user_knn",
+    "q167_freq_triples", "q169_retract_agg", "q178_assortativity",
+    "q179_brand_modularity", "q185_kmv_intersect", "q186_hits",
+    "q193_twohop")
 
   /** Pack `names` into fork chunks of ≤ `chunkSize`: light queries in
     * sorted runs of `chunkSize−1`, then one heavy appended per chunk
@@ -164,7 +168,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val chunkSize = sys.env.get("SPARK_GRAFT_FORK").map(_.toInt).getOrElse(10)
+    // default 6 (was 10): a full 193-query local rerun with one-heavy
+    // topology chunks of 10 still showed mid-chunk iterative queries
+    // (k-core, triangles, BFS, dedup-CC) inflating their successors —
+    // those are now in the heavy list, and the shorter light runs bound
+    // how much JVM context any query accumulates before it is timed
+    val chunkSize = sys.env.get("SPARK_GRAFT_FORK").map(_.toInt).getOrElse(6)
     lazy val spark = mkSession() // only created if some chunk runs here
     val results: Seq[(String, Double)] =
       if (chunkSize > 0 && names.size > chunkSize) {
