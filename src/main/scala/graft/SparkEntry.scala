@@ -641,10 +641,13 @@ object SparkEntry {
     // individually oracle-proven (q19/q20/q85/q86/q82).
     "q90_curation_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val lang = TextAnalysis.langId(docs)
-        .select(col("doc_id"), (col("pred_lang") === "en").as("lang_ok"))
-      val qual = TextAnalysis.qualityScore(docs)
-        .select(col("doc_id"), (col("quality") >= 0.5).as("quality_ok"))
+      // lang + quality are per-row projections over the same tokens —
+      // the fused surfaceGate computes both in ONE corpus pass (the
+      // separate-frames form scanned and re-tokenized twice, then
+      // joined the two back on doc_id for nothing)
+      val surface = TextAnalysis.surfaceGate(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("lang_ok"),
+          (col("quality") >= 0.5).as("quality_ok"))
       val lm = TextAnalysis.lmScore(docs)
         .select(col("doc_id"), (col("nll") <= 0.82).as("nll_ok"))
       val dup = Dedup.dupSpanCoverage(docs, 8)
@@ -654,7 +657,7 @@ object SparkEntry {
         docs.where(col("doc_id") % 89 =!= 0), bench, 13)
         .select(col("doc_id"), lit(true).as("__hit"))
       docs.select(col("doc_id"))
-        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+        .join(surface, Seq("doc_id"))
         .join(lm, Seq("doc_id")).join(dup, Seq("doc_id"))
         .join(contaminated, Seq("doc_id"), "left")
         .withColumn("clean", col("doc_id") % 89 =!= 0 && col("__hit").isNull)

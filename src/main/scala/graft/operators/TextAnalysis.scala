@@ -25,6 +25,19 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** The winning language label over precomputed per-language hit-count
+    * columns (`hitsCol(lang)`): most stopword hits wins, ties and
+    * zero-hit docs fall back to "und", tie order = the fixed language
+    * order above. Shared by [[langId]] and the fused [[surfaceGate]] so
+    * the two can never diverge. */
+  private def predLang(hitsCol: String => Column): Column =
+    StopwordSets.map(_._1).foldLeft((lit(0), lit("und"))) {
+      case ((bestHits, bestLang), lang) =>
+        val h = hitsCol(lang)
+        (when(h > bestHits, h).otherwise(bestHits),
+          when(h > bestHits, lit(lang)).otherwise(bestLang))
+    }._2
+
   /** Language identification by stopword-hit ratio: the language with the
     * most stopword hits wins; ties and zero-hit docs fall back to "und"
     * (undetermined). Deterministic: ties break by the fixed language order
@@ -37,13 +50,7 @@ object TextAnalysis {
         StopwordSets.map { case (lang, words) =>
           hitCount(toks, words).cast("long").as(s"hits_$lang")
         }: _*)
-    val best = StopwordSets.map(_._1).foldLeft((lit(0), lit("und"))) {
-      case ((bestHits, bestLang), lang) =>
-        val h = col(s"hits_$lang")
-        (when(h > bestHits, h).otherwise(bestHits),
-          when(h > bestHits, lit(lang)).otherwise(bestLang))
-    }
-    withHits.withColumn("pred_lang", best._2)
+    withHits.withColumn("pred_lang", predLang(l => col(s"hits_$l")))
   }
 
   /** Heuristic quality score from surface statistics — the standard
@@ -54,6 +61,13 @@ object TextAnalysis {
                    textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
+    docs.select(col(idCol).as("doc_id") +: qualityParts(t, toks): _*)
+  }
+
+  /** The [[qualityScore]] output columns as expressions over (text,
+    * tokens) — shared with the fused [[surfaceGate]] so the score
+    * formula exists exactly once. */
+  private def qualityParts(t: Column, toks: Column): Seq[Column] = {
     val nTok = size(toks)
     val nChar = length(t)
     val alphaChars = length(regexp_replace(t, "[^a-zA-Z]", ""))
@@ -75,10 +89,30 @@ object TextAnalysis {
         when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 0.25).otherwise(0.0) +
         when(alphaRatio >= 0.6, 0.25).otherwise(0.0) +
         when(punctRatio <= 0.1, 0.25).otherwise(0.0)
-    docs.select(col(idCol).as("doc_id"), nTok.cast("long").as("n_tokens"),
+    Seq(nTok.cast("long").as("n_tokens"),
       meanTokLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
       alphaRatio.as("alpha_ratio"), stopRatio.as("stopword_ratio"),
       score.as("quality"))
+  }
+
+  /** Fused surface gate: language label AND quality score in ONE
+    * pipelined pass — both are pure per-row expressions over the same
+    * (text, tokens), so running [[langId]] and [[qualityScore]] as
+    * separate frames joined on doc_id scans and re-tokenizes the corpus
+    * twice for no semantic gain. The columns come from the SAME builders
+    * the standalone operators use ([[predLang]], [[qualityParts]]), so
+    * outputs are definitionally identical.
+    * Output: (doc_id, pred_lang, quality). */
+  def surfaceGate(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val hits = StopwordSets.map { case (lang, words) =>
+      lang -> hitCount(toks, words).cast("long")
+    }.toMap
+    docs.select(col(idCol).as("doc_id") +:
+        predLang(hits(_)).as("pred_lang") +: qualityParts(t, toks): _*)
+      .select("doc_id", "pred_lang", "quality") // Catalyst prunes the rest
   }
 
   /** Token counts: whitespace tokens and a BPE-ish segmentation

@@ -5,6 +5,29 @@ import graft.SparkTestBase
 /** Chunking and keyword-extraction semantics on hand-checked inputs. */
 class TextAnalysisSpec extends SparkTestBase {
 
+  test("surfaceGate ≡ langId ⋈ qualityScore (fused pass, identical values)") {
+    // texts chosen to exercise every branch: clear-en, clear-de, tie →
+    // first-language order, zero-hit → "und", empty text, punct-soup
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the cat sat of the mat and it is a to in"),
+      (2L, "der hund ist nicht mit und das ein"),
+      (3L, "la la la"), // fr/es tie by hits → fixed order decides
+      (4L, "zzz qqq xyzzy"),
+      (5L, ""),
+      (6L, "!!! ,,, ... ;;; ???"))).toDF("doc_id", "text")
+    val fused = TextAnalysis.surfaceGate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val lang = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    val qual = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(fused.keySet == lang.keySet)
+    for ((id, (pl, q)) <- fused) {
+      assert(pl == lang(id), s"pred_lang diverges for doc $id")
+      assert(q == qual(id), s"quality diverges for doc $id")
+    }
+  }
+
   test("chunk: stride windows with ragged tail; overlap carries shared tokens") {
     // 12 tokens, window 5, stride 4 -> starts 0,4,8: sizes 5,5,4
     val docs = spark.createDataFrame(Seq(
