@@ -31,16 +31,35 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Train the coarse quantizer. `nCells` ~ sqrt(|index|) is the usual
-    * IVF sizing. Deterministic under the fixed seed.
+    * IVF sizing. Deterministic under the fixed seed AND the session
+    * layout — see below.
     *
     * The quantizer is trained on a bounded sample (`maxTrain`, FAISS-style):
     * coarse centroids don't improve past ~256 points per cell, so at 100 TB
     * the k-means never scans the full corpus — only `assign` does, and that
     * pass is map-side. The sample is cached for k-means' repeated scans
-    * (init + 10 Lloyd iterations all hit memory, not parquet). */
+    * (init + 10 Lloyd iterations all hit memory, not parquet).
+    *
+    * Canonical sample membership AND layout (the [[Pq.fit]] discipline):
+    * a bare `limit(maxTrain)` selects a partition-order-dependent subset,
+    * and MLlib k-means'' init samples per partition in iteration order —
+    * so a quantizer built under a different session parallelism produced
+    * DIFFERENT centers (observed: a 16-thread build left one query's
+    * nearest cell empty at nprobe=1, breaking the q120 all-served
+    * invariant that holds on the 32-thread layout). The hash-ordered
+    * take picks the same `maxTrain` vectors on any layout
+    * (TakeOrderedAndProject — map-side top-k, never a full sort) and
+    * yields ONE partition in sorted order, so the seeded fit is a pure
+    * function of (data, seed). */
   def fit(emb: DataFrame, nCells: Int, seed: Long = 42L,
           vecCol: String = "embedding", maxTrain: Int = 100000): KMeansModel = {
-    val train = withUnitVec(emb, vecCol).select("__nvec").limit(maxTrain).cache()
+    // hash-order on the ARRAY form (VectorUDT is neither hashable nor
+    // orderable), convert to the ML vector after the canonical take
+    val train = emb.select(l2Normalize(col(vecCol)).as("__arr"))
+      .orderBy(xxhash64(col("__arr")), col("__arr"))
+      .limit(maxTrain)
+      .select(array_to_vector(col("__arr")).as("__nvec"))
+      .cache()
     try
       new KMeans()
         .setK(nCells).setSeed(seed).setMaxIter(10)

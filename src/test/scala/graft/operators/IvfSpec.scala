@@ -107,6 +107,21 @@ class IvfSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("fit is layout-invariant: identical centers from any input partitioning") {
+    // The q120 lesson: MLlib k-means'' init samples per partition, so a
+    // bare limit() train set gave different centers under different
+    // session parallelism (a 16-thread build once left a query's nearest
+    // cell empty). The canonical hash-ordered take must erase the input
+    // layout entirely.
+    val a = Ivf.fit(emb.repartition(1), nCells = 8)
+    val b = Ivf.fit(emb.repartition(7), nCells = 8)
+    val c = Ivf.fit(emb.repartition(3, col("vec_id")), nCells = 8)
+    def centers(m: org.apache.spark.ml.clustering.KMeansModel) =
+      m.clusterCenters.map(_.toArray.toSeq).toSeq
+    assert(centers(a) == centers(b), "round-robin layout changed the fit")
+    assert(centers(a) == centers(c), "hash layout changed the fit")
+  }
+
   test("assign puts identical vectors in the same cell") {
     val df = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
