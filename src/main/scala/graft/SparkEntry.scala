@@ -3483,7 +3483,10 @@ object SparkEntry {
 
     "q89_label_centroids" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY 1, 2),
+        |p AS (SELECT label, i, avg(v[i]) AS m
+        |  FROM e CROSS JOIN (SELECT unnest(range(1,
+        |    (SELECT max(len(v)) FROM e) + 1)) AS i) idx
+        |  GROUP BY 1, 2),
         |c AS (SELECT label, list(m ORDER BY i) AS cent FROM p GROUP BY 1)
         |SELECT vec_id, e.label, round(${cosSql("e.v", "c.cent")}, 6) AS cos_centroid
         |FROM e JOIN c ON e.label = c.label""".stripMargin,

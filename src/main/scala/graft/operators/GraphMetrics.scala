@@ -141,8 +141,12 @@ object GraphMetrics {
     *         edges from any seed, capped at `maxHops`; unreached nodes
     *         are absent. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // src-partitioned checkpoint, same discipline as labelProp/PageRank:
+    // the edge-sized frame exchanges ONCE here, then every round's
+    // shuffle-hash join streams it in place — only the frontier moves
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()
