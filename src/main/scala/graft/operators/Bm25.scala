@@ -58,8 +58,12 @@ object Bm25 {
            k1: Double = K1, b: Double = B, maxDf: Long = 0L,
            excludeSelf: Boolean = false,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-    val stats = docStats(docs, idCol, textCol)
+    // postings feed THREE consumers (the df aggregate, the scoring join,
+    // and the corpus stats) — materialize once, so the corpus tokenize
+    // runs ONE pass instead of three (the plan scanned+tokenized docs
+    // 3× before this; at web scale the tokenizer is the cost driver)
+    val post = postings(docs, idCol, textCol).localCheckpoint()
+    val stats = docStats(docs, post, idCol)
     val df = post.groupBy("term").agg(count(lit(1)).as("df"))
     val dfKept = if (maxDf > 0) df.where(col("df") <= maxDf) else df
     val qterms = queries.select(col("query_id"),
@@ -89,11 +93,16 @@ object Bm25 {
   }
 
   /** Corpus stats (N, avgdl) as one broadcastable row. avgdl is an
-    * exact-integer ratio (sum of long lengths / long count) so both
-    * engines compute the identical double. */
-  private def docStats(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame =
-    docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("__dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+    * exact-integer ratio (sum of long token counts / long count) so both
+    * engines compute the identical double. N comes from a count-only
+    * scan (parquet answers it from row-group metadata — no tokenize);
+    * Σdl folds from the postings' tf, equal to the Σ size(tokens) it
+    * replaces because every token lands in exactly one (doc, term)
+    * posting row and zero-token docs add 0 to both sides. */
+  private def docStats(docs: DataFrame, post: DataFrame,
+                       idCol: String): DataFrame =
+    post.agg(coalesce(sum(col("tf")), lit(0L)).as("__t"))
+      .crossJoin(docs.select(col(idCol)).agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"),
+        (col("__t").cast("double") / col("n_docs")).as("avgdl"))
 }
