@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,7 +72,19 @@ object PageRank {
     * in-edges still receive base + dangling share. The dangling FLAG is
     * topology, computed once outside the loop; the node table is hash-
     * partitioned on the join key before materializing so the per-round
-    * merge zips partitions instead of re-exchanging. */
+    * merge zips partitions instead of re-exchanging.
+    *
+    * The dangling mass is harvested as an OBSERVED metric of the
+    * per-round checkpoint (`Iterate.roll`) rather than a standalone
+    * aggregate: the loop already pays one materialization action per
+    * round, and `observe` metrics fire on that same action — so the
+    * scalar costs zero extra jobs and the next round's plan embeds it
+    * as a literal instead of a broadcast cross join (measured on the
+    * sf0.1 co-purchase graph: two scheduled jobs per round collapse to
+    * one; see BENCH_ISOLATED_r8's post-publish note). Round 1's mass is
+    * the one aggregate the observation cannot supply (there is no
+    * checkpoint before the first roll) — a single node-sized job at
+    * setup, not per round. */
   def runDirected(edges: DataFrame, iterations: Int = 10,
                   damping: Double = 0.85): DataFrame = {
     val frac = edges
@@ -92,6 +104,10 @@ object PageRank {
     val base = (1.0 - damping) / n
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
+    // round-1 dangling mass: the only aggregate the roll observation
+    // can't supply (nothing has been rolled yet) — one node-sized job
+    var dm = ranks.where(col("dang"))
+      .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       // same discipline as [[run]]: the edge-sized side stays put
@@ -101,21 +117,24 @@ object PageRank {
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
-      val dang = ranks.where(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(dang.hint("broadcast"))
         .select(col("node"),
           (lit(base) + lit(damping) *
-            (coalesce(col("m"), lit(0.0)) + col("dm") / n)).as("rank"),
+            (coalesce(col("m"), lit(0.0)) + lit(dm) / n)).as("rank"),
           col("dang"))
-      // contrib AND the dangling-mass aggregate each embed the previous
-      // round's rank plan: unmaterialized, the plan tree DOUBLES per
-      // round (2^k copies of the last checkpoint's subtree by round k).
-      // The rank frame is node-sized, so rolling every round is one
-      // tiny job that keeps every round's work exactly O(E)
+      // the contrib join embeds the previous round's rank plan:
+      // unmaterialized, each checkpoint subtree re-executes at every
+      // downstream action. The rank frame is node-sized, so rolling
+      // every round is one tiny job that keeps every round's work
+      // exactly O(E) — and the roll's action carries NEXT round's
+      // dangling mass as an observed metric, no second job
       if (i < iterations) {
-        ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
+        val obs = Observation()
+        ranks = Iterate.roll(ranks.observe(obs,
+          coalesce(sum(when(col("dang"), col("rank"))), lit(0.0))
+            .as("dm")), cp)
+        cp = Some(ranks)
+        dm = obs.get("dm").asInstanceOf[Double]
       }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
@@ -161,6 +180,9 @@ object PageRank {
 
     var ranks = nodes.select(col("node"), restart.as("rank"),
       col("dang"), col("seed"))
+    // round-1 dangling mass (the [[runDirected]] setup job)
+    var dm = ranks.where(col("dang"))
+      .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = frac.join(ranks.select("node", "rank")
@@ -168,18 +190,21 @@ object PageRank {
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
-      val dang = ranks.where(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(dang.hint("broadcast"))
         .select(col("node"),
           (lit(1.0 - damping) * restart + lit(damping) *
             (coalesce(col("m"), lit(0.0)) +
-              col("dm") * restart)).as("rank"),
+              lit(dm) * restart)).as("rank"),
           col("dang"), col("seed"))
-      // same doubling hazard as [[runDirected]]: roll every round
+      // same discipline as [[runDirected]]: roll every round, and the
+      // roll's action observes next round's dangling mass for free
       if (i < iterations) {
-        ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
+        val obs = Observation()
+        ranks = Iterate.roll(ranks.observe(obs,
+          coalesce(sum(when(col("dang"), col("rank"))), lit(0.0))
+            .as("dm")), cp)
+        cp = Some(ranks)
+        dm = obs.get("dm").asInstanceOf[Double]
       }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("ppr_scaled"))

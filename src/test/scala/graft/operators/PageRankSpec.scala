@@ -61,6 +61,19 @@ class PageRankSpec extends SparkTestBase {
       s"no decay: $ppr")
   }
 
+  test("directed loop plan: dangling mass is a literal, not a join") {
+    import spark.implicits._
+    // the per-round dangling mass rides the roll's observed metric and
+    // lands in the next plan as a literal — a regression to the
+    // aggregate-subquery shape reintroduces a per-round broadcast
+    // nested-loop join (one extra job + exchange every iteration)
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    val plan = PageRank.runDirected(edges, iterations = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "dangling mass re-entered the plan as a join")
+  }
+
   test("personalized: dangling mass teleports back to seeds only") {
     import spark.implicits._
     // 2 is a dead end; without dangling handling mass drains every round
