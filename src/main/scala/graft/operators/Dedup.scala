@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,29 +223,41 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("y"), col("component")), Seq("y"))
         .groupBy(col("x").as("doc_id")).agg(min("component").as("nbr_min"))
+      // carry the pre-update label through the round so the convergence
+      // probe can ride the checkpoint action as an OBSERVED metric —
+      // the old probe joined next against the previous labels and
+      // counted, a second (join-shaped) job per round
       val propagated = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("comp2"),
+          col("component").as("old"))
       // Pointer jump (path doubling): component(v) ← component(component(v)).
       // Pure propagation needs O(diameter) rounds — a pathological dup
       // CHAIN of length > maxIter would exit unconverged and silently
       // mislabel; with the jump each round squares the reach, so maxIter
       // 15 covers diameter 2^15 and the changed==0 exit is the converged
       // fixpoint for any realistic input.
+      val obs = Observation()
       val next = propagated.as("a")
-        .join(propagated.select(col("doc_id").as("component"),
-          col("component").as("jump")).as("b"), Seq("component"), "left")
+        .join(propagated.select(col("doc_id").as("comp2"),
+          col("comp2").as("jump")).as("b"), Seq("comp2"), "left")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("jump"), col("component")))
-            .as("component"))
+          least(col("comp2"), coalesce(col("jump"), col("comp2")))
+            .as("component"),
+          col("old"))
+        .observe(obs, coalesce(sum(when(col("component") =!= col("old"),
+          lit(1L))), lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .where(col("component") =!= col("old")).count()
-      // the change probe was the old checkpoint's last consumer
+      changed = obs.get("changed").asInstanceOf[Long]
+      // the checkpoint materialization was the old checkpoint's last
+      // consumer (the probe no longer re-reads it)
       Iterate.release(labels)
-      labels = next
+      // drop the probe column: a bare select atop the checkpoint — its
+      // only plan leaf is the new checkpoint, so next round's release
+      // still frees exactly this round's blocks
+      labels = next.select("doc_id", "component")
       iter += 1
     }
     ids.join(labels, Seq("doc_id"), "left")

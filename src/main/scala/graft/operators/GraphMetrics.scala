@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Triangle counting + local clustering coefficient over the
@@ -86,21 +86,28 @@ object GraphMetrics {
     // set against the survivor nodes every round costs the same per
     // round forever; filtering the previous round's alive edges makes
     // round t cost proportional to what survived round t-1
+    val obs0 = Observation()
     var alive = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .observe(obs0, count(lit(1)).as("edges"))
       .localCheckpoint()
-    var edgeCount = alive.count()
+    var edgeCount = obs0.get("edges").asInstanceOf[Long]
     var i = 0
     var fixed = false
     while (i < rounds && !fixed) {
       val keep = alive.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("node")
+      // the fixpoint probe rides the roll as an OBSERVED metric — the
+      // separate count() used to re-scan the freshly checkpointed
+      // edge frame every round (one extra edge-sized job per peel)
+      val obs = Observation()
       alive = Iterate.roll(alive
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi"),
-        Some(alive)) // eager cp feeds the fixpoint probe; prev released
-      val c = alive.count()
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .observe(obs, count(lit(1)).as("edges")),
+        Some(alive))
+      val c = obs.get("edges").asInstanceOf[Long]
       // removing any node removes its edges, so an unchanged edge count
       // IS the fixpoint — remaining rounds would be no-ops (this is why
       // early exit cannot change the fixed-round oracle's answer)
@@ -148,18 +155,27 @@ object GraphMetrics {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
+    val obs0 = Observation()
     var visited = seeds.select(col("node")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint()
+      .withColumn("hop", lit(0))
+      .observe(obs0, count(lit(1)).as("n"))
+      .localCheckpoint()
     var frontier = visited.select("node")
     var frontierCp: Option[DataFrame] = None
+    // frontier size rides each roll as an observed metric — the old
+    // isEmpty probe was one extra (tiny) job per hop round
+    var frontierSize = obs0.get("n").asInstanceOf[Long]
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && frontierSize > 0) {
+      val obs = Observation()
       val next = Iterate.roll(
         sym.join(frontier.withColumnRenamed("node", "src")
             .hint("shuffle_hash"), Seq("src"))
           .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti"),
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .observe(obs, count(lit(1)).as("n")),
         frontierCp)
+      frontierSize = obs.get("n").asInstanceOf[Long]
       h += 1
       visited = Iterate.roll(
         visited.unionAll(next.withColumn("hop", lit(h))), Some(visited))
