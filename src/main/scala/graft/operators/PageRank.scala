@@ -93,14 +93,16 @@ object PageRank {
         (col("weight").cast("double") / col("__w")).as("frac"))
       .localCheckpoint()
     val srcs = frac.select(col("src").as("node"), lit(true).as("__has")).distinct()
+    val nObs = Observation()
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
       .join(srcs, Seq("node"), "left")
       .select(col("node"), col("__has").isNull.as("dang"))
       .repartition(col("node"))
+      .observe(nObs, count(lit(1)).as("n")) // n rides the checkpoint action
       .localCheckpoint()
-    val n = nodes.count()
+    val n = nObs.get("n").asInstanceOf[Long]
     val base = (1.0 - damping) / n
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
@@ -162,6 +164,7 @@ object PageRank {
         (col("weight").cast("double") / col("__w")).as("frac"))
       .localCheckpoint()
     val srcs = frac.select(col("src").as("node"), lit(true).as("__has")).distinct()
+    val nObs = Observation()
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
@@ -171,9 +174,12 @@ object PageRank {
       .select(col("node"), col("__has").isNull.as("dang"),
         coalesce(col("__seed"), lit(false)).as("seed"))
       .repartition(col("node"))
+      // n AND the seed count ride the one checkpoint action
+      .observe(nObs, count(lit(1)).as("n"),
+        coalesce(sum(when(col("seed"), lit(1L))), lit(0L)).as("ns"))
       .localCheckpoint()
-    val n = nodes.count()
-    val nSeeds = nodes.where(col("seed")).count()
+    val n = nObs.get("n").asInstanceOf[Long]
+    val nSeeds = nObs.get("ns").asInstanceOf[Long]
     require(nSeeds > 0, "personalized PageRank needs >= 1 seed in the graph")
     // restart vector: 1/|S| on seeds, 0 elsewhere
     val restart = when(col("seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
