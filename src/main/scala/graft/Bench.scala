@@ -50,21 +50,39 @@ object Bench {
     "q179_brand_modularity", "q185_kmv_intersect", "q186_hits",
     "q193_twohop")
 
+  private[graft] val heavySet: Set[String] = heavyQueries.toSet
+
   /** Pack `names` into fork chunks of ≤ `chunkSize`: light queries in
     * sorted runs of `chunkSize−1`, then one heavy appended per chunk
     * (heavies beyond the light-group count run solo). Deterministic,
-    * covers every name exactly once. */
+    * covers every name exactly once. chunkSize 1 = every query solo
+    * (the isolated protocol; without the special case a heavy would
+    * still be appended to each 1-light group). */
   private[graft] def topoChunks(names: Seq[String],
                                 chunkSize: Int): Seq[Seq[String]] = {
     val heavy = heavyQueries.filter(names.contains)
     val light = names.filterNot(heavy.contains)
-    if (light.isEmpty) heavy.map(Seq(_))
+    if (chunkSize <= 1 || light.isEmpty)
+      (light ++ heavy).map(Seq(_))
     else {
       val groups = light.grouped(math.max(1, chunkSize - 1)).toSeq
       groups.zipWithIndex.map { case (g, i) => g ++ heavy.lift(i) } ++
         heavy.drop(groups.size).map(Seq(_))
     }
   }
+
+  /** The run's query list. A comma list in SPARK_GRAFT_QUERIES keeps
+    * ITS order — forked children receive their chunk through this env
+    * var, and re-sorting would put the chunk's heavy (placed LAST by
+    * [[topoChunks]]) back in front of its light queries, timing every
+    * light on post-heavy JVM state. Unknown names are dropped. */
+  private[graft] def resolveNames(env: Option[String]): Seq[String] =
+    env match {
+      case Some(list) =>
+        list.split(",").toSeq.map(_.trim).distinct
+          .filter(SparkEntry.queries.contains)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
 
   private def mkSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,6 +161,11 @@ object Bench {
       pb.redirectOutput(new java.io.File(dir, "child.log"))
       pb.environment().put("SPARK_GRAFT_QUERIES", chunk.mkString(","))
       pb.environment().put("SPARK_GRAFT_FORK", "0") // no recursive forking
+      // the child's BENCH_FULL.json (in its temp cwd) is the RESULT
+      // CHANNEL — a parent probe run's no-artifact flag must not leak
+      // in, or every chunk would "fail" and fall back into one shared
+      // JVM (the accumulated-state mode forking exists to prevent)
+      pb.environment().remove("SPARK_GRAFT_NO_ARTIFACT")
       val p = pb.start()
       val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); p.waitFor(); return None }
@@ -165,9 +188,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names = resolveNames(sys.env.get("SPARK_GRAFT_QUERIES"))
     // default 6 (was 10): a full 193-query local rerun with one-heavy
     // topology chunks of 10 still showed mid-chunk iterative queries
     // (k-core, triangles, BFS, dedup-CC) inflating their successors —

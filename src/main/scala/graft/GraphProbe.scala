@@ -46,9 +46,13 @@ object GraphProbe {
     p("pair_expansion", bs.getLong(2))
     p("triple_expansion", bs.getLong(3))
 
-    val edges = CoPurchaseGraphRef.edges(li)
-    p("copurchase_edges", edges.count())
-    p("labelprop_sym_rows", edges.count() * 2)
+    // materialize the (expensive) edge build once — it feeds three
+    // probe lines, and each count would otherwise rerun the basket
+    // pair expansion from scratch
+    val edges = CoPurchaseGraphRef.edges(li).localCheckpoint()
+    val ec = edges.count()
+    p("copurchase_edges", ec)
+    p("labelprop_sym_rows", ec * 2)
     p("graph_nodes", edges.select(explode(array(col("src"), col("dst")))
       .as("n")).distinct().count())
 

@@ -199,8 +199,9 @@ object Dedup {
     * diameter) rounds — dup clusters are stars/short chains, so this
     * converges in 2-4 rounds regardless of corpus size (the classic
     * large-graph CC recipe). The driver-side loop only reads a changed-
-    * row COUNT per round; labels are localCheckpoint'd so lineage stays
-    * flat (on a cluster this would be a reliable checkpoint instead).
+    * row COUNT per round — an observed metric of the label checkpoint,
+    * so convergence costs zero extra jobs; labels are localCheckpoint'd
+    * so lineage stays flat (a reliable checkpoint on a cluster).
     *
     * @param ids   (doc_id)
     * @param pairs (a, b) undirected near-dup evidence

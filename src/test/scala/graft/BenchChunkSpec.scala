@@ -41,4 +41,38 @@ class BenchChunkSpec extends AnyFunSuite {
     val chunks = Bench.topoChunks(heavies, 10)
     assert(chunks == heavies.map(Seq(_)))
   }
+
+  test("chunk size 1 -> every query solo (the isolated protocol)") {
+    val names = ((1 to 5).map(i => f"q$i%03d_light") ++ heavies).sorted
+    val chunks = Bench.topoChunks(names, 1)
+    assert(chunks.forall(_.size == 1), s"non-solo chunk in $chunks")
+    assert(chunks.flatten.sorted == names.sorted)
+  }
+
+  test("SPARK_GRAFT_QUERIES order is preserved, not re-sorted") {
+    // forked children receive their chunk through this env var with the
+    // heavy LAST; an alphabetical re-sort would put e.g. q102_triangles
+    // ahead of q128+ lights and time them all on post-heavy JVM state
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val chunk = Seq(real.last, real.head, real(real.size / 2))
+    assert(Bench.resolveNames(Some(chunk.mkString(","))) == chunk)
+    // unknown names are dropped, order still kept
+    assert(Bench.resolveNames(Some(s"${real.head},nope,${real.last}"))
+      == Seq(real.head, real.last))
+  }
+
+  test("every forked chunk keeps its heavy last under the child's own name resolution") {
+    // end-to-end guard for the real registry: simulate what each child
+    // JVM will time, in order, for the default full-suite run
+    val all = Bench.resolveNames(None)
+    val chunks = Bench.topoChunks(all, 6)
+    for (c <- chunks) {
+      val childOrder = Bench.resolveNames(Some(c.mkString(",")))
+      val h = childOrder.filter(Bench.heavySet.contains)
+      assert(h.size <= 1, s"chunk $childOrder has ${h.size} heavies")
+      if (h.nonEmpty)
+        assert(childOrder.last == h.head,
+          s"heavy ${h.head} not last in child order $childOrder")
+    }
+  }
 }
