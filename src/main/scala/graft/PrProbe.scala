@@ -26,6 +26,7 @@ object PrProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def reap(): Unit = {
+      spark.catalog.clearCache() // Iterate.pin frames are DF caches
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()

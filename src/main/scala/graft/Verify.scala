@@ -34,8 +34,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same deterministic block reap as Bench: one-shot queries leave
-      // localCheckpoint blocks pinned; across 185 queries the pile-up
-      // slows the whole gate (result is already written, nothing caches)
+      // localCheckpoint blocks and Iterate.pin caches pinned; across
+      // 193 queries the pile-up slows the whole gate (the result is
+      // already written, nothing needs to stay cached)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

@@ -208,9 +208,12 @@ object Dedup {
     * @return (doc_id, component) with component = min id reachable
     */
   def components(ids: DataFrame, pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint()
+    // pinned on the JOIN key y (each round joins labels on y): the
+    // cached partitioning keeps the evidence-edge frame in place every
+    // round — Iterate.pin documents why localCheckpoint would not
+    val (edges, _) = Iterate.pin(pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y"))),
+      col("y"))
     // The iteration runs ONLY over nodes that carry evidence edges — in a
     // dedup workload a sliver of the corpus — so per-round state scales
     // with |near-dup subgraph|, not |corpus|. Every untouched doc is its

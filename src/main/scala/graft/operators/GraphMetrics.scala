@@ -148,12 +148,12 @@ object GraphMetrics {
     *         edges from any seed, capped at `maxHops`; unreached nodes
     *         are absent. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // src-partitioned checkpoint, same discipline as labelProp/PageRank:
-    // the edge-sized frame exchanges ONCE here, then every round's
-    // shuffle-hash join streams it in place — only the frontier moves
+    // checkpointed once; each round's shuffle-hash join re-exchanges it
+    // on src (AQE checkpoints capture UnknownPartitioning — a build-time
+    // repartition would be discarded, so none is paid; the AQE-coalesced
+    // re-exchange measured cheaper than pinning, see Iterate.pin)
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
       .localCheckpoint()
     val obs0 = Observation()
     var visited = seeds.select(col("node")).distinct()
@@ -202,13 +202,14 @@ object GraphMetrics {
     *              internally
     * @return (node, community) after `rounds` synchronous updates */
   def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
-    // src-partitioned checkpoint + shuffle-hash joins: the edge-sized
-    // frame neither re-exchanges nor sorts in ANY round — only the
-    // node-sized label frame moves (the q186/PageRank discipline)
+    // checkpointed once; the shuffle-hash hint keeps every round's join
+    // sort-free. The edge frame DOES re-exchange on src per round — an
+    // AQE checkpoint captures UnknownPartitioning, so a build-time
+    // repartition buys nothing and is not paid; the AQE-coalesced
+    // re-exchange measured cheaper than the pinned forms (Iterate.pin)
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
-      .repartition(col("src"))
       .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
       .localCheckpoint()
@@ -309,16 +310,18 @@ object GraphMetrics {
     * @param edges directed (src, dst, weight)
     * @return (node, hub, auth), both rounded to 6 dp */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    // TWO checkpointed copies of the edge frame, each pre-partitioned
-    // on the key its half-step joins by: localCheckpoint preserves the
-    // hash partitioning, so every iteration's join streams the BIG side
-    // in place (shuffle-hash, no sort, no re-exchange) and only the
-    // node-sized score frame moves. One extra materialization up front
-    // buys `rounds`×2 exchange+sort-free joins.
-    val eSrc = edges.select(col("src"), col("dst"), col("weight"))
-      .repartition(col("src")).localCheckpoint()
-    val eDst = eSrc.repartition(col("dst")).localCheckpoint()
-    val e = eSrc
+    // ONE checkpointed edge frame serves both half-steps. (An earlier
+    // form kept TWO copies, each "pre-partitioned" on its half-step's
+    // key — but an AQE checkpoint captures UnknownPartitioning, so the
+    // second materialization bought nothing: both half-steps re-exchange
+    // the edge frame regardless, and the AQE-coalesced re-exchange
+    // measured cheaper than the partition-pinning forms; Iterate.pin
+    // documents that trade. shuffle_hash still keeps the joins
+    // sort-free.)
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint()
+    val eSrc = e
+    val eDst = e
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().localCheckpoint()
     // Scaling commutes through the linear half-steps, so the RAW power

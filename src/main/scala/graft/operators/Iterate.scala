@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Bounded-state iteration helper. Bulk-iterative operators here
   * (PageRank, label propagation, BFS, k-core) truncate lineage with
@@ -36,5 +37,44 @@ object Iterate {
     val cp = next.localCheckpoint() // eager: blocks exist before release
     prev.foreach(release)
     cp
+  }
+
+  /** Materialize a loop-INVARIANT frame pinned on `key`: repartition +
+    * eager localCheckpoint built with AQE momentarily OFF.
+    *
+    * Why: under AQE, `localCheckpoint` captures `UnknownPartitioning` —
+    * the adaptive plan's final partitioning is unresolved at capture
+    * time — so every per-round equi-join RE-EXCHANGED the checkpointed
+    * edge frame (verified empirically: `graft.PartProbe`; the
+    * pre-round-8 "pinned partition" comments were wrong at the
+    * physical-plan level). With AQE off for just the materializing
+    * action, the non-adaptive plan's `HashPartitioning(key)` is
+    * captured into the LogicalRDD, and downstream joins (planned with
+    * AQE back on) stream the frame in place: ONE exchange at fill time
+    * buys every round an exchange-free big side, with row-shaped
+    * checkpoint blocks. The cached-InMemoryRelation alternative also
+    * preserves partitioning but pays a columnar encode at fill and a
+    * decode EVERY round — measured slower than the exchange it saves
+    * at bench scale (PrAbProbe: cache-pin med 11.6 s vs 9.4 unpinned;
+    * cp-pin wins both). The conf flip is session-scoped and restored
+    * in a finally; loop operators run their setup single-threaded.
+    *
+    * The row count rides the materializing action as an observed
+    * metric (zero extra jobs). Use ONLY for static frames consumed by
+    * every round; rolling per-round state stays on [[roll]].
+    *
+    * @return the pinned frame and its row count */
+  def pin(df: DataFrame, key: Column): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqe = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val obs = Observation()
+      val p = df.repartition(key)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      (p, obs.get("n").asInstanceOf[Long])
+    } finally spark.conf.set(aqeKey, aqe)
   }
 }

@@ -45,11 +45,13 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      // frac is already hash-partitioned on src (the out-weight window
-      // exchange, preserved through localCheckpoint); the shuffle-hash
-      // hint keeps the join from planning sort-merge, which would
-      // re-SORT the edge-sized side every round — only the node-sized
-      // rank frame moves and hashes
+      // the checkpointed frac re-exchanges on src each round — under
+      // AQE a localCheckpoint captures UnknownPartitioning, so the
+      // window's src partitioning is NOT carried (see Iterate.pin; the
+      // partitioning-preserving pin forms were A/B-measured SLOWER here
+      // because AQE coalesces this re-exchange). The shuffle-hash hint
+      // still keeps the join from planning sort-merge, which would
+      // additionally SORT the edge-sized side every round
       ranks = frac.join(ranks.hint("shuffle_hash"),
           frac("src") === ranks("node"))
         .groupBy(col("dst"))
@@ -70,9 +72,12 @@ object PageRank {
     * a filter-aggregate producing the ONE-ROW dangling mass (broadcast
     * back — no extra wide shuffle) and a left join so nodes with no
     * in-edges still receive base + dangling share. The dangling FLAG is
-    * topology, computed once outside the loop; the node table is hash-
-    * partitioned on the join key before materializing so the per-round
-    * merge zips partitions instead of re-exchanging.
+    * topology, computed once outside the loop. (Note: the checkpointed
+    * node/edge frames DO re-exchange per round — AQE's checkpoint
+    * capture is UnknownPartitioning — and the A/B-measured verdict is
+    * that the AQE-coalesced re-exchange is cheaper at bench scale than
+    * either partitioning-preserving pin form; see [[Iterate.pin]] for
+    * the cluster-scale alternative and the numbers.)
     *
     * The dangling mass is harvested as an OBSERVED metric of the
     * per-round checkpoint (`Iterate.roll`) rather than a standalone
@@ -99,8 +104,9 @@ object PageRank {
       .distinct()
       .join(srcs, Seq("node"), "left")
       .select(col("node"), col("__has").isNull.as("dang"))
-      .repartition(col("node"))
-      .observe(nObs, count(lit(1)).as("n")) // n rides the checkpoint action
+      // no build-time repartition: an AQE checkpoint would discard the
+      // partitioning anyway (Iterate.pin); n rides the checkpoint action
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint()
     val n = nObs.get("n").asInstanceOf[Long]
     val base = (1.0 - damping) / n
@@ -112,8 +118,9 @@ object PageRank {
       .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      // same discipline as [[run]]: the edge-sized side stays put
-      // (src-partitioned checkpoint) and hashes, never sorts
+      // same discipline as [[run]]: hash join (never sort-merge); the
+      // per-round frac re-exchange is AQE-coalesced, measured cheaper
+      // here than pinning the partitioning (see [[Iterate.pin]])
       val contrib = frac.join(ranks.select("node", "rank")
             .hint("shuffle_hash"),
           frac("src") === col("node"))
@@ -173,8 +180,8 @@ object PageRank {
         Seq("node"), "left")
       .select(col("node"), col("__has").isNull.as("dang"),
         coalesce(col("__seed"), lit(false)).as("seed"))
-      .repartition(col("node"))
-      // n AND the seed count ride the one checkpoint action
+      // no build-time repartition (see [[runDirected]]); n AND the
+      // seed count ride the one checkpoint action
       .observe(nObs, count(lit(1)).as("n"),
         coalesce(sum(when(col("seed"), lit(1L))), lit(0L)).as("ns"))
       .localCheckpoint()
