@@ -132,9 +132,11 @@ object Bench {
       // squeeze execution memory (BENCH_r05's suite-wide spill churn).
       // Reap DETERMINISTICALLY between queries, OUTSIDE the timed
       // region: results are counted, no store keeps a cached RDD.
-      // clearCache() first — Iterate.pin frames are DataFrame caches,
-      // and dropping only their RDD blocks would leave stale
-      // CacheManager entries to shadow later identical plans.
+      // clearCache() first — defensive: no operator registers a
+      // DataFrame cache today, but if one ever does (Iterate.pin's
+      // rejected cache form, a future setup), dropping only RDD blocks
+      // would leave stale CacheManager entries shadowing later
+      // identical plans.
       // BLOCKING unpersist + a GC after every query: the async form
       // left an iterative query's blocks/broadcasts alive into its
       // successor (r7: q65 ran 0.65 s isolated but 30-50 s when it

@@ -26,7 +26,7 @@ object PrProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def reap(): Unit = {
-      spark.catalog.clearCache() // Iterate.pin frames are DF caches
+      spark.catalog.clearCache() // defensive; no DF caches registered today
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()

@@ -34,9 +34,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same deterministic block reap as Bench: one-shot queries leave
-      // localCheckpoint blocks and Iterate.pin caches pinned; across
-      // 193 queries the pile-up slows the whole gate (the result is
-      // already written, nothing needs to stay cached)
+      // localCheckpoint blocks pinned; across 193 queries the pile-up
+      // slows the whole gate (the result is already written, nothing
+      // needs to stay materialized). clearCache is defensive — no
+      // operator registers a DataFrame cache today.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -208,12 +208,14 @@ object Dedup {
     * @return (doc_id, component) with component = min id reachable
     */
   def components(ids: DataFrame, pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    // pinned on the JOIN key y (each round joins labels on y): the
-    // cached partitioning keeps the evidence-edge frame in place every
-    // round — Iterate.pin documents why localCheckpoint would not
-    val (edges, _) = Iterate.pin(pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y"))),
-      col("y"))
+    // checkpointed once; each round's join re-exchanges it on y (an AQE
+    // checkpoint captures UnknownPartitioning, and the A/B-measured
+    // verdict is that the AQE-coalesced re-exchange beats pinning at
+    // bench scale — see Iterate.pin). The frame is near-dup-sliver-
+    // sized, so the per-round exchange is small regardless.
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
     // The iteration runs ONLY over nodes that carry evidence edges — in a
     // dedup workload a sliver of the corpus — so per-round state scales
     // with |near-dup subgraph|, not |corpus|. Every untouched doc is its

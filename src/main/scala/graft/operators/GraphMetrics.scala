@@ -320,8 +320,6 @@ object GraphMetrics {
     // sort-free.)
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .localCheckpoint()
-    val eSrc = e
-    val eDst = e
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().localCheckpoint()
     // Scaling commutes through the linear half-steps, so the RAW power
@@ -347,14 +345,14 @@ object GraphMetrics {
     var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("auth"))
     var hubCp: Option[DataFrame] = None
     for (i <- 1 to rounds) {
-      auth = eSrc.join(hub.withColumnRenamed("node", "src")
+      auth = e.join(hub.withColumnRenamed("node", "src")
           .hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("weight") * col("hub")).as("auth"))
       // the FINAL frames are each consumed twice (L1 total + output
       // join): materialize them once so no half-step ever re-executes
       if (i == rounds) auth = auth.localCheckpoint()
-      hub = eDst.join(auth.select(col("node").as("dst"), col("auth"))
+      hub = e.join(auth.select(col("node").as("dst"), col("auth"))
           .hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("weight") * col("auth")).as("hub"))

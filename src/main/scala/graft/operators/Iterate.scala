@@ -52,29 +52,42 @@ object Iterate {
     * captured into the LogicalRDD, and downstream joins (planned with
     * AQE back on) stream the frame in place: ONE exchange at fill time
     * buys every round an exchange-free big side, with row-shaped
-    * checkpoint blocks. The cached-InMemoryRelation alternative also
-    * preserves partitioning but pays a columnar encode at fill and a
-    * decode EVERY round — measured slower than the exchange it saves
-    * at bench scale (PrAbProbe: cache-pin med 11.6 s vs 9.4 unpinned;
-    * cp-pin wins both). The conf flip is session-scoped and restored
-    * in a finally; loop operators run their setup single-threaded.
+    * checkpoint blocks.
+    *
+    * MEASURED VERDICT (quiet-window same-JVM alternating A/B,
+    * PrAbProbe, sf0.1 directed PageRank): the pins LOSE at bench
+    * scale — no-repartition checkpoint med 6.41 s < repartition+
+    * checkpoint 6.77 ≪ cache-pin ~10.7. With UnknownPartitioning AQE
+    * coalesces BOTH join sides to fewer partitions, worth more locally
+    * than the exchange a pin saves (and the cache form pays a columnar
+    * decode every round). So NO operator here uses pin by default; it
+    * exists, spec-gated, for cluster deployments where the per-round
+    * re-exchange is a NETWORK shuffle of the big frame and the trade
+    * flips — re-measure with the PrAbProbe protocol before adopting.
+    *
+    * Thread-safety: the AQE flip is a session-global read-modify-
+    * restore. Concurrent pin() calls are serialized on the session,
+    * but OTHER queries racing on the same session during the fill
+    * would plan without AQE — callers in a parallel driver should pin
+    * from a dedicated session.
     *
     * The row count rides the materializing action as an observed
     * metric (zero extra jobs). Use ONLY for static frames consumed by
     * every round; rolling per-round state stays on [[roll]].
     *
     * @return the pinned frame and its row count */
-  def pin(df: DataFrame, key: Column): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqe = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try {
-      val obs = Observation()
-      val p = df.repartition(key)
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint()
-      (p, obs.get("n").asInstanceOf[Long])
-    } finally spark.conf.set(aqeKey, aqe)
-  }
+  def pin(df: DataFrame, key: Column): (DataFrame, Long) =
+    df.sparkSession.synchronized {
+      val spark = df.sparkSession
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqe = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try {
+        val obs = Observation()
+        val p = df.repartition(key)
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        (p, obs.get("n").asInstanceOf[Long])
+      } finally spark.conf.set(aqeKey, aqe)
+    }
 }
