@@ -783,10 +783,14 @@ object SparkEntry {
     // df + tf in the same aggregate; min-df pruning drops the hapax tail
     // that dominates vocabulary size.
     "q65_vocabulary" -> ((s, d) => {
-      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      // per-doc tf is map-side (TermCounts): the old shape exploded one
+      // row per TOKEN and paid a (term, doc) exchange before the term
+      // rollup — now the only exchange is the term-key merge.
+      val tf = graft.functions.TextFunctions.termCounts(
+        graft.functions.TextFunctions.tokens(col("text")))
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("n"))
+        .select(explode(tf).as("tc"))
+        .select(col("tc.term").as("term"), col("tc.tf").as("n"))
         .groupBy("term").agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
         .where(col("df") >= 3)
     }),

@@ -111,6 +111,22 @@ object TextFunctions {
       array_min(transform(shingleSet, s => (a * hash31(s) + b) % HashMod))
     })
 
+  /** Per-document term frequencies `array<struct<term,tf>>` in
+    * first-occurrence order, one map-side pass over the token array —
+    * the postings unit for BM25-style inverted indexes without an
+    * `explode → groupBy(doc, term)` shuffle. Single-pass expression;
+    * tests assert equivalence with [[termCountsHof]]. */
+  def termCounts(toks: Column): Column =
+    expressions.TextHashExpressions.termCounts(toks)
+
+  /** HOF reference implementation of [[termCounts]] (O(distinct·n) per
+    * row — reference semantics only; `array_distinct` keeps
+    * first-occurrence order, matching the expression). */
+  def termCountsHof(toks: Column): Column =
+    transform(array_distinct(toks), t =>
+      struct(t.as("term"),
+        size(filter(toks, x => x === t)).cast("long").as("tf")))
+
   /** LSH band keys from a MinHash signature: bands of `rowsPerBand`
     * consecutive signature values, rendered "band:v1,v2,..," so equal keys
     * ⇔ equal band. Docs sharing ≥1 band key are near-dup candidates. */

@@ -170,6 +170,47 @@ case class RollingFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
 }
 
+/** Per-document term frequencies in ONE map-side pass:
+  * `array<struct<term,tf>>` in first-occurrence order (= the order
+  * `array_distinct` preserves, so the HOF reference matches exactly).
+  * Replaces the `explode → groupBy(doc, term)` shuffle of a postings
+  * build — at corpus scale that exchange moves one row per TOKEN; this
+  * moves nothing, and the downstream term-keyed join is the first
+  * shuffle the postings ever see. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      // copy out of the (possibly reused) unsafe row buffer before keying
+      val t = UTF8String.fromBytes(toks.getUTF8String(i).getBytes)
+      counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCounts = copy(child = c)
+}
+
 object TextHashExpressions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -178,4 +219,5 @@ object TextHashExpressions {
   def minhashSig(shingles: Column, perms: Int): Column = c(MinHashSig(e(shingles), perms))
   def simhash60(tokens: Column): Column = c(SimHash60(e(tokens)))
   def rollingFingerprint(tokens: Column): Column = c(RollingFingerprint(e(tokens)))
+  def termCounts(tokens: Column): Column = c(TermCounts(e(tokens)))
 }

@@ -40,14 +40,22 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** Token postings `(doc_id, term, tf)` with doc length `dl`. */
+  /** Token postings `(doc_id, term, tf, dl)` — ENTIRELY map-side: the
+    * per-doc term frequencies come from the single-pass
+    * [[TextFunctions.termCounts]] expression (docs arrive one row per
+    * document, so tf needs no cross-row aggregation) and `dl` is the
+    * token count of the row. The previous shape paid an
+    * `explode → groupBy(doc, term)` exchange of one row per TOKEN plus a
+    * second `Window.partitionBy(doc)` exchange for dl; now the first
+    * shuffle the postings ever see is the term-keyed consumer join. */
   def postings(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(TextFunctions.termCounts(col("__toks"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"), col("dl"))
 
   /** Top-k docs per keyword query. `queries` = (query_id, query_text);
     * query terms are the DISTINCT tokens of the query text. Output

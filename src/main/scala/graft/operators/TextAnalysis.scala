@@ -271,17 +271,20 @@ object TextAnalysis {
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** Per-document TF-IDF keywords: top `k` terms by tf·idf with
-    * idf = ln((N+1)/(df+1)). One term-key shuffle builds df (the q65
-    * vocabulary aggregate); the same exchange feeds the tf⋈df join
-    * (both sides partitioned by term), then one doc-key window ranks
-    * with WindowGroupLimit. N rides along as a broadcast scalar.
-    * Deterministic tie order (score DESC, term ASC). */
+    * idf = ln((N+1)/(df+1)). Per-doc tf is MAP-SIDE (the single-pass
+    * [[graft.functions.TextFunctions.termCounts]] expression — docs are
+    * one row each, so no cross-row aggregation; the old
+    * `explode → groupBy(doc, term)` exchange moved the corpus token
+    * stream). One term-key shuffle builds df and feeds the tf⋈df join,
+    * then one doc-key window ranks with WindowGroupLimit. N rides along
+    * as a broadcast scalar. Deterministic tie order (score DESC,
+    * term ASC). */
   def keywords(docs: DataFrame, k: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
-    val tf = base.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(termCounts(tokens(col(textCol)))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(df, Seq("term"))
@@ -379,14 +382,18 @@ object TextAnalysis {
     * overflows past ~5·10¹¹ occurrences of ONE term in ONE slice; raise
     * the grid or widen to decimal beyond that.
     *
-    * Scale: explode → one (slice, term) count shuffle → one slice-level
-    * fold. The widest frame is the vocabulary, same as [[keywords]].
+    * Scale: per-doc tf map-side ([[graft.functions.TextFunctions.termCounts]]
+    * — the token stream never materializes as rows), one (slice, term)
+    * sum shuffle, one slice-level fold. The widest frame is the
+    * vocabulary, same as [[keywords]].
     *
     * @return (sliceCol, n_tokens, n_types, ttr, entropy_bits). */
   def sliceEntropy(docs: DataFrame, sliceCol: String,
                    textCol: String = "text"): DataFrame =
-    docs.select(col(sliceCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(sliceCol, "term").agg(count(lit(1)).as("c"))
+    docs.select(col(sliceCol),
+        explode(termCounts(tokens(col(textCol)))).as("tc"))
+      .select(col(sliceCol), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .groupBy(sliceCol, "term").agg(sum(col("tf")).as("c"))
       .groupBy(sliceCol)
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"),

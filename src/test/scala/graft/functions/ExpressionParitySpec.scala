@@ -66,6 +66,21 @@ class ExpressionParitySpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("termCounts expression == array_distinct/filter HOF on real docs") {
+    val toks = tokens(col("text"))
+    val diff = docs.select(termCounts(toks).as("x"), termCountsHof(toks).as("y"))
+      .where(col("x") =!= col("y"))
+    assert(diff.count() == 0)
+  }
+
+  test("termCounts: empty and null token arrays") {
+    val df = spark.createDataFrame(Seq(Tuple1(""), Tuple1("a b a")))
+      .toDF("text")
+    val rows = df.select(termCounts(tokens(col("text"))).as("tc"))
+      .select(size(col("tc"))).collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(0, 2))
+  }
+
   test("minhashSig of empty shingle set is empty (not nulls)") {
     val row = spark.sql("SELECT array()").select(
       minhashSig(col("array()").cast("array<string>"), 8).as("s"))

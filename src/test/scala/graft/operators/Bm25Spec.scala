@@ -50,6 +50,23 @@ class Bm25Spec extends SparkTestBase {
     assert(Bm25.topK(corpus, q, 10, maxDf = 2L).count() == 0)
   }
 
+  test("postings build is fully map-side: zero exchanges before the term consumers") {
+    val p = Bm25.postings(corpus).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"postings should not shuffle:\n$p")
+  }
+
+  test("postings tf/dl equal the explode-groupBy reference shape") {
+    import graft.functions.TextFunctions
+    val ref = corpus.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val got = Bm25.postings(corpus)
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+    assert(got.count() == ref.count())
+  }
+
   test("excludeSelf drops the query doc when query ids are doc ids") {
     val q = corpus.where(col("doc_id") === 0)
       .select(col("doc_id").as("query_id"), col("text").as("query_text"))
