@@ -32,10 +32,14 @@ object NaiveBayes {
     * semi-join "optimization" may drop them. */
   def classify(train: DataFrame, test: DataFrame, idCol: String,
                textCol: String, classCol: String): DataFrame = {
+    // per-doc token multiplicities are map-side (TermCounts — docs are
+    // one row each); only the distinct (doc, tok) rows reach the
+    // class-level merge instead of one row per token occurrence
     val trainToks = train.select(col(classCol).as("cls"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val counts = trainToks.groupBy("cls", "tok")
-      .agg(count(lit(1)).as("c"))
+      explode(TextFunctions.termCounts(
+        TextFunctions.tokens(col(textCol)))).as("tc"))
+    val counts = trainToks.groupBy(col("cls"), col("tc.term").as("tok"))
+      .agg(sum(col("tc.tf")).as("c"))
     val totals = counts.groupBy("cls").agg(sum("c").as("t"))
     val vocab = counts.select("tok").distinct()
       .agg(count(lit(1)).as("v"))
@@ -48,16 +52,22 @@ object NaiveBayes {
         floor(log(col("nd").cast("double") / col("ntot").cast("double"))
           * lit(1e9) + lit(0.5)).cast("long").as("prior_n"))
     val testToks = test.select(col(idCol), col(classCol).as("actual"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    // every test token meets every class: left join the count table so
-    // unseen (class, token) pairs fall back to the Laplace floor
+        explode(TextFunctions.termCounts(
+          TextFunctions.tokens(col(textCol)))).as("tc"))
+      .select(col(idCol), col("actual"),
+        col("tc.term").as("tok"), col("tc.tf").as("mult"))
+    // every DISTINCT test token meets every class: left join the count
+    // table so unseen (class, token) pairs fall back to the Laplace
+    // floor. Multiplicity folds as mult·ll_n — a sum of `mult` copies of
+    // the IDENTICAL snapped long, so the document score is bit-equal to
+    // the per-occurrence sum it replaces.
     val scoredToks = testToks
       .join(broadcast(classConst.select("cls", "t", "v")))
       .join(counts, Seq("cls", "tok"), "left_outer")
       .select(col(idCol), col("actual"), col("cls"),
-        floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+        (col("mult") * floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           (col("t") + col("v")).cast("double")) * lit(1e9) + lit(0.5))
-          .cast("long").as("ll_n"))
+          .cast("long")).as("ll_n"))
     val docScores = scoredToks.groupBy(col(idCol), col("actual"), col("cls"))
       .agg(sum("ll_n").as("ll_sum"))
       .join(broadcast(classConst.select("cls", "prior_n")), Seq("cls"))
