@@ -64,6 +64,16 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected map-side plan, got $exchanges exchanges:\n$p")
   }
 
+  test("q65 vocabulary pays ONE hash exchange (per-doc tf is map-side)") {
+    // TermCounts folded the (term, doc) pre-aggregate into the scan; the
+    // only shuffle left is the term-key merge (fan-out repartition, if
+    // present, is RoundRobin — not counted).
+    val p = SparkEntry.queries("q65_vocabulary")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 1, s"expected one term exchange, got $ex:\n$p")
+  }
+
   test("round-4 joins stay keyed: no cartesian/NLJ in q83/q84/q86/q91") {
     for (q <- Seq("q83_interval_join", "q84_negative_sample",
         "q86_dup_spans", "q91_zorder")) {
