@@ -785,7 +785,9 @@ object SparkEntry {
     "q65_vocabulary" -> ((s, d) => {
       // per-doc tf is map-side (TermCounts): the old shape exploded one
       // row per TOKEN and paid a (term, doc) exchange before the term
-      // rollup — now the only exchange is the term-key merge.
+      // rollup — now the only exchange is the term-key merge. df counts
+      // doc ROWS per term, so this leans on doc_id being unique (it is:
+      // documents' primary key).
       val tf = graft.functions.TextFunctions.termCounts(
         graft.functions.TextFunctions.tokens(col("text")))
       Tables.documents(s, d)

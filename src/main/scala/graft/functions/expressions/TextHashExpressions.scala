@@ -172,11 +172,15 @@ case class RollingFingerprint(child: Expression)
 
 /** Per-document term frequencies in ONE map-side pass:
   * `array<struct<term,tf>>` in first-occurrence order (= the order
-  * `array_distinct` preserves, so the HOF reference matches exactly).
-  * Replaces the `explode → groupBy(doc, term)` shuffle of a postings
-  * build — at corpus scale that exchange moves one row per TOKEN; this
-  * moves nothing, and the downstream term-keyed join is the first
-  * shuffle the postings ever see. */
+  * `array_distinct` preserves, so the HOF reference matches exactly on
+  * null-free arrays — `tokens()` never emits null elements; a null
+  * element here is SKIPPED, where the HOF would emit a degenerate
+  * `(null, 0)` placeholder). Replaces the `explode → groupBy(doc, term)`
+  * shuffle of a postings build — at corpus scale that exchange moves one
+  * row per TOKEN; this moves nothing, and the downstream term-keyed join
+  * is the first shuffle the postings ever see. Callers own the
+  * one-row-per-document precondition: rows sharing an id do NOT merge
+  * (the groupBy shape did). */
 case class TermCounts(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -192,9 +196,16 @@ case class TermCounts(child: Expression)
     val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 0
     while (i < m) {
-      // copy out of the (possibly reused) unsafe row buffer before keying
-      val t = UTF8String.fromBytes(toks.getUTF8String(i).getBytes)
-      counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val prev = counts.get(t)
+        // copy out of the (possibly reused) unsafe row buffer only on
+        // FIRST insert — lookups hash/compare by content, so the
+        // borrowed reference is safe within this eval, and updates keep
+        // the map's existing (copied) key
+        if (prev == null) counts.put(UTF8String.fromBytes(t.getBytes), 1L)
+        else counts.put(t, prev + 1L)
+      }
       i += 1
     }
     val out = new Array[Any](counts.size())

@@ -47,7 +47,9 @@ object Bm25 {
     * token count of the row. The previous shape paid an
     * `explode → groupBy(doc, term)` exchange of one row per TOKEN plus a
     * second `Window.partitionBy(doc)` exchange for dl; now the first
-    * shuffle the postings ever see is the term-keyed consumer join. */
+    * shuffle the postings ever see is the term-keyed consumer join.
+    * Precondition: one row per document — rows sharing an id no longer
+    * merge (the groupBy shape coincidentally did). */
   def postings(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),

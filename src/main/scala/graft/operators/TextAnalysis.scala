@@ -275,16 +275,21 @@ object TextAnalysis {
     * [[graft.functions.TextFunctions.termCounts]] expression — docs are
     * one row each, so no cross-row aggregation; the old
     * `explode → groupBy(doc, term)` exchange moved the corpus token
-    * stream). One term-key shuffle builds df and feeds the tf⋈df join,
-    * then one doc-key window ranks with WindowGroupLimit. N rides along
-    * as a broadcast scalar. Deterministic tie order (score DESC,
-    * term ASC). */
+    * stream). tf feeds TWO consumers (the df aggregate and the scoring
+    * join) with no shared exchange left to reuse, so it materializes
+    * once — same single-tokenize discipline as [[Bm25.topK]]'s postings.
+    * One term-key shuffle builds df and feeds the tf⋈df join, then one
+    * doc-key window ranks with WindowGroupLimit. N rides along as a
+    * broadcast scalar. Deterministic tie order (score DESC, term ASC).
+    * Precondition (same as Bm25.postings): one row per document —
+    * duplicate ids no longer merge. */
   def keywords(docs: DataFrame, k: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(termCounts(tokens(col(textCol)))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(df, Seq("term"))

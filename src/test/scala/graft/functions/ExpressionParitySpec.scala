@@ -73,12 +73,23 @@ class ExpressionParitySpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
-  test("termCounts: empty and null token arrays") {
+  test("termCounts: empty array, null input, and null elements") {
+    // empty token array → empty result; counts fold multiplicity
     val df = spark.createDataFrame(Seq(Tuple1(""), Tuple1("a b a")))
       .toDF("text")
-    val rows = df.select(termCounts(tokens(col("text"))).as("tc"))
+    val sizes = df.select(termCounts(tokens(col("text"))).as("tc"))
       .select(size(col("tc"))).collect().map(_.getInt(0)).sorted
-    assert(rows.toSeq == Seq(0, 2))
+    assert(sizes.toSeq == Seq(0, 2))
+    // null input array → null output (null-intolerant, like the HOF)
+    val nullIn = spark.sql("SELECT cast(null as array<string>) AS a")
+      .select(termCounts(col("a")).as("tc"))
+    assert(nullIn.collect().head.isNullAt(0))
+    // null ELEMENTS are skipped (tokens() never emits them; the HOF
+    // would emit a degenerate (null, 0) placeholder instead)
+    val nullElem = spark.sql("SELECT array('a', cast(null as string), 'a') AS a")
+      .select(termCounts(col("a")).as("tc")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(nullElem.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L)))
   }
 
   test("minhashSig of empty shingle set is empty (not nulls)") {
