@@ -236,8 +236,15 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // SPARK_GRAFT_NO_ARTIFACT=1: skip the cwd artifact — ad-hoc probe
-    // runs from the repo root would clobber the committed driver file
-    if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACT"))
+    // runs from the repo root would clobber the committed driver file.
+    // Belt-and-braces (a probe DID clobber it once, and the flag only
+    // helps when remembered): a SUBSET run from a repo checkout (.git in
+    // cwd) never writes either. Forked children run subsets in temp
+    // cwds (no .git) and MUST write — the file is their result channel;
+    // the driver's full-suite run sets no SPARK_GRAFT_QUERIES.
+    val subsetInRepo = sys.env.contains("SPARK_GRAFT_QUERIES") &&
+      Files.exists(Paths.get(".git"))
+    if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACT") && !subsetInRepo)
       try Files.writeString(Paths.get("BENCH_FULL.json"),
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
       catch { case _: Throwable => () }

@@ -230,4 +230,28 @@ class PropertiesSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("termCounts == HOF reference and conserves the token total, any token array") {
+    import graft.functions.TextFunctions
+    // arbitrary short lowercase tokens with heavy collision probability,
+    // so multiplicities > 1 are common
+    val arrGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 3).flatMap(l =>
+        Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))))
+    val rows = sample(arrGen, 150).zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }
+    val df = spark.createDataFrame(rows).toDF("id", "toks")
+    // bit-exact parity with the pure-built-in reference
+    val diff = df.select(TextFunctions.termCounts(col("toks")).as("x"),
+        TextFunctions.termCountsHof(col("toks")).as("y"))
+      .where(col("x") =!= col("y"))
+    assert(diff.count() == 0)
+    // conservation: Σ tf == token count, distinct terms == array_distinct
+    val bad = df.select(size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).as("u"),
+        TextFunctions.termCounts(col("toks")).as("tc"))
+      .withColumn("tfsum", aggregate(col("tc"), lit(0L), (a, x) => a + x.getField("tf")))
+      .where(col("tfsum") =!= col("n") || size(col("tc")) =!= col("u"))
+    assert(bad.count() == 0)
+  }
 }
