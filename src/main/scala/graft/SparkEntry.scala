@@ -1378,11 +1378,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val keep = Dedup.keepList(docs, 3, 16, 8, 0.5)
         .select(col("doc_id"), col("is_kept").as("canonical"))
-      val lang = TextAnalysis.langId(docs)
-        .select(col("doc_id"), (col("pred_lang") === "en").as("lang_ok"))
-      val qual = TextAnalysis.qualityScore(docs)
-        .select(col("doc_id"), (col("quality") >= 0.5).as("quality_ok"))
-      keep.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+      // lang + quality in ONE corpus pass (surfaceGate, the q90 fusion —
+      // identical columns by construction), one join instead of two
+      val gate = TextAnalysis.surfaceGate(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("lang_ok"),
+          (col("quality") >= 0.5).as("quality_ok"))
+      keep.join(gate, Seq("doc_id"))
         .withColumn("kept", col("canonical") && col("lang_ok") && col("quality_ok"))
     }),
 
