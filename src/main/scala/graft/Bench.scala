@@ -239,11 +239,17 @@ object Bench {
     // runs from the repo root would clobber the committed driver file.
     // Belt-and-braces (a probe DID clobber it once, and the flag only
     // helps when remembered): a SUBSET run from a repo checkout (.git in
-    // cwd) never writes either. Forked children run subsets in temp
-    // cwds (no .git) and MUST write — the file is their result channel;
-    // the driver's full-suite run sets no SPARK_GRAFT_QUERIES.
-    val subsetInRepo = sys.env.contains("SPARK_GRAFT_QUERIES") &&
+    // cwd) never writes either — keyed on the RESOLVED list covering the
+    // registry, not on env-var presence, so a wrapper that passes the
+    // full 193 names explicitly still records its run. Forked children
+    // run subsets in temp cwds (no .git) and MUST write — the file is
+    // their result channel; the driver's full-suite run sets no
+    // SPARK_GRAFT_QUERIES. The skip is announced on stderr: a silent
+    // skip leaves yesterday's numbers in the file looking fresh.
+    val subsetInRepo = names.toSet != SparkEntry.queries.keySet &&
       Files.exists(Paths.get(".git"))
+    if (subsetInRepo)
+      System.err.println("[bench] subset run in a repo checkout: NOT writing BENCH_FULL.json")
     if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACT") && !subsetInRepo)
       try Files.writeString(Paths.get("BENCH_FULL.json"),
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")

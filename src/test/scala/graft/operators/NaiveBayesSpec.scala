@@ -55,11 +55,21 @@ class NaiveBayesSpec extends SparkTestBase {
     // repetition-heavy doc are stable under token order permutation
     // (sum of identical longs is order-free and multiplicity-exact).
     val test = Seq((600L, "the the the cat katze", "en"),
-      (601L, "katze the the the cat", "en")).toDF("doc_id", "text", "lang")
+      (601L, "katze the the the cat", "en"),
+      // the discriminating pair: priors are equal (4 docs each), and
+      // with the planted counts (katze: de 2+1/43, en 0+1/46; the:
+      // en 5+1/46, de 0+1/43) 'katze katze the' scores de −9.09 vs
+      // en −9.69 ONLY when tf is honored — clamp tf to 1 (the
+      // multiplicity bug this test exists to catch) and the distinct
+      // set {katze, the} flips it to en (−5.87 vs −6.42)
+      (700L, "katze katze the", "de"),
+      (701L, "the katze katze", "de")).toDF("doc_id", "text", "lang")
     val out = NaiveBayes.classify(planted, test, "doc_id", "text", "lang")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(600L) == out(601L))
     assert(out(600L) == "en") // 3x 'the' (en-heavy) must outvote 1x 'katze'
+    assert(out(700L) == "de") // multiplicity-sensitive: en if tf clamped
+    assert(out(701L) == out(700L))
   }
 
   test("classification is partition-invariant (fixed-point log sums)") {
