@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Reproduce the BENCH_ISOLATED protocol: ONE fresh JVM per query,
+warm mode (each query runs twice in its JVM, the SECOND time is
+reported), 1-min load recorded before each run so window contamination
+is diagnosable from the artifact alone (this box shows bursty
+hypervisor-level interference — see BENCH_ISOLATED_r8.json's notes).
+
+Usage:
+  tools/isolated_bench.py [-o out.json] [--sf DIR] [query ...]
+
+With no queries named, runs the harness's heavy list (kept in sync by
+hand with graft.Bench.heavyQueries — the authoritative copy lives
+there so the fork packer and this script never disagree silently:
+a name here that Bench drops shows up as a missing timing line).
+
+Driver-side tooling (python3), like tools/compare.py — not a repo dep.
+"""
+import argparse, json, os, re, subprocess, sys, time
+
+# mirror of graft.Bench.heavyQueries (Bench.scala) — update both together
+HEAVY = [
+    "q14_ngram_jaccard", "q33_brp_pairs", "q44_dedup_keep",
+    "q53_corpus_filter", "q63_pagerank", "q94_pagerank_directed",
+    "q98_rag_retrieve", "q102_triangles", "q114_als_mf",
+    "q119_feature_hash", "q127_kcore", "q130_lsh_quality",
+    "q144_bfs_hops", "q149_ppr", "q163_label_prop", "q165_user_knn",
+    "q167_freq_triples", "q169_retract_agg", "q178_assortativity",
+    "q179_brand_modularity", "q185_kmv_intersect", "q186_hits",
+    "q193_twohop",
+]
+
+def load1():
+    return os.getloadavg()[0]
+
+def run_one(name, sfdir):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sfdir,
+               SPARK_GRAFT_QUERIES=name,
+               SPARK_GRAFT_WARM="1",
+               SPARK_GRAFT_NO_ARTIFACT="1")
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        env=env, capture_output=True, text=True).stdout + "\n"
+    # the per-query stderr line is merged into stdout by sbt; the final
+    # JSON line carries the reported (second/warm) time under the short key
+    m = None
+    for line in out.splitlines():
+        if '"metric"' in line:
+            j = json.loads(line[line.index("{"):])
+            short = name.split("_")[0]
+            m = j["queries"].get(short)
+    return m, out
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--out", default="/tmp/isolated_bench.json")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="*")
+    a = ap.parse_args()
+    names = a.queries or HEAVY
+    res, loads, t0 = {}, {}, time.time()
+    for n in names:
+        loads[n] = round(load1(), 2)
+        sec, raw = run_one(n, a.sf)
+        if sec is None:
+            print(f"[isolated] {n}: NO TIMING LINE (unknown name or crash)",
+                  file=sys.stderr)
+            print(raw[-2000:], file=sys.stderr)
+            continue
+        res[n] = sec
+        print(f"[isolated] {n:28s} {sec:7.2f} s  (load1 at start {loads[n]})")
+    art = {
+        "sf": a.sf,
+        "mode": "ONE fresh JVM per query, SPARK_GRAFT_WARM=1 (second run "
+                "reported); load1 sampled before each JVM start",
+        "wall_s": round(time.time() - t0, 1),
+        "queries": res,
+        "load1_at_start": loads,
+    }
+    with open(a.out, "w") as f:
+        json.dump(art, f, indent=1)
+        f.write("\n")
+    print(f"[isolated] wrote {a.out}")
+
+if __name__ == "__main__":
+    main()
