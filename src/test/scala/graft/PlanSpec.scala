@@ -254,6 +254,17 @@ class PlanSpec extends SparkTestBase {
     assert(!joinAbove, s"pair-sized frame must not be joined post-expansion:\n$p")
   }
 
+  test("q53 fused corpus gate: at most two parquet scans of documents") {
+    // the lang+quality arms ride ONE surfaceGate pass (the unfused
+    // form joined two separate frames, each re-scanning and
+    // re-tokenizing the corpus); with keepList's own pass that is two
+    // document scans total — a third appearing here means an arm has
+    // fallen back off the fused projection
+    val p = planOf("q53_corpus_filter")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"fused gate should scan documents <= 2x, saw $scans:\n$p")
+  }
+
   test("q177 survival: windows sort the duration frame, not subjects") {
     // the per-subject reduction (groupBy custkey) must happen BEFORE any
     // window; the windows are over the distinct-duration frame
