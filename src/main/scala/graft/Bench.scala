@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   *    reap between queries.
   *
   * Env: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS, SPARK_GRAFT_QUERIES
-  * (comma subset), SPARK_GRAFT_WARM=1 (run twice, report 2nd),
+  * (comma subset), SPARK_GRAFT_WARM=N (1 untimed warmup then N timed
+  * runs, report the MIN; N=1 ≡ the historical run-twice-report-2nd),
   * SPARK_GRAFT_FORK=<chunk size; 0 disables forking>.
   */
 object Bench {
@@ -116,16 +117,27 @@ object Bench {
       // measures (pre-built index, timed queries).
       try SparkEntry.setups.get(name).foreach(_(spark, sfDir))
       catch { case _: Throwable => () }
-      // SPARK_GRAFT_WARM=1: run twice, report the SECOND time — the
-      // warm number for BENCH_ISOLATED (codegen/broadcast/footer costs
-      // paid by run 1, so run 2 isolates steady-state plan cost).
-      val runs = if (sys.env.contains("SPARK_GRAFT_WARM")) 2 else 1
-      val dt = (1 to runs).map { _ =>
+      // SPARK_GRAFT_WARM=N: one untimed warmup run (codegen/broadcast/
+      // footer costs), then N timed runs, report the MINIMUM — N=1 is
+      // the historical "run twice, report the second" protocol exactly.
+      // N>1 exists because this box shows bursty hypervisor-level
+      // interference at the seconds scale (BENCH_ISOLATED_r8 notes):
+      // the min over in-JVM repeats is the cheapest estimator of plan
+      // cost that a transient burst can only raise, never lower. The
+      // full sample vector goes to stderr so the artifact can carry it.
+      val warmRuns = sys.env.get("SPARK_GRAFT_WARM")
+        .map(v => scala.util.Try(v.toInt).getOrElse(1).max(1))
+      val samples = (1 to (1 + warmRuns.getOrElse(0))).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.last
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      }
+      val timed = if (warmRuns.isDefined) samples.tail else samples
+      val dt = timed.min
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
+        (if (timed.size > 1)
+           timed.map(s => f"$s%.2f").mkString("  (samples: ", " ", ")")
+         else ""))
       // Dead localCheckpoint/broadcast blocks are reaped by the
       // ContextCleaner only after a GC proves them unreachable; across
       // a long suite they otherwise pile up in the block manager and

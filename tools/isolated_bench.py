@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Reproduce the BENCH_ISOLATED protocol: ONE fresh JVM per query,
-warm mode (each query runs twice in its JVM, the SECOND time is
-reported), 1-min load recorded before each run so window contamination
-is diagnosable from the artifact alone (this box shows bursty
-hypervisor-level interference — see BENCH_ISOLATED_r8.json's notes).
+warm mode (1 untimed warmup, then --warm timed in-JVM runs; the MIN is
+reported and the full sample vector is kept), 1-min load recorded
+before each run so window contamination is diagnosable from the
+artifact alone (this box shows bursty hypervisor-level interference —
+see BENCH_ISOLATED_r8.json's notes; a burst can only RAISE a sample,
+so min-over-repeats converges on plan cost from above).
 
 Usage:
   tools/isolated_bench.py [-o out.json] [--sf DIR] [query ...]
@@ -32,49 +34,64 @@ HEAVY = [
 def load1():
     return os.getloadavg()[0]
 
-def run_one(name, sfdir):
+def run_one(name, sfdir, warm):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_QUERIES=name,
-               SPARK_GRAFT_WARM="1",
+               SPARK_GRAFT_WARM=str(warm),
                SPARK_GRAFT_NO_ARTIFACT="1")
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         env=env, capture_output=True, text=True).stdout + "\n"
     # the per-query stderr line is merged into stdout by sbt; the final
-    # JSON line carries the reported (second/warm) time under the short key
-    m = None
+    # JSON line carries the reported (min-of-warm) time under the short
+    # key, and the [bench] stderr line carries the full sample vector
+    m, samples = None, None
     for line in out.splitlines():
         if '"metric"' in line:
             j = json.loads(line[line.index("{"):])
             short = name.split("_")[0]
             m = j["queries"].get(short)
-    return m, out
+        sm = re.search(r"\[bench\] \S+ .*\(samples: ([0-9. ]+)\)", line)
+        if sm:
+            samples = [float(x) for x in sm.group(1).split()]
+    return m, samples, out
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--out", default="/tmp/isolated_bench.json")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--warm", type=int, default=3,
+                    help="timed in-JVM runs per query (min reported); "
+                         "1 = the historical run-twice-report-2nd")
     ap.add_argument("queries", nargs="*")
     a = ap.parse_args()
     names = a.queries or HEAVY
-    res, loads, t0 = {}, {}, time.time()
+    res, loads, vecs, t0 = {}, {}, {}, time.time()
     for n in names:
         loads[n] = round(load1(), 2)
-        sec, raw = run_one(n, a.sf)
+        sec, samples, raw = run_one(n, a.sf, a.warm)
         if sec is None:
             print(f"[isolated] {n}: NO TIMING LINE (unknown name or crash)",
                   file=sys.stderr)
             print(raw[-2000:], file=sys.stderr)
             continue
         res[n] = sec
-        print(f"[isolated] {n:28s} {sec:7.2f} s  (load1 at start {loads[n]})")
+        if samples:
+            vecs[n] = samples
+        tail = f"  samples {samples}" if samples else ""
+        print(f"[isolated] {n:28s} {sec:7.2f} s  (load1 at start "
+              f"{loads[n]}){tail}")
     art = {
         "sf": a.sf,
-        "mode": "ONE fresh JVM per query, SPARK_GRAFT_WARM=1 (second run "
-                "reported); load1 sampled before each JVM start",
+        "mode": f"ONE fresh JVM per query, SPARK_GRAFT_WARM={a.warm} (1 "
+                "untimed warmup then N timed in-JVM runs, MIN reported — "
+                "min over repeats is the estimator this box's bursty "
+                "hypervisor interference can only raise, never lower); "
+                "load1 sampled before each JVM start",
         "wall_s": round(time.time() - t0, 1),
         "queries": res,
+        "samples": vecs,
         "load1_at_start": loads,
     }
     with open(a.out, "w") as f:
