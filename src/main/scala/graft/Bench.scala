@@ -127,16 +127,27 @@ object Bench {
       // full sample vector goes to stderr so the artifact can carry it.
       val warmRuns = sys.env.get("SPARK_GRAFT_WARM")
         .map(v => scala.util.Try(v.toInt).getOrElse(1).max(1))
+      // A FAILED run records +Infinity, not its elapsed-to-failure time:
+      // the min estimator's rationale (interference can only RAISE a
+      // sample) inverts for failures, which can only LOWER one — a 0.3 s
+      // OOM must never beat a 45 s success. All-runs-failed reports the
+      // last failure's elapsed time so the artifact line stays finite
+      // and the [bench] line carries the FAILED marker.
       val samples = (1 to (1 + warmRuns.getOrElse(0))).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val el = (System.nanoTime() - t0) / 1e9
+        if (ok) el else Double.PositiveInfinity
       }
       val timed = if (warmRuns.isDefined) samples.tail else samples
       val dt = timed.min
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
+      val reported = if (dt.isInfinity) -1.0 else dt
+      System.err.println(f"[bench] $name%-24s $reported%8.2f s" +
+        (if (dt.isInfinity) "  FAILED (all runs threw)" else "") +
         (if (timed.size > 1)
-           timed.map(s => f"$s%.2f").mkString("  (samples: ", " ", ")")
+           timed.map(s => if (s.isInfinity) "fail" else f"$s%.2f")
+             .mkString("  (samples: ", " ", ")")
          else ""))
       // Dead localCheckpoint/broadcast blocks are reaped by the
       // ContextCleaner only after a GC proves them unreachable; across
@@ -157,7 +168,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      name -> dt
+      name -> reported
     }
   }
 

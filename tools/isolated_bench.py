@@ -10,26 +10,29 @@ so min-over-repeats converges on plan cost from above).
 Usage:
   tools/isolated_bench.py [-o out.json] [--sf DIR] [query ...]
 
-With no queries named, runs the harness's heavy list (kept in sync by
-hand with graft.Bench.heavyQueries — the authoritative copy lives
-there so the fork packer and this script never disagree silently:
-a name here that Bench drops shows up as a missing timing line).
+With no queries named, runs the harness's heavy list, parsed from
+graft.Bench.heavyQueries in Bench.scala at startup — one authoritative
+copy, so the fork packer and this script cannot disagree in either
+direction (a stale hand mirror silently skipped queries ADDED to the
+Scala list).
 
 Driver-side tooling (python3), like tools/compare.py — not a repo dep.
 """
 import argparse, json, os, re, subprocess, sys, time
 
-# mirror of graft.Bench.heavyQueries (Bench.scala) — update both together
-HEAVY = [
-    "q14_ngram_jaccard", "q33_brp_pairs", "q44_dedup_keep",
-    "q53_corpus_filter", "q63_pagerank", "q94_pagerank_directed",
-    "q98_rag_retrieve", "q102_triangles", "q114_als_mf",
-    "q119_feature_hash", "q127_kcore", "q130_lsh_quality",
-    "q144_bfs_hops", "q149_ppr", "q163_label_prop", "q165_user_knn",
-    "q167_freq_triples", "q169_retract_agg", "q178_assortativity",
-    "q179_brand_modularity", "q185_kmv_intersect", "q186_hits",
-    "q193_twohop",
-]
+BENCH_SCALA = os.path.join(os.path.dirname(__file__), "..",
+                           "src", "main", "scala", "graft", "Bench.scala")
+
+def heavy_list():
+    """Parse graft.Bench.heavyQueries out of Bench.scala — the single
+    authoritative copy. A hand-kept mirror here only detected drift in
+    one direction (a Scala-side rename produced a missing-timing-line
+    error, but a Scala-side ADDITION was silently never benched)."""
+    src = open(BENCH_SCALA).read()
+    m = re.search(r"heavyQueries\s*=\s*Seq\((.*?)\)", src, re.S)
+    names = re.findall(r'"(q\w+)"', m.group(1))
+    assert len(names) >= 20, f"heavyQueries parse looks wrong: {names}"
+    return names
 
 def load1():
     return os.getloadavg()[0]
@@ -66,7 +69,7 @@ def main():
                          "1 = the historical run-twice-report-2nd")
     ap.add_argument("queries", nargs="*")
     a = ap.parse_args()
-    names = a.queries or HEAVY
+    names = a.queries or heavy_list()
     res, loads, vecs, t0 = {}, {}, {}, time.time()
     for n in names:
         loads[n] = round(load1(), 2)
