@@ -225,10 +225,20 @@ object Bench {
     // how much JVM context any query accumulates before it is timed
     val chunkSize = sys.env.get("SPARK_GRAFT_FORK").map(_.toInt).getOrElse(6)
     lazy val spark = mkSession() // only created if some chunk runs here
+    // 1-min load sampled before each chunk, kept in the cwd artifact
+    // only (stdout line schema unchanged): the box shows bursty
+    // co-tenant storms (BENCH_ISOLATED_r8 notes), and a storm-hit suite
+    // run should be diagnosable from the artifact alone — a chunk whose
+    // queries all inflated 3x against their isolated rows under a
+    // load1=15 start is window contamination, not regression.
+    val chunkLoads = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def load1(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val results: Seq[(String, Double)] =
       if (chunkSize > 0 && names.size > chunkSize) {
         val chunks = topoChunks(names, chunkSize)
         chunks.zipWithIndex.flatMap { case (chunk, i) =>
+          chunkLoads += (s"chunk${i + 1}:${chunk.last}" -> load1())
           System.err.println(
             s"[bench] chunk ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last}")
           runChunkForked(chunk).getOrElse {
@@ -273,9 +283,17 @@ object Bench {
       Files.exists(Paths.get(".git"))
     if (subsetInRepo)
       System.err.println("[bench] subset run in a repo checkout: NOT writing BENCH_FULL.json")
+    // load1 key LAST and only when chunks ran: forked children (FORK=0)
+    // never emit it, and the parent's result-channel parse anchors on
+    // "queries":{ and stops at the first '}', so a trailing key is
+    // invisible to it either way.
+    val loadPart =
+      if (chunkLoads.isEmpty) ""
+      else chunkLoads.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+        .mkString(""","load1_at_chunk_start":{""", ",", "}")
     if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACT") && !subsetInRepo)
       try Files.writeString(Paths.get("BENCH_FULL.json"),
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"$loadPart}""" + "\n")
       catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => () }
