@@ -76,12 +76,18 @@ object Bench {
     * ITS order — forked children receive their chunk through this env
     * var, and re-sorting would put the chunk's heavy (placed LAST by
     * [[topoChunks]]) back in front of its light queries, timing every
-    * light on post-heavy JVM state. Unknown names are dropped. */
+    * light on post-heavy JVM state. Unknown names are dropped with a
+    * LOUD stderr line — a silent drop reads as "that query was fast
+    * enough not to notice missing" in the output. */
   private[graft] def resolveNames(env: Option[String]): Seq[String] =
     env match {
       case Some(list) =>
-        list.split(",").toSeq.map(_.trim).distinct
-          .filter(SparkEntry.queries.contains)
+        val asked = list.split(",").toSeq.map(_.trim).distinct
+        val (known, unknown) = asked.partition(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] UNKNOWN query names dropped: ${unknown.mkString(", ")}")
+        known
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
 
