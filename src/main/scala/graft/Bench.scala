@@ -53,6 +53,20 @@ object Bench {
 
   private[graft] val heavySet: Set[String] = heavyQueries.toSet
 
+  /** Select the reported time from a run's sample vector. `warmed`
+    * drops the first (untimed warmup) sample; of the rest the MIN is
+    * reported — interference can only RAISE a sample, so the min
+    * converges on plan cost from above. Failed runs carry +Infinity
+    * (a failure can only LOWER an elapsed time, so it must never win
+    * the min); all-failed reports -1 so the artifact stays finite.
+    * Returns (reported, timedSamples). */
+  private[graft] def pickReported(samples: Seq[Double],
+                                  warmed: Boolean): (Double, Seq[Double]) = {
+    val timed = if (warmed) samples.tail else samples
+    val dt = timed.min
+    (if (dt.isInfinity) -1.0 else dt, timed)
+  }
+
   /** Pack `names` into fork chunks of ≤ `chunkSize`: light queries in
     * sorted runs of `chunkSize−1`, then one heavy appended per chunk
     * (heavies beyond the light-group count run solo). Deterministic,
@@ -146,11 +160,9 @@ object Bench {
         val el = (System.nanoTime() - t0) / 1e9
         if (ok) el else Double.PositiveInfinity
       }
-      val timed = if (warmRuns.isDefined) samples.tail else samples
-      val dt = timed.min
-      val reported = if (dt.isInfinity) -1.0 else dt
+      val (reported, timed) = pickReported(samples, warmRuns.isDefined)
       System.err.println(f"[bench] $name%-24s $reported%8.2f s" +
-        (if (dt.isInfinity) "  FAILED (all runs threw)" else "") +
+        (if (reported < 0) "  FAILED (all runs threw)" else "") +
         (if (timed.size > 1)
            timed.map(s => if (s.isInfinity) "fail" else f"$s%.2f")
              .mkString("  (samples: ", " ", ")")

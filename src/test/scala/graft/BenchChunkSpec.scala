@@ -75,4 +75,21 @@ class BenchChunkSpec extends AnyFunSuite {
           s"heavy ${h.head} not last in child order $childOrder")
     }
   }
+
+  test("pickReported: min of warm samples; a failed run can never win it") {
+    val inf = Double.PositiveInfinity
+    // warm mode drops the untimed warmup (head), reports min of the rest
+    assert(Bench.pickReported(Seq(9.0, 3.5, 2.0, 7.0), warmed = true)
+      == ((2.0, Seq(3.5, 2.0, 7.0))))
+    // WARM=1 ≡ the historical run-twice-report-2nd protocol
+    assert(Bench.pickReported(Seq(9.0, 4.2), warmed = true)._1 == 4.2)
+    // un-warmed single run reports itself
+    assert(Bench.pickReported(Seq(6.1), warmed = false)._1 == 6.1)
+    // a failed run (+Inf) loses to any finite success — a 0.3 s OOM
+    // must never beat a 45 s success (the min-estimator inversion)
+    assert(Bench.pickReported(Seq(1.0, 45.0, inf, inf), warmed = true)._1 == 45.0)
+    // all timed runs failed -> -1 marker, never an elapsed-to-failure time
+    assert(Bench.pickReported(Seq(1.0, inf, inf), warmed = true)._1 == -1.0)
+    assert(Bench.pickReported(Seq(inf), warmed = false)._1 == -1.0)
+  }
 }
