@@ -130,6 +130,30 @@ object Bench {
     for (w <- Seq("q01_pricing", "q08_knn", "q16_simhash_fp", "q31_embed_docs"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
+    // Also warm the iterative-loop machinery — Iterate.roll
+    // (localCheckpoint + ContextCleaner release) and
+    // observe-on-checkpoint — which no registry warmup touches, yet
+    // every graph/fixpoint heavy pays cold on its only timed suite run
+    // (isolated rows don't: the warm protocol's untimed first run
+    // absorbs it). Tiny in-memory frame, ~1 s, skipped for light-only
+    // chunks. Alternating-JVM A/B on cold q163 (storm window, mins:
+    // 10.99 off vs 9.8 on; medians 11.4 vs 10.2): ~1.2 s of the cold
+    // gap is this machinery; the rest is the query's own per-round
+    // codegen, not warmable generically.
+    if (names.exists(heavySet.contains)) try {
+      import org.apache.spark.sql.{DataFrame, Observation}
+      import org.apache.spark.sql.functions.{count, lit, col}
+      var f: DataFrame = spark.range(1000).toDF("x")
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 2) {
+        val obs = Observation()
+        val cp = graft.operators.Iterate.roll(
+          f.withColumn("x", col("x") + 1)
+            .observe(obs, count(lit(1)).as("n")), prev)
+        obs.get("n"); prev = Some(cp); f = cp
+      }
+      prev.foreach(graft.operators.Iterate.release)
+    } catch { case _: Throwable => () }
     names.zipWithIndex.map { case (name, qIdx) =>
       val fn = SparkEntry.queries(name)
       // Build-once artifacts are constructed OUTSIDE the timed region:
