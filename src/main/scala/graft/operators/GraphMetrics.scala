@@ -147,11 +147,14 @@ object GraphMetrics {
     * @return (node, hop) — hop 0 for seeds, else the minimum number of
     *         edges from any seed, capped at `maxHops`; unreached nodes
     *         are absent. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // checkpointed once; each round's shuffle-hash join re-exchanges it
-    // on src (AQE checkpoints capture UnknownPartitioning — a build-time
-    // repartition would be discarded, so none is paid; the AQE-coalesced
-    // re-exchange measured cheaper than pinning, see Iterate.pin)
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes)
+      : DataFrame = {
+    // checkpointed once; on the shuffle path each round's join
+    // re-exchanges it on src (AQE checkpoints capture UnknownPartitioning
+    // — a build-time repartition would be discarded, so none is paid; the
+    // AQE-coalesced re-exchange measured cheaper than pinning, see
+    // Iterate.pin), and on the broadcast-frontier path it never does
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -168,9 +171,16 @@ object GraphMetrics {
     var h = 0
     while (h < maxHops && frontierSize > 0) {
       val obs = Observation()
+      // the frontier size is in hand from last round's observed metric,
+      // so the expansion join picks its strategy per ROUND: a frontier
+      // that provably fits broadcasts (map-side join — the edge frame
+      // never exchanges), a larger one meets the edges shuffle-hashed.
+      // BFS frontiers swing orders of magnitude between hops; this is
+      // the per-round form of [[PageRank.BroadcastMaxNodes]]'s choice
+      val fr = frontier.withColumnRenamed("node", "src")
       val next = Iterate.roll(
-        sym.join(frontier.withColumnRenamed("node", "src")
-            .hint("shuffle_hash"), Seq("src"))
+        sym.join(if (frontierSize <= broadcastMaxNodes) broadcast(fr)
+                 else fr.hint("shuffle_hash"), Seq("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .observe(obs, count(lit(1)).as("n")),
@@ -201,24 +211,34 @@ object GraphMetrics {
     * @param edges undirected edge list (src, dst, weight) — symmetrized
     *              internally
     * @return (node, community) after `rounds` synchronous updates */
-  def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
-    // checkpointed once; the shuffle-hash hint keeps every round's join
-    // sort-free. The edge frame DOES re-exchange on src per round — an
-    // AQE checkpoint captures UnknownPartitioning, so a build-time
-    // repartition buys nothing and is not paid; the AQE-coalesced
-    // re-exchange measured cheaper than the pinned forms (Iterate.pin)
+  def labelProp(edges: DataFrame, rounds: Int,
+                broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes)
+      : DataFrame = {
+    // checkpointed once. On the shuffle path the edge frame re-exchanges
+    // on src per round — an AQE checkpoint captures UnknownPartitioning,
+    // so a build-time repartition buys nothing and is not paid; the
+    // AQE-coalesced re-exchange measured cheaper than the pinned forms
+    // (Iterate.pin)
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
       .localCheckpoint()
+    val nObs = Observation()
     val nodes = sym.select(col("src").as("node")).distinct()
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    // |V| rides the node checkpoint: when the label frame provably fits
+    // a broadcast the per-round join goes MAP-SIDE (the edge frame never
+    // exchanges inside the loop — same adaptive discipline and bound as
+    // [[PageRank.BroadcastMaxNodes]]); above it, shuffle-hash (sort-free)
+    val small = nObs.get("n").asInstanceOf[Long] <= broadcastMaxNodes
+    val lblSide: DataFrame => DataFrame =
+      if (small) broadcast else _.hint("shuffle_hash")
     var lbl = nodes.select(col("node"), col("node").as("community"))
     var lblCp: Option[DataFrame] = None
     for (i <- 1 to rounds) {
       val contrib = sym
-        .join(lbl.withColumnRenamed("node", "src").hint("shuffle_hash"),
-          Seq("src"))
+        .join(lblSide(lbl.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node"), col("community"))
         .agg(sum(col("weight")).as("w"))
       // argmax as a struct-max: (w, −community) orders ties toward the
@@ -228,7 +248,8 @@ object GraphMetrics {
         .groupBy("node")
         .agg(max(struct(col("w"), (-col("community")).as("nc"))).as("m"))
         .select(col("node"), (-col("m.nc")).as("__next"))
-      lbl = lbl.join(picked, Seq("node"), "left")
+      lbl = lbl.join(if (small) broadcast(picked) else picked,
+          Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__next"), col("community")).as("community"))
       if (i % 2 == 0 && i < rounds) {
@@ -309,7 +330,9 @@ object GraphMetrics {
     *
     * @param edges directed (src, dst, weight)
     * @return (node, hub, auth), both rounded to 6 dp */
-  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+  def hits(edges: DataFrame, rounds: Int,
+           broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes)
+      : DataFrame = {
     // ONE checkpointed edge frame serves both half-steps. (An earlier
     // form kept TWO copies, each "pre-partitioned" on its half-step's
     // key — but an AQE checkpoint captures UnknownPartitioning, so the
@@ -320,8 +343,18 @@ object GraphMetrics {
     // sort-free.)
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .localCheckpoint()
+    val nObs = Observation()
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct().localCheckpoint()
+      .distinct()
+      .observe(nObs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    // |V| rides the node checkpoint: when the score frames provably fit
+    // a broadcast, BOTH half-step joins go map-side and the edge frame
+    // never exchanges inside the loop (same adaptive bound as
+    // [[PageRank.BroadcastMaxNodes]]); above it, sort-free shuffle-hash
+    val scoreSide: DataFrame => DataFrame =
+      if (nObs.get("n").asInstanceOf[Long] <= broadcastMaxNodes) broadcast
+      else _.hint("shuffle_hash")
     // Scaling commutes through the linear half-steps, so the RAW power
     // iteration normalized ONCE at the end points exactly where the
     // per-round-normalized one does — and costs nothing mid-loop: no
@@ -345,15 +378,15 @@ object GraphMetrics {
     var auth: DataFrame = nodes.select(col("node"), lit(0.0).as("auth"))
     var hubCp: Option[DataFrame] = None
     for (i <- 1 to rounds) {
-      auth = e.join(hub.withColumnRenamed("node", "src")
-          .hint("shuffle_hash"), Seq("src"))
+      auth = e.join(scoreSide(hub.withColumnRenamed("node", "src")),
+          Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("weight") * col("hub")).as("auth"))
       // the FINAL frames are each consumed twice (L1 total + output
       // join): materialize them once so no half-step ever re-executes
       if (i == rounds) auth = auth.localCheckpoint()
-      hub = e.join(auth.select(col("node").as("dst"), col("auth"))
-          .hint("shuffle_hash"), Seq("dst"))
+      hub = e.join(scoreSide(auth.select(col("node").as("dst"), col("auth"))),
+          Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("weight") * col("auth")).as("hub"))
       // labelProp's lineage discipline: truncate every 2nd round and at

@@ -31,8 +31,26 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Node-count bound under which the per-round rank frame is BROADCAST
+    * to the contrib join instead of shuffle-hashed. |V| is known before
+    * the loop starts (it rides the node-frame checkpoint as an observed
+    * metric), so the choice is runtime-informed, not a guess: at ≤ 1M
+    * nodes the (node, rank) frame is a ~30 MB broadcast table — far
+    * under Spark's 8 GB broadcast cap and small against executor
+    * memory — and broadcasting it makes the per-round join MAP-SIDE,
+    * deleting the edge-frame exchange that otherwise re-runs every
+    * round (an AQE checkpoint captures UnknownPartitioning, so the
+    * edge side re-exchanges under shuffle_hash; see [[Iterate.pin]]).
+    * The only per-round shuffle left is the partially-aggregated
+    * groupBy(dst), whose map-side combine bounds it at
+    * partitions × |V| rows. Above the bound, the shuffle-hash path
+    * holds to arbitrary |V| — rank frames that no longer fit a
+    * broadcast meet the edge frame in a hash-partitioned equi-join. */
+  val BroadcastMaxNodes: Long = 1L << 20
+
   def run(edges: DataFrame, iterations: Int = 10,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85,
+          broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     val frac = edges
       .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
       .select(col("src"), col("dst"),
@@ -42,17 +60,22 @@ object PageRank {
     val n = nodes.count()
     val base = (1.0 - damping) / n
 
+    // rank side of the contrib join: broadcast when |V| provably fits
+    // (map-side join, no edge exchange), shuffle-hash otherwise — never
+    // sort-merge, which would additionally SORT the edge side per round
+    val rankSide: DataFrame => DataFrame =
+      if (n <= broadcastMaxNodes) broadcast else _.hint("shuffle_hash")
+
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      // the checkpointed frac re-exchanges on src each round — under
-      // AQE a localCheckpoint captures UnknownPartitioning, so the
-      // window's src partitioning is NOT carried (see Iterate.pin; the
-      // partitioning-preserving pin forms were A/B-measured SLOWER here
-      // because AQE coalesces this re-exchange). The shuffle-hash hint
-      // still keeps the join from planning sort-merge, which would
-      // additionally SORT the edge-sized side every round
-      ranks = frac.join(ranks.hint("shuffle_hash"),
+      // on the shuffle path the checkpointed frac re-exchanges on src
+      // each round — under AQE a localCheckpoint captures
+      // UnknownPartitioning, so the window's src partitioning is NOT
+      // carried (see Iterate.pin; the partitioning-preserving pin forms
+      // were A/B-measured SLOWER here because AQE coalesces this
+      // re-exchange). The broadcast path deletes that exchange outright
+      ranks = frac.join(rankSide(ranks),
           frac("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg((lit(base) + lit(damping) * sum(col("frac") * col("rank")))
@@ -91,7 +114,8 @@ object PageRank {
     * checkpoint before the first roll) — a single node-sized job at
     * setup, not per round. */
   def runDirected(edges: DataFrame, iterations: Int = 10,
-                  damping: Double = 0.85): DataFrame = {
+                  damping: Double = 0.85,
+                  broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     val frac = edges
       .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
       .select(col("src"), col("dst"),
@@ -110,6 +134,13 @@ object PageRank {
       .localCheckpoint()
     val n = nObs.get("n").asInstanceOf[Long]
     val base = (1.0 - damping) / n
+    // same adaptive choice as [[run]] (|V| is in hand from the observed
+    // metric): broadcast the node-sized frames when they provably fit —
+    // the contrib join goes map-side (no per-round edge exchange) and
+    // the receive join builds on the contrib side — else shuffle-hash
+    val small = n <= broadcastMaxNodes
+    val rankSide: DataFrame => DataFrame =
+      if (small) broadcast else _.hint("shuffle_hash")
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
     // round-1 dangling mass: the only aggregate the roll observation
@@ -118,15 +149,15 @@ object PageRank {
       .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      // same discipline as [[run]]: hash join (never sort-merge); the
-      // per-round frac re-exchange is AQE-coalesced, measured cheaper
-      // here than pinning the partitioning (see [[Iterate.pin]])
-      val contrib = frac.join(ranks.select("node", "rank")
-            .hint("shuffle_hash"),
+      // same discipline as [[run]]: hash join (never sort-merge); on
+      // the shuffle path the per-round frac re-exchange is
+      // AQE-coalesced, measured cheaper than pinning ([[Iterate.pin]])
+      val contrib = frac.join(rankSide(ranks.select("node", "rank")),
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(if (small) broadcast(contrib) else contrib,
+          Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) *
             (coalesce(col("m"), lit(0.0)) + lit(dm) / n)).as("rank"),
@@ -164,7 +195,8 @@ object PageRank {
     *              ignored (they could neither receive nor pass mass)
     * @return (node, ppr_scaled) — rank × |nodes| rounded to 6 dp. */
   def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int = 10,
-                   damping: Double = 0.85): DataFrame = {
+                   damping: Double = 0.85,
+                   broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     val frac = edges
       .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
       .select(col("src"), col("dst"),
@@ -190,6 +222,10 @@ object PageRank {
     require(nSeeds > 0, "personalized PageRank needs >= 1 seed in the graph")
     // restart vector: 1/|S| on seeds, 0 elsewhere
     val restart = when(col("seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    // adaptive contrib-join strategy (see [[runDirected]])
+    val small = n <= broadcastMaxNodes
+    val rankSide: DataFrame => DataFrame =
+      if (small) broadcast else _.hint("shuffle_hash")
 
     var ranks = nodes.select(col("node"), restart.as("rank"),
       col("dang"), col("seed"))
@@ -198,12 +234,12 @@ object PageRank {
       .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = frac.join(ranks.select("node", "rank")
-            .hint("shuffle_hash"),
+      val contrib = frac.join(rankSide(ranks.select("node", "rank")),
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(if (small) broadcast(contrib) else contrib,
+          Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * restart + lit(damping) *
             (coalesce(col("m"), lit(0.0)) +

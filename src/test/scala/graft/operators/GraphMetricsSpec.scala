@@ -141,9 +141,12 @@ class GraphMetricsSpec extends SparkTestBase {
       (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong, 1L)))
       .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
       .distinct.filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    // broadcastMaxNodes=0 forces the SHUFFLE path — the adaptive
+    // default would broadcast a 2000-node graph and dodge the very
+    // skew mechanism this spec exists to bound
     def timed(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
       val t0 = System.nanoTime()
-      val c = GraphMetrics.labelProp(df, 3).count()
+      val c = GraphMetrics.labelProp(df, 3, broadcastMaxNodes = 0L).count()
       (c, (System.nanoTime() - t0) / 1e9)
     }
     val (cu, tu) = timed(uniform)
@@ -153,6 +156,27 @@ class GraphMetricsSpec extends SparkTestBase {
     // order of magnitude; normal jitter stays well inside it
     assert(th <= tu * 4 + 5.0,
       f"hub graph took $th%.1f s vs uniform $tu%.1f s — skew stall")
+  }
+
+  test("broadcast and shuffle loop paths agree bit-for-bit") {
+    import spark.implicits._
+    // the adaptive join strategy (per-round frame broadcast under
+    // BroadcastMaxNodes, shuffle-hash above) must be a pure plan
+    // choice: labelProp/bfsHops are integer-exact and hits rounds to
+    // 6 dp inside the operator, so forcing each mode must give the
+    // SAME rows. Mirrors the sf0.1 gate in graft.GmBcProbe.
+    val edges = ((0L to 40L).map(i => (i, (i * 7 + 3) % 41, 1L + i % 3)) ++
+      (0L to 40L).map(i => (i, (i + 1) % 41, 1L)))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    val seeds = Seq(0L, 17L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphMetrics.labelProp(edges, 4, broadcastMaxNodes = 0L)) ==
+      rows(GraphMetrics.labelProp(edges, 4, broadcastMaxNodes = Long.MaxValue)))
+    assert(rows(GraphMetrics.bfsHops(edges, seeds, 3, broadcastMaxNodes = 0L)) ==
+      rows(GraphMetrics.bfsHops(edges, seeds, 3, broadcastMaxNodes = Long.MaxValue)))
+    assert(rows(GraphMetrics.hits(edges, 5, broadcastMaxNodes = 0L)) ==
+      rows(GraphMetrics.hits(edges, 5, broadcastMaxNodes = Long.MaxValue)))
   }
 
   test("assortativity: star graph is maximally disassortative (r = -1)") {

@@ -83,4 +83,27 @@ class PageRankSpec extends SparkTestBase {
     assert(math.abs(ppr.values.sum - 2.0) < 1e-3, s"mass drained: $ppr")
     assert(ppr(1L) > ppr(2L)) // seed keeps the restart mass
   }
+
+  test("broadcast and shuffle contrib-join paths agree at 6 dp") {
+    import spark.implicits._
+    // the adaptive strategy (rank frame broadcast under
+    // BroadcastMaxNodes, shuffle-hash above) is a pure plan choice:
+    // the output contract rounds to 6 dp inside the operator, so both
+    // forced modes must return the SAME rows. Mirrors the sf0.1 gate
+    // in graft.PrBcProbe (0 of 20000 mismatches).
+    val edges = ((0L to 30L).map(i => (i, (i * 5 + 2) % 31, 1L + i % 4)) ++
+      (0L to 30L).map(i => (i, (i + 1) % 31, 1L)))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    val seeds = Seq(0L, 9L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(PageRank.run(edges, 8, broadcastMaxNodes = 0L)) ==
+      rows(PageRank.run(edges, 8, broadcastMaxNodes = Long.MaxValue)))
+    assert(rows(PageRank.runDirected(edges, 8, broadcastMaxNodes = 0L)) ==
+      rows(PageRank.runDirected(edges, 8, broadcastMaxNodes = Long.MaxValue)))
+    assert(rows(PageRank.personalized(edges, seeds, 8,
+        broadcastMaxNodes = 0L)) ==
+      rows(PageRank.personalized(edges, seeds, 8,
+        broadcastMaxNodes = Long.MaxValue)))
+  }
 }
