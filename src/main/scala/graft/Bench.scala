@@ -169,14 +169,19 @@ object Bench {
       // the min over in-JVM repeats is the cheapest estimator of plan
       // cost that a transient burst can only raise, never lower. The
       // full sample vector goes to stderr so the artifact can carry it.
+      // WARM must parse to a positive int to enable warm mode: WARM=0 or
+      // garbage means warm OFF (None), matching the documented WARM=N
+      // contract — the old getOrElse(1).max(1) silently turned WARM=0
+      // (a plausible attempt to disable) INTO warm mode.
       val warmRuns = sys.env.get("SPARK_GRAFT_WARM")
-        .map(v => scala.util.Try(v.toInt).getOrElse(1).max(1))
+        .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
       // A FAILED run records +Infinity, not its elapsed-to-failure time:
       // the min estimator's rationale (interference can only RAISE a
       // sample) inverts for failures, which can only LOWER one — a 0.3 s
       // OOM must never beat a 45 s success. All-runs-failed reports the
-      // last failure's elapsed time so the artifact line stays finite
-      // and the [bench] line carries the FAILED marker.
+      // -1.0 marker (pickReported's contract) so downstream mins/sums
+      // can't mistake a failure for a fast run; the [bench] line carries
+      // the FAILED marker and the fail-tokened sample vector.
       val samples = (1 to (1 + warmRuns.getOrElse(0))).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

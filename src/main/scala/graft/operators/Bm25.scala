@@ -48,6 +48,15 @@ object Bm25 {
     * `explode → groupBy(doc, term)` exchange of one row per TOKEN plus a
     * second `Window.partitionBy(doc)` exchange for dl; now the first
     * shuffle the postings ever see is the term-keyed consumer join.
+    *
+    * PRECONDITION: `idCol` must be unique in `docs`. The old
+    * explode→groupBy shape silently MERGED rows sharing an id; this
+    * map-side shape emits duplicate postings for them instead (df and tf
+    * both inflate). Every current caller feeds the `documents` primary
+    * key; callers of the public API with non-key ids must
+    * `groupBy(id).agg(first(text))` (or concat) first. Same contract
+    * applies to [[TextAnalysis.keywords]] / `sliceEntropy` / q65, which
+    * share the TermCounts shape (see OPERATORS.md).
     * Precondition: one row per document — rows sharing an id no longer
     * merge (the groupBy shape coincidentally did). */
   def postings(docs: DataFrame, idCol: String = "doc_id",

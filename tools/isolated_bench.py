@@ -29,7 +29,13 @@ def heavy_list():
     one direction (a Scala-side rename produced a missing-timing-line
     error, but a Scala-side ADDITION was silently never benched)."""
     src = open(BENCH_SCALA).read()
-    m = re.search(r"heavyQueries\s*=\s*Seq\((.*?)\)", src, re.S)
+    # Anchored to the heavySet declaration that immediately follows the
+    # Seq — a non-greedy '\)' alone stops at the FIRST ')' and would
+    # silently truncate the list if a comment or entry ever contains one
+    # (the len>=20 assert can't catch truncation past 20).
+    m = re.search(r"heavyQueries\s*=\s*Seq\((.*?)\)\s*\n\s*"
+                  r"private\[graft\] val heavySet", src, re.S)
+    assert m, "heavyQueries block not found (heavySet anchor moved?)"
     names = re.findall(r'"(q\w+)"', m.group(1))
     assert len(names) >= 20, f"heavyQueries parse looks wrong: {names}"
     return names
@@ -43,21 +49,28 @@ def run_one(name, sfdir, warm):
                SPARK_GRAFT_QUERIES=name,
                SPARK_GRAFT_WARM=str(warm),
                SPARK_GRAFT_NO_ARTIFACT="1")
-    out = subprocess.run(
+    proc = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
-        env=env, capture_output=True, text=True).stdout + "\n"
-    # the per-query stderr line is merged into stdout by sbt; the final
-    # JSON line carries the reported (min-of-warm) time under the short
-    # key, and the [bench] stderr line carries the full sample vector
+        env=env, capture_output=True, text=True)
+    # sbt usually merges the [bench] stderr line into stdout, but don't
+    # rely on it — scan both streams. The final JSON line carries the
+    # reported (min-of-warm) time under the short key; the [bench] line
+    # carries the full sample vector, whose tokens are floats OR the
+    # literal 'fail' (a failed run records +Infinity in the min).
+    out = proc.stdout + "\n" + proc.stderr + "\n"
     m, samples = None, None
     for line in out.splitlines():
         if '"metric"' in line:
             j = json.loads(line[line.index("{"):])
             short = name.split("_")[0]
             m = j["queries"].get(short)
-        sm = re.search(r"\[bench\] \S+ .*\(samples: ([0-9. ]+)\)", line)
+        sm = re.search(r"\[bench\] \S+ .*\(samples: ([0-9a-z. ]+)\)", line)
         if sm:
-            samples = [float(x) for x in sm.group(1).split()]
+            # keep 'fail' as the literal token: the artifact must stay
+            # strict JSON (inf isn't) and nothing downstream does math
+            # on the vector
+            samples = ["fail" if x == "fail" else float(x)
+                       for x in sm.group(1).split()]
     return m, samples, out
 
 def main():
