@@ -551,15 +551,17 @@ object SparkEntry {
     }),
 
     // --- multimodal near-duplicate detection ----------------------------
-    // The media-dedup composition: blob → byte-histogram features
+    // The media-dedup composition: real container blob → REAL decode →
+    // byte-histogram features over the decoded raster/PCM
     // (mapInPartitions batch, unit-normalized) → cosine pairs at 0.9999.
-    // Planted byte-identical copies (+4·10⁶) are the only pairs above
-    // the bar (measured natural max ≈ 0.9987 at sf0.1) — the decision a
-    // media pipeline makes before paying for perceptual hashing.
+    // Planted byte-identical copies (offset +4000002 ≡ 0 mod 3, so the
+    // copy keeps its media type and therefore its container and decoded
+    // buffer) are the only pairs above the bar — the decision a media
+    // pipeline makes before paying for perceptual hashing.
     "q97_media_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .where(col("doc_id") % 23 === 0)
-      val planted = base.select((col("doc_id") + 4000000L).as("doc_id"),
+      val planted = base.select((col("doc_id") + 4000002L).as("doc_id"),
         col("text"))
       val feats = Multimodal.featuresBatched(
           Multimodal.withBlob(base.unionByName(planted))).toDF()
@@ -951,12 +953,20 @@ object SparkEntry {
     }),
 
     // --- multimodal plumbing --------------------------------------------
+    // REAL codec round-trip (round 9): blobs are genuine PNG / filmstrip
+    // PNG / WAV containers; the emitted width/height/n_frames come from a
+    // real javax.imageio / javax.sound header probe of those bytes. The
+    // oracle can replay the values because the encode side derives the
+    // container dims from the text length and the codecs are lossless.
     "q30_media_meta" -> ((s, d) =>
       Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))).toDF()),
 
-    // Byte-histogram features per payload (the feature-extract stage of
-    // the media pipeline), digested bin-by-bin. The corpus is ASCII so
-    // the oracle can recompute byte counts from character codes.
+    // Byte-histogram features over the REAL decoded buffer (PNG raster /
+    // WAV PCM — the feature-extract stage of the media pipeline),
+    // digested bin-by-bin. The payload is the doc's text bytes cycled to
+    // the raster length and the corpus is ASCII, so the oracle can
+    // recompute the decoded-byte counts from character codes with a
+    // cycling-repetition weight.
     "q45_media_features" -> ((s, d) =>
       Multimodal.featuresBatched(Multimodal.withBlob(Tables.documents(s, d)))
         .toDF()
@@ -2688,6 +2698,34 @@ object SparkEntry {
     s"CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) = 0 THEN 0.0 " +
       s"ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"
 
+  /** Decoded-payload replay for the real-codec Multimodal oracles. Given
+    * a CTE/table `src(doc_id, text)`, emits `mm(doc_id, n, tt)` — payload
+    * byte length and REAL decoded-buffer length per media type (image
+    * W·H, filmstrip W·H·frames, WAV one byte per sample; dims rule
+    * W=16+n%240, H=16+7n%240, frames=1+n%30 — [[Multimodal.withBlob]]) —
+    * and `mh(doc_id, bin, c)`, the 16-bin histogram of the decoded
+    * buffer: byte i of the text repeats `reps(i) = ⌊(tt-1-i)/n⌋+1` times
+    * (0 when i ≥ tt) under the cycle-fill rule, so the histogram of real
+    * lossless-codec output is recomputable from the text alone. */
+  private def mediaHistSql(src: String): String =
+    s"""mm AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN (16 + octet_length(encode(text)) % 240)
+      |                  * (16 + (octet_length(encode(text)) * 7) % 240)
+      |      WHEN 1 THEN octet_length(encode(text))
+      |      ELSE (16 + octet_length(encode(text)) % 240)
+      |           * (16 + (octet_length(encode(text)) * 7) % 240)
+      |           * (1 + octet_length(encode(text)) % 30)
+      |    END AS tt
+      |  FROM $src),
+      |mpos AS (SELECT doc_id, n, tt, unnest(range(0, n)) AS i, text FROM mm),
+      |mrep AS (SELECT doc_id, ord(substr(text, i + 1, 1)) % 16 AS bin,
+      |    CASE WHEN i >= tt THEN 0 ELSE (tt - 1 - i) // n + 1 END AS reps
+      |  FROM mpos),
+      |mh AS (SELECT doc_id, bin, sum(reps)::DOUBLE AS c FROM mrep
+      |       GROUP BY 1, 2 HAVING sum(reps) > 0),
+      |mn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM mh GROUP BY 1)""".stripMargin
+
   /** BM25 CTE chain mirroring [[Bm25.topK]] operation-for-operation
     * (every fractional literal carries ::DOUBLE so DuckDB never slips
     * into DECIMAL arithmetic; per-term contributions snap to 1e-9 via
@@ -3330,22 +3368,22 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM ch WHERE chunk_uid % 97 = 0)::BIGINT AS n_queries,
         |  true AS rows_ok, true AS self_found_at_sim1""".stripMargin,
 
+    // Plant offset +4000002 ≡ 0 (mod 3) so the copy keeps its media type
+    // (same container, same decoded buffer → sim 1 through the REAL
+    // codec); the histogram replays the decoded raster/PCM bytes.
     "q97_media_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0),
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0),
         |u AS (SELECT doc_id, text FROM base
-        |      UNION ALL SELECT doc_id + 4000000 AS doc_id, text FROM base),
-        |pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM u),
-        |b AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bin FROM pos),
-        |h AS (SELECT doc_id, bin, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
-        |n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM h GROUP BY 1),
+        |      UNION ALL SELECT doc_id + 4000002 AS doc_id, text FROM base),
+        |${mediaHistSql("u")},
         |grid AS (SELECT u.doc_id, bb.bin FROM u
         |         CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bb),
         |v AS (SELECT g.doc_id,
-        |        list(CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 0.0
-        |                  ELSE coalesce(h.c, 0.0) / n.nrm END ORDER BY g.bin) AS vec
+        |        list(CASE WHEN mn.nrm IS NULL OR mn.nrm = 0 THEN 0.0
+        |                  ELSE coalesce(mh.c, 0.0) / mn.nrm END ORDER BY g.bin) AS vec
         |      FROM grid g
-        |      LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
-        |      LEFT JOIN n ON g.doc_id = n.doc_id
+        |      LEFT JOIN mh ON g.doc_id = mh.doc_id AND g.bin = mh.bin
+        |      LEFT JOIN mn ON g.doc_id = mn.doc_id
         |      GROUP BY g.doc_id)
         |SELECT x.doc_id AS a, y.doc_id AS b,
         |  round(list_dot_product(x.vec, y.vec), 6) AS sim
@@ -3730,13 +3768,24 @@ object SparkEntry {
         |SELECT user_id, sid::BIGINT AS session_id, n::BIGINT AS n_events FROM g
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) = 1""".stripMargin,
 
+    // Real-codec contract: width/height/n_frames/decoded_bytes come from
+    // a real PNG/WAV header probe on the Spark side; the oracle replays
+    // the encode-side dimension rule (audio has no raster → 0×0, one PCM
+    // frame per text byte; stills decode 1 frame; filmstrips
+    // height/frame_h = 1+n%30 frames).
     "q30_media_meta" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  (16 + octet_length(encode(text)) % 240)::INT AS width,
-        |  (16 + (octet_length(encode(text)) * 7) % 240)::INT AS height,
-        |  (1 + octet_length(encode(text)) % 30)::INT AS n_frames
-        |FROM documents""".stripMargin,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + n % 240 END)::INT AS width,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (n * 7) % 240 END)::INT AS height,
+        |  (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN n ELSE 1 + n % 30 END)::INT AS n_frames,
+        |  (CASE doc_id % 3
+        |     WHEN 0 THEN (16 + n % 240) * (16 + (n * 7) % 240)
+        |     WHEN 1 THEN n
+        |     ELSE (16 + n % 240) * (16 + (n * 7) % 240) * (1 + n % 30)
+        |   END)::BIGINT AS decoded_bytes
+        |FROM m""".stripMargin,
 
     "q31_embed_docs" ->
       "SELECT doc_id, 64 AS dim, true AS norm_ok FROM documents",
@@ -3857,24 +3906,22 @@ object SparkEntry {
         |AS t(asin, title, "group", n_categories, n_similar)""".stripMargin,
 
     "q45_media_features" ->
-      """WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
-        |b AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bin FROM pos),
-        |h AS (SELECT doc_id, bin, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
-        |n AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM h GROUP BY 1),
+      s"""WITH ${mediaHistSql("documents")},
         |grid AS (SELECT d.doc_id, bb.bin FROM documents d
         |         CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bb)
         |SELECT g.doc_id, g.bin::INT AS bin,
-        |  round(CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN 0.0
-        |             ELSE coalesce(h.c, 0.0) / n.nrm END, 6) AS v
+        |  round(CASE WHEN mn.nrm IS NULL OR mn.nrm = 0 THEN 0.0
+        |             ELSE coalesce(mh.c, 0.0) / mn.nrm END, 6) AS v
         |FROM grid g
-        |LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin
-        |LEFT JOIN n ON g.doc_id = n.doc_id""".stripMargin,
+        |LEFT JOIN mh ON g.doc_id = mh.doc_id AND g.bin = mh.bin
+        |LEFT JOIN mn ON g.doc_id = mn.doc_id""".stripMargin,
 
+    // Visual rows only: audio has no raster (width 0) to resize.
     "q54_media_resize" ->
       """WITH m AS (SELECT doc_id,
         |    (16 + octet_length(encode(text)) % 240)::INT AS width,
         |    (16 + (octet_length(encode(text)) * 7) % 240)::INT AS height
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 3 <> 1),
         |s AS (SELECT doc_id, width, height,
         |    least(64.0 / width, 64.0 / height, 1.0) AS scale FROM m)
         |SELECT doc_id, width, height,

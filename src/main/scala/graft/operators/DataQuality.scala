@@ -23,11 +23,24 @@ object DataQuality {
 
   /** One row per profiled column: (column, n_rows, n_null, n_distinct,
     * min_val, max_val) with min/max rendered as strings so one schema
-    * covers every column type. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * covers every column type.
+    *
+    * `approxDistinct` is the wide-table / 100 TB mode: exact
+    * multi-distinct forces Spark's Expand, which multiplies the shuffled
+    * row count by the profiled-column count (fine at tens of columns,
+    * a scan-sized write amplification at hundreds); with
+    * `approxDistinct = true` the distinct counts become
+    * `approx_count_distinct` (HLL++, relative error `rsd`) — fixed-size
+    * sketch state per column, NO Expand, the aggregate stays one
+    * map-side-combined pass whatever the column count. Null counts and
+    * min/max are exact in both modes. */
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
+      val nd = if (approxDistinct) approx_count_distinct(col(c), rsd)
+               else countDistinct(col(c))
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        nd.as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

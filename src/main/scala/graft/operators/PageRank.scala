@@ -45,7 +45,15 @@ object PageRank {
     * groupBy(dst), whose map-side combine bounds it at
     * partitions × |V| rows. Above the bound, the shuffle-hash path
     * holds to arbitrary |V| — rank frames that no longer fit a
-    * broadcast meet the edge frame in a hash-partitioned equi-join. */
+    * broadcast meet the edge frame in a hash-partitioned equi-join.
+    *
+    * DEPLOY-TIME KNOB: 2²⁰ is sized for this harness's executors; a
+    * cluster with more executor memory raises it (the broadcast table
+    * is ~30 B/node — keep nodes × 30 B comfortably under both the 8 GB
+    * broadcast cap and per-executor storage memory). Every entry point
+    * takes it as a parameter; the boundary semantics (≤ broadcasts,
+    * > shuffles; outputs identical either side) are pinned by
+    * PageRankSpec's boundary case. */
   val BroadcastMaxNodes: Long = 1L << 20
 
   def run(edges: DataFrame, iterations: Int = 10,

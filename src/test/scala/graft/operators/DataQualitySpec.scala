@@ -29,6 +29,39 @@ class DataQualitySpec extends SparkTestBase {
     assert(scans <= 1, s"profile should read the table once:\n$plan")
   }
 
+  test("profile approxDistinct: the Expand multiplier drops to zero and " +
+    "distinct counts stay within the HLL error contract") {
+    val df = graft.sources.Tables.orders(spark, sf())
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice")
+    // string-match the plan: AQE's AdaptiveSparkPlanExec does not expose
+    // the inner plan via collect (same pattern as the one-scan case)
+    def expands(approx: Boolean) =
+      "Expand".r.findAllIn(DataQuality.profile(df, cols,
+        approxDistinct = approx).queryExecution.executedPlan.toString).length
+    // exact multi-distinct pays Expand (rows x column count); the HLL
+    // mode must not — that is the whole point of the switch
+    assert(expands(approx = false) > 0)
+    assert(expands(approx = true) == 0,
+      "approxDistinct profile must not Expand")
+    // still one scan, and n_distinct within the rsd=0.05 HLL contract
+    // (allow 3x rsd so the spec is not flaky across HLL seeds)
+    val approxPlan = DataQuality.profile(df, cols, approxDistinct = true)
+    val scans = "Scan parquet".r
+      .findAllIn(approxPlan.queryExecution.executedPlan.toString).length
+    assert(scans <= 1)
+    val exact = DataQuality.profile(df, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    approxPlan.collect().foreach { r =>
+      val (c, nd) = (r.getString(0), r.getLong(3))
+      val e = exact(c)
+      assert(math.abs(nd - e).toDouble <= math.max(1.0, 0.15 * e),
+        s"$c: approx $nd vs exact $e outside 3x rsd")
+      // exact columns carry over untouched in both modes
+      assert(r.getLong(1) == df.count())
+    }
+  }
+
   test("fkAudit counts orphans, including null child keys") {
     val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("k")
     val parent = Seq(1L, 2L, 3L).toDF("pk")

@@ -106,4 +106,27 @@ class PageRankSpec extends SparkTestBase {
       rows(PageRank.personalized(edges, seeds, 8,
         broadcastMaxNodes = Long.MaxValue)))
   }
+
+  test("BroadcastMaxNodes boundary: the mode flips exactly at |V| == bound " +
+    "and both sides of the boundary return identical output") {
+    import spark.implicits._
+    // ring + chords over exactly 31 nodes → |V| = 31 is known, so
+    // bound = 31 must broadcast (n <= bound) and bound = 30 must
+    // shuffle — the deploy-time knob binds at the documented boundary,
+    // not one off it. Plan is string-matched: AQE's adaptive root does
+    // not expose the inner plan via collect.
+    val edges = ((0L to 30L).map(i => (i, (i * 7 + 3) % 31, 1L + i % 3)) ++
+      (0L to 30L).map(i => (i, (i + 1) % 31, 1L)))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    def hasBroadcastJoin(bound: Long): Boolean =
+      PageRank.run(edges, 2, broadcastMaxNodes = bound)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcastJoin(31L), "|V| == bound must take the broadcast path")
+    assert(!hasBroadcastJoin(30L), "|V| == bound+1 must take shuffle-hash")
+    // and the choice is invisible in the output (6-dp contract)
+    def rows(bound: Long) =
+      PageRank.run(edges, 8, broadcastMaxNodes = bound)
+        .collect().map(_.toSeq).toSet
+    assert(rows(31L) == rows(30L))
+  }
 }
