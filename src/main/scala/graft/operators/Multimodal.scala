@@ -164,6 +164,10 @@ object Multimodal {
     docs.select(col("doc_id"), col(textCol).cast("string").as("__text"))
       .mapPartitions { rows =>
         val writer = pngWriter() // per-partition codec init
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => writer.dispose())
+        }
         rows.map { r =>
           val id = r.getLong(0)
           val text = if (r.isNullAt(1)) "" else r.getString(1)
@@ -197,6 +201,10 @@ object Multimodal {
     withBlobDf.select("doc_id", "blob", "media_type", "frame_h")
       .mapPartitions { rows =>
         val reader = pngReader() // per-partition codec init
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => reader.dispose())
+        }
         rows.map { r =>
           val id = r.getLong(0)
           val blob = r.getAs[Array[Byte]](1)
