@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{ContentRetriever, Ivf}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (round 9): measure the IVF `nlist ∝ N` scaling rule the Ivf
+  * scaladoc claims ("at 100 TB with nCells ~ sqrt(|index|) …") — q68's
+  * 10× scaling exponent of ~0.97 in BENCH_SCALE.json is measured at the
+  * sf0.1-sized `IvfIndexStore.NCells = 16`, where candidate volume per
+  * query grows linearly with the corpus. This probe rebuilds the index
+  * on the scaled corpus at nCells ∈ {16 (status quo), ~√10·16, √N} and
+  * times the q68-shaped knnJoin serve plus its recall@10 against exact
+  * brute-force on a query sample — converting the "scale the knob with
+  * N" design note into a measured (time, recall) trade table.
+  *
+  * Usage: runMain graft.IvfScaleProbe <sfDir> [kQueriesSample]
+  */
+object IvfScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/scale_data/sf1")
+    val nSample = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
+    val n = emb.count()
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    // deterministic query sample for the recall truth (hash-ordered take)
+    val qSample = queries.orderBy(xxhash64(col("query_id")), col("query_id"))
+      .limit(nSample).localCheckpoint()
+    val exact = ContentRetriever.topK(emb, qSample, 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    println(s"[ivfscale] |C|=$n, recall truth on $nSample queries (exact top-10)")
+
+    val sqrtN = math.round(math.sqrt(n.toDouble)).toInt
+    for (nCells <- Seq(16, 50, sqrtN)) {
+      val tFit0 = System.nanoTime()
+      val model = Ivf.fit(emb, nCells)
+      val indexed = Ivf.assign(model, emb).localCheckpoint()
+      indexed.count()
+      val fitS = (System.nanoTime() - tFit0) / 1e9
+      // expected scored-pair volume: Σ over probed cells of cell size,
+      // summed over queries — computed exactly from the probe assignment
+      val cellSizes = indexed.groupBy("cell").count()
+      val probed = Ivf.knnJoin(indexed, model, queries, 10, 12)
+      // warm, then min of 2 timed serves (full |Q| = |C| query load)
+      probed.count()
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Ivf.knnJoin(indexed, model, queries, 10, 12).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // recall@10 on the sample (self-exclusion symmetric on both sides)
+      val approx = Ivf.knnJoin(indexed, model, qSample, 10, 12)
+        .select(col("query_id"), col("vec_id"))
+      val hit = approx.join(exact, Seq("query_id", "vec_id")).count()
+      val denom = exact.count()
+      val skew = cellSizes.agg(max("count"), min("count")).collect()(0)
+      println(f"[ivfscale] nCells=$nCells%4d fit ${fitS}%6.1f s  " +
+        f"serve_min ${samples.min}%6.2f s (samples ${samples.map(s => f"$s%.2f").mkString(" ")})  " +
+        f"recall@10 ${hit.toDouble / denom}%.4f  " +
+        f"cell max/min ${skew.getLong(0)}/${skew.getLong(1)}")
+    }
+    spark.stop()
+  }
+}
