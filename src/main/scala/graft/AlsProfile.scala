@@ -58,6 +58,12 @@ object AlsProfile {
     })
 
     def runQ(name: String): Double = {
+      // mirror Bench: setups (index builds, bucketed stores) run UNTIMED
+      // before the query — a setup-gated chunk mate would otherwise
+      // crash the prelude or pay its index build inside the profiled
+      // window, distorting the cold-start comparison (round-9 ADVICE).
+      try SparkEntry.setups.get(name).foreach(_(spark, sfDir))
+      catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9

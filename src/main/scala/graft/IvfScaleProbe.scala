@@ -5,15 +5,15 @@ import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool (round 9): measure the IVF `nlist ∝ N` scaling rule the Ivf
-  * scaladoc claims ("at 100 TB with nCells ~ sqrt(|index|) …") — q68's
-  * 10× scaling exponent of ~0.97 in BENCH_SCALE.json is measured at the
-  * sf0.1-sized `IvfIndexStore.NCells = 16`, where candidate volume per
-  * query grows linearly with the corpus. This probe rebuilds the index
-  * on the scaled corpus at nCells ∈ {16 (status quo), ~√10·16, √N} and
-  * times the q68-shaped knnJoin serve plus its recall@10 against exact
-  * brute-force on a query sample — converting the "scale the knob with
-  * N" design note into a measured (time, recall) trade table.
+/** Dev tool (round 9; extended round 10): measure the IVF `nlist ∝ N`
+  * scaling rule. Round 9 measured the trade table at explicit
+  * nCells ∈ {16, 50, √N} and proved the then-fixed 16-cell default cost
+  * 6× on serve at 10×; round 10 made `max(16, ⌈√N⌉)` the
+  * `IvfIndexStore.ensure` fit-time default ([[graft.operators.Ivf.nCellsFor]]).
+  * The probe now measures the STORE'S OWN defaults-path first (ensure →
+  * persisted cell-partitioned index → knnJoin serve, no override), then
+  * the explicit sweep for the trade table — so the defaults row is the
+  * number a user gets without touching any knob.
   *
   * Usage: runMain graft.IvfScaleProbe <sfDir> [kQueriesSample]
   */
@@ -42,6 +42,32 @@ object IvfScaleProbe {
     val exact = ContentRetriever.topK(emb, qSample, 10)
       .select(col("query_id"), col("vec_id")).localCheckpoint()
     println(s"[ivfscale] |C|=$n, recall truth on $nSample queries (exact top-10)")
+
+    // ---- STORE DEFAULTS PATH (no override): ensure() picks the cell
+    // count via Ivf.nCellsFor and serves from the persisted
+    // cell-partitioned index — the number a user gets out of the box.
+    {
+      import graft.operators.IvfIndexStore
+      val tFit0 = System.nanoTime()
+      IvfIndexStore.ensure(spark, sfDir)
+      val fitS = (System.nanoTime() - tFit0) / 1e9 // ~0 if already built
+      val model = IvfIndexStore.loadModel(sfDir)
+      val index = IvfIndexStore.indexFrame(spark, sfDir)
+      Ivf.knnJoin(index, model, queries, 10, 12).count() // warm
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Ivf.knnJoin(index, model, queries, 10, 12).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val approx = Ivf.knnJoin(index, model, qSample, 10, 12)
+        .select(col("query_id"), col("vec_id"))
+      val hit = approx.join(exact, Seq("query_id", "vec_id")).count()
+      val denom = exact.count()
+      println(f"[ivfscale] STORE-DEFAULT nCells=${model.clusterCenters.length}%4d " +
+        f"ensure ${fitS}%6.1f s  " +
+        f"serve_min ${samples.min}%6.2f s (samples ${samples.map(s => f"$s%.2f").mkString(" ")})  " +
+        f"recall@10 ${hit.toDouble / denom}%.4f")
+    }
 
     val sqrtN = math.round(math.sqrt(n.toDouble)).toInt
     for (nCells <- Seq(16, 50, sqrtN)) {

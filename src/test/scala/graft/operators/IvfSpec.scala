@@ -122,6 +122,24 @@ class IvfSpec extends SparkTestBase {
     assert(centers(a) == centers(c), "hash layout changed the fit")
   }
 
+  test("nCellsFor: adaptive sqrt(N) default with a 16-cell floor") {
+    // Round-10 verdict item 1: the fit-time default must SCALE with the
+    // corpus — the round-9 probe measured the old fixed 16 costing 6× on
+    // serve at just 10×. Pin the rule: max(16, ceil(sqrt(n))).
+    assert(Ivf.nCellsFor(0L) == 16)
+    assert(Ivf.nCellsFor(100L) == 16)   // floor holds below 256
+    assert(Ivf.nCellsFor(256L) == 16)   // exactly at the floor boundary
+    assert(Ivf.nCellsFor(257L) == 17)   // first count past the floor
+    assert(Ivf.nCellsFor(500L) == 23)   // the sf0.01/sf0.001 corpora
+    assert(Ivf.nCellsFor(2000L) == 45)  // the sf0.1 corpus
+    assert(Ivf.nCellsFor(20000L) == 142) // the 10× probe corpus
+    // ensure() applies it: the persisted sf index carries the adaptive
+    // count, not the old constant.
+    val d = sf()
+    assert(IvfIndexStore.nCells(spark, d) ==
+      Ivf.nCellsFor(graft.sources.Tables.embeddings(spark, d).count()))
+  }
+
   test("assign puts identical vectors in the same cell") {
     val df = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),

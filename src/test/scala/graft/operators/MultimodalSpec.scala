@@ -106,11 +106,76 @@ class MultimodalSpec extends SparkTestBase {
     plans.values.foreach { case (w, h) => assert(w <= 8 && h <= 8 && w >= 1 && h >= 1) }
   }
 
-  test("plan shape: blob generation, probe and decode are all map-side — " +
-    "zero Exchange, blobs never shuffle") {
+  test("empty visual payloads: real 16x16 PNG of zero bytes → bin-0 unit " +
+    "vector (the cycle() zero-fill rule, pinned on both engine and oracle)") {
+    // round-9 ADVICE: the old spec only exercised empty AUDIO (tt = 0,
+    // zero vector); an empty IMAGE/VIDEO payload still has a real
+    // 16×16 raster (n = 0 ⇒ W = H = 16, frames = 1) that cycle()
+    // zero-fills, so every byte is 0 and the histogram concentrates in
+    // bin 0 — the oracle's `n = 0 AND tt > 0` branch replays exactly this.
+    val ed = spark.createDataFrame(Seq((3L, ""), (5L, "")))
+      .toDF("doc_id", "text") // 3 % 3 = 0 → image, 5 % 3 = 2 → video
+    val meta = Multimodal.decodeBatched(Multimodal.withBlob(ed)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(3L) == Multimodal.MediaMeta(3L, "image", 16, 16, 1, 256L))
+    assert(meta(5L) == Multimodal.MediaMeta(5L, "video", 16, 16, 1, 256L))
+    val feats = Multimodal.featuresBatched(Multimodal.withBlob(ed)).collect()
+      .map(m => m.doc_id -> m.features).toMap
+    Seq(3L, 5L).foreach { id =>
+      assert(feats(id)(0) == 1.0 && feats(id).tail.forall(_ == 0.0),
+        s"doc $id should be the bin-0 unit vector")
+    }
+  }
+
+  test("resizeDigest: executed nearest-neighbor resample matches the " +
+    "integer rule byte-for-byte; encode→decode round trip pinned") {
+    val one = spark.createDataFrame(Seq((0L, "alpha beta"))).toDF("doc_id", "text")
+    // n = 10 → W = 26, H = 86; 8×8 box → scale = 8/86, out = 2×8
+    val src = "alpha beta".getBytes("UTF-8")
+    val (w, h) = (26, 86)
+    val raster = Array.tabulate(w * h)(p => src(p % src.length))
+    val scale = math.min(math.min(8.0 / w, 8.0 / h), 1.0)
+    val (outW, outH) = (math.max(1, math.floor(w * scale).toInt),
+      math.max(1, math.floor(h * scale).toInt))
+    assert((outW, outH) == (2, 8))
+    val expected = Array.tabulate(outW * outH) { p =>
+      val (y, x) = (p / outW, p % outW)
+      raster((y * h / outH) * w + x * w / outW)
+    }
+    val (expSum, expWsum) = expected.zipWithIndex.foldLeft((0L, 0L)) {
+      case ((s, ws), (b, i)) => (s + (b & 0xff), ws + (i + 1L) * (b & 0xff))
+    }
+    val d = Multimodal.resizeDigest(Multimodal.withBlob(one), 8, 8).collect()(0)
+    assert(d == Multimodal.ResizeDigest(0L, w, h, outW, outH, 1,
+      expSum, expWsum, roundtrip_ok = true))
+    // the store form: a real PNG at the planned dims whose decoded bytes
+    // ARE the expected resample (lossless, stock-reader-openable)
+    val stored = Multimodal.resizeBatched(Multimodal.withBlob(one), 8, 8)
+      .collect()(0).getAs[Array[Byte]]("blob")
+    val img = ImageIO.read(new ByteArrayInputStream(stored))
+    assert(img.getWidth == outW && img.getHeight == outH)
+    val back = (0 until outW * outH).map(p =>
+      img.getRaster.getSample(p % outW, p / outW, 0).toByte)
+    assert(back.sameElements(expected))
+  }
+
+  test("resizeDigest: filmstrip resample is per-frame (video keeps its " +
+    "frame count); every doc round-trips") {
+    val ds = Multimodal.resizeDigest(Multimodal.withBlob(docs), 8, 8).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(ds.keySet == Set(0L, 2L)) // audio excluded
+    val n2 = 26
+    assert(ds(2L).n_frames == 1 + n2 % 30)
+    assert(ds(2L).out_w <= 8 && ds(2L).out_h <= 8)
+    assert(ds.values.forall(_.roundtrip_ok))
+  }
+
+  test("plan shape: blob generation, probe, decode and resample are all " +
+    "map-side — zero Exchange, blobs never shuffle") {
     val meta = Multimodal.decodeBatched(Multimodal.withBlob(docs)).toDF()
     val feats = Multimodal.featuresBatched(Multimodal.withBlob(docs)).toDF()
-    Seq(meta, feats).foreach { df =>
+    val resize = Multimodal.resizeDigest(Multimodal.withBlob(docs), 8, 8).toDF()
+    Seq(meta, feats, resize).foreach { df =>
       val ex = df.queryExecution.executedPlan.collect { case e: Exchange => e }
       assert(ex.isEmpty, s"unexpected shuffle: ${df.queryExecution.executedPlan}")
     }

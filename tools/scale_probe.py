@@ -150,8 +150,12 @@ def isolated(queries, sfdir, warm):
     for q in queries:
         l1 = round(os.getloadavg()[0], 2)
         sec, samples, raw = ib.run_one(q, sfdir, warm)
-        if sec is None:
-            print(f"[scale] {q}: NO TIMING LINE\n{raw[-1500:]}", file=sys.stderr)
+        # sec <= 0 is isolated_bench's all-runs-failed marker (-1.0):
+        # storing it would poison downstream mins and produce negative
+        # time_ratios — treat it exactly like the no-timing-line case.
+        if sec is None or sec <= 0:
+            print(f"[scale] {q}: FAILED (sec={sec})\n{raw[-1500:]}",
+                  file=sys.stderr)
             continue
         res[q] = {"sec": sec, "samples": samples, "load1_at_start": l1}
         print(f"[scale] {q:24s} {sec:8.2f} s  (load1 {l1})  samples {samples}")
@@ -172,16 +176,24 @@ def validate(out_path, warm, queries):
                             sfdir, warm)
     for q, row in art["queries"].items():
         for key, sec_key in (("base", "base_sec"), ("scaled", "scaled_sec")):
-            if q in val.get(key, {}):
-                row[sec_key] = min(row[sec_key], val[key][q]["sec"])
+            # guard against a failed validation run: isolated() already
+            # drops sec <= 0 rows, but never let a non-positive sample
+            # win a min (min-merge assumes bursts can only RAISE a time)
+            v = val.get(key, {}).get(q, {}).get("sec")
+            if v is not None and v > 0:
+                row[sec_key] = min(row[sec_key], v)
         tb, ts = row["base_sec"], row["scaled_sec"]
         rb, rs = row["rows_base"], row["rows_scaled"]
-        row["time_ratio"] = round(ts / tb, 2)
-        if rb > 0 and rs > rb and tb > 0 and ts > 0:
-            row["scaling_exponent"] = round(
-                math.log(ts / tb) / math.log(rs / rb), 3)
+        if tb > 0 and ts > 0:
+            row["time_ratio"] = round(ts / tb, 2)
+            if rb > 0 and rs > rb:
+                row["scaling_exponent"] = round(
+                    math.log(ts / tb) / math.log(rs / rb), 3)
+        else:  # a pre-fix artifact could carry the -1.0 marker: flag it
+            row["time_ratio"] = None
+            row["scaling_exponent"] = None
         print(f"[validate] {q:24s} base {tb:7.2f}  scaled {ts:8.2f}  "
-              f"exp {row['scaling_exponent']}")
+              f"exp {row.get('scaling_exponent')}")
     art["validation"] = {
         "comment": ("second pass min-merged into base_sec/scaled_sec "
                     "(burst can only raise a sample); per-run samples and "
@@ -245,7 +257,7 @@ def main():
         per_query[q] = {
             "base_sec": tb, "scaled_sec": ts,
             "driver_metric": metric, "rows_base": rb, "rows_scaled": rs,
-            "time_ratio": round(ts / tb, 2) if tb > 0 else None,
+            "time_ratio": round(ts / tb, 2) if tb > 0 and ts > 0 else None,
             "rows_ratio": round(rs / rb, 2) if rb > 0 else None,
             "scaling_exponent": round(exp, 3) if exp is not None else None,
             "base": base[q], "scaled": scaled[q],
