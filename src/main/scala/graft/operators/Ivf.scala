@@ -122,7 +122,19 @@ object Ivf {
     * Overwrite = the reference's wipe-every-run semantics
     * (`/root/reference/Hybrid_Recom_vecdb.py:28,338-341`). */
   def writeIndex(indexWithCells: DataFrame, path: String): Unit =
-    indexWithCells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // Hash-cluster rows by cell BEFORE the partitioned write: a plain
+    // partitionBy write emits one file per (write task × cell) —
+    // nCells × parallelism tiny files (measured round 10: the adaptive
+    // √N cell count turned the 10× index into 4,168 sub-8KB files and
+    // the defaults-path serve read 33.5 s where the same 141-cell index
+    // as ONE file per cell serves in ~4 s; at cluster scale the same
+    // shape is a small-files catastrophe). After repartition(cell) each
+    // cell's rows live in exactly one task → exactly one file per cell
+    // directory. Giant cells at 100 TB: cap file size with
+    // spark.sql.files.maxRecordsPerFile rather than re-splaying cells
+    // across tasks.
+    indexWithCells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   def loadIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -138,7 +150,9 @@ object Ivf {
     * over the union — gated by q66. */
   def upsertIndex(model: KMeansModel, newRows: DataFrame, path: String,
                   vecCol: String = "embedding"): Unit = {
-    assign(model, newRows, vecCol)
+    // same one-file-per-cell clustering as writeIndex: an upsert batch
+    // adds at most one new file to each touched cell directory
+    assign(model, newRows, vecCol).repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
     // a serve-side memoized relation for this path now lists stale files
     IvfIndexStore.invalidateIndex(path)

@@ -20,8 +20,11 @@ object IvfIndexStore {
 
   /** Bump when the on-disk layout changes. v2: adaptive √N cell count
     * (round-10 verdict item 1 — the fixed 16-cell layout cost a
-    * measured 6× on serve at just 10× scale; see [[Ivf.nCellsFor]]). */
-  private val LayoutVersion = "v2"
+    * measured 6× on serve at just 10× scale; see [[Ivf.nCellsFor]]).
+    * v3: one file per cell (Ivf.writeIndex repartitions by cell before
+    * the partitioned write — the v2 layout's nCells × tasks tiny files
+    * cost a measured 9× on the 10× defaults-path serve). */
+  private val LayoutVersion = "v3"
 
   /** Floor for the adaptive cell count (what `NCells = 16` used to pin
     * for every corpus size). The actual fit-time count is

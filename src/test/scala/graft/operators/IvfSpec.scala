@@ -68,6 +68,32 @@ class IvfSpec extends SparkTestBase {
     assert(persisted == inMem)
   }
 
+  test("writeIndex emits exactly one file per cell directory") {
+    // a plain partitionBy write produces one file per (task × cell) —
+    // nCells × parallelism tiny files; measured round 10: 4,168 sub-8KB
+    // files on the 10× index and a 9× defaults-path serve penalty. The
+    // repartition(cell) in writeIndex pins one file per cell.
+    val dir = java.nio.file.Files.createTempDirectory("ivf1f").toString + "/index"
+    val model = Ivf.fit(emb, nCells = 8)
+    // many input partitions so the old layout would provably multi-file
+    Ivf.writeIndex(Ivf.assign(model, emb).repartition(16), dir)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    for (cd <- cellDirs) {
+      val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${cd.getName} has ${parts.length} files — one-file-per-cell broke")
+    }
+    // an upsert batch appends at most one new file per touched cell
+    Ivf.upsertIndex(model, emb.limit(50), dir)
+    for (cd <- cellDirs) {
+      val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length <= 2,
+        s"${cd.getName} has ${parts.length} files after one upsert")
+    }
+  }
+
   test("knnJoin equals the broadcast probe path query-for-query") {
     // Same model, same nProbe: the cell-cogrouped join (map-side probe +
     // equi-join on cell) must serve bit-identical neighbors to topK's

@@ -217,6 +217,14 @@ def main():
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--validate", action="store_true",
                     help="re-run both passes and MIN-merge into --out")
+    ap.add_argument("--section", default=None,
+                    help="write the run under this key of an EXISTING --out "
+                         "artifact instead of replacing it (e.g. mult60 — "
+                         "the round-10 60x extension appends to the "
+                         "committed 10x rows rather than clobbering them); "
+                         "base timings/row-counts already present in the "
+                         "artifact are reused via min-merge, so a quiet 10x "
+                         "window's base rows aren't re-measured worse")
     ap.add_argument("queries", nargs="*")
     a = ap.parse_args()
     queries = a.queries or DEFAULT_QUERIES
@@ -274,6 +282,28 @@ def main():
         "queries": per_query,
         "wall_s": round(time.time() - t0, 1),
     }
+    if a.section:
+        outer = json.load(open(a.out)) if os.path.exists(a.out) else {}
+        # min-merge this window's fresh base rows with the committed ones
+        # (same deterministic corpus; a burst can only RAISE a sample), so
+        # the new section's exponents never blame the scaled run for a
+        # noisy base measurement
+        for q, row in per_query.items():
+            prev = outer.get("queries", {}).get(q)
+            if prev and prev.get("base_sec", 0) > 0:
+                row["base_sec"] = min(row["base_sec"], prev["base_sec"])
+                tb, ts = row["base_sec"], row["scaled_sec"]
+                rb, rs = row["rows_base"], row["rows_scaled"]
+                row["time_ratio"] = round(ts / tb, 2)
+                if rb > 0 and rs > rb:
+                    row["scaling_exponent"] = round(
+                        math.log(ts / tb) / math.log(rs / rb), 3)
+        outer[a.section] = art
+        with open(a.out, "w") as f:
+            json.dump(outer, f, indent=1)
+            f.write("\n")
+        print(f"[scale] wrote section '{a.section}' into {a.out}")
+        return
     with open(a.out, "w") as f:
         json.dump(art, f, indent=1)
         f.write("\n")
