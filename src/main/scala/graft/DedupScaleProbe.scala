@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (round 10): measure the exact-pairwise n-gram Jaccard
+  * operator's scaling CURVE and its restoring knob.
+  *
+  * The operator's join volume is Σ over shingles of C(min(df, maxDf), 2).
+  * The degree-preserving replica corpus multiplies EVERY shingle's df by
+  * the replication factor k (term frequencies are preserved by design),
+  * so a fixed absolute cap admits per-shingle pair volumes that grow
+  * ~k² — the worst case for an inverted-index quadratic verifier. (A
+  * real growing corpus adds vocabulary — Heaps' law — and rare-shingle
+  * dfs do NOT ride ∝N; the replica protocol is deliberately adversarial
+  * here.) At 60× the volume under maxDf = 1000 exceeds local spill disk
+  * and the query dies; this probe prints the volume curve vs maxDf
+  * (cheap: one df aggregation, no join) and then RUNS the operator at a
+  * chosen cap to show the knob restores completion.
+  *
+  * Usage: runMain graft.DedupScaleProbe <sfDir> [cap,cap,...] [runCap]
+  */
+object DedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val caps = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(17, 100, 1000))
+    val runCap = args.lift(2).map(_.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    // one pass: per-shingle df, then the predicted join volume per cap
+    val df = docs
+      .select(explode(shingleSet(col("text"), 3)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val aggs = caps.flatMap { c =>
+      val d = least(col("df"), lit(c.toLong)).cast("double")
+      Seq(sum(when(col("df") <= c, (col("df") * (col("df") - 1)) / 2)
+            .otherwise(0L)).as(s"pairs_under_$c"),
+        sum(d * (d - 1) / 2).cast("long").as(s"pairs_clamped_$c"),
+        sum(when(col("df") > c, 1L).otherwise(0L)).as(s"heavy_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    println(s"[dedupscale] $sfDir docs=$nDocs distinct_shingles=${df.count()}")
+    caps.zipWithIndex.foreach { case (c, i) =>
+      println(f"[dedupscale] maxDf=$c%6d  join_rows(df<=cap)=${row.getLong(3 * i)}%14d  " +
+        f"heavy_shingles=${row.getLong(3 * i + 2)}%8d")
+    }
+    runCap.foreach { c =>
+      val t0 = System.nanoTime()
+      val out = Dedup.ngramJaccard(docs, 3, 0.05, maxDf = c).count()
+      println(f"[dedupscale] RUN maxDf=$c%6d  pairs_out=$out%12d  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}
