@@ -6,14 +6,17 @@ import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool (round 10): measure the exact-pairwise n-gram Jaccard
-  * operator's scaling CURVE and its restoring knob.
+/** Dev tool (round 10; fixed round 11): measure the exact-pairwise
+  * n-gram Jaccard operator's scaling CURVE and its restoring knob.
   *
-  * The operator's join volume is Σ over shingles of C(min(df, maxDf), 2).
-  * The degree-preserving replica corpus multiplies EVERY shingle's df by
+  * The operator's join volume is Σ over shingles WITH df <= maxDf of
+  * C(df, 2) — [[Dedup.ngramJaccard]] anti-joins heavy (df > maxDf)
+  * shingles away entirely, it does not clamp them. The
+  * degree-preserving replica corpus multiplies EVERY shingle's df by
   * the replication factor k (term frequencies are preserved by design),
   * so a fixed absolute cap admits per-shingle pair volumes that grow
-  * ~k² — the worst case for an inverted-index quadratic verifier. (A
+  * ~k² right up until a shingle crosses the cap and its entire posting
+  * drops — the worst case for an inverted-index quadratic verifier. (A
   * real growing corpus adds vocabulary — Heaps' law — and rare-shingle
   * dfs do NOT ride ∝N; the replica protocol is deliberately adversarial
   * here.) At 60× the volume under maxDf = 1000 exceeds local spill disk
@@ -48,17 +51,18 @@ object DedupScaleProbe {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .localCheckpoint()
     val aggs = caps.flatMap { c =>
-      val d = least(col("df"), lit(c.toLong)).cast("double")
+      // Spark's `/` yields DoubleType; cast back so the collect-side
+      // read is a plain getLong (round-11 ADVICE: the uncast double
+      // column threw ClassCastException at row.getLong)
       Seq(sum(when(col("df") <= c, (col("df") * (col("df") - 1)) / 2)
-            .otherwise(0L)).as(s"pairs_under_$c"),
-        sum(d * (d - 1) / 2).cast("long").as(s"pairs_clamped_$c"),
+            .otherwise(0L)).cast("long").as(s"pairs_under_$c"),
         sum(when(col("df") > c, 1L).otherwise(0L)).as(s"heavy_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     println(s"[dedupscale] $sfDir docs=$nDocs distinct_shingles=${df.count()}")
     caps.zipWithIndex.foreach { case (c, i) =>
-      println(f"[dedupscale] maxDf=$c%6d  join_rows(df<=cap)=${row.getLong(3 * i)}%14d  " +
-        f"heavy_shingles=${row.getLong(3 * i + 2)}%8d")
+      println(f"[dedupscale] maxDf=$c%6d  join_rows(df<=cap)=${row.getLong(2 * i)}%14d  " +
+        f"heavy_shingles=${row.getLong(2 * i + 1)}%8d")
     }
     runCap.foreach { c =>
       val t0 = System.nanoTime()

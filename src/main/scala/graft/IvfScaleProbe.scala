@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * the explicit sweep for the trade table — so the defaults row is the
   * number a user gets without touching any knob.
   *
-  * Usage: runMain graft.IvfScaleProbe <sfDir> [kQueriesSample]
+  * Usage: runMain graft.IvfScaleProbe <sfDir> [kQueriesSample] [defaults]
+  * ("defaults" skips the explicit nCells sweep and measures only the
+  * store's own defaults path — see the comment at the sweep below).
   */
 object IvfScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -69,7 +71,7 @@ object IvfScaleProbe {
         f"recall@10 ${hit.toDouble / denom}%.4f")
     }
 
-    // "defaults" as arg 3 skips the explicit sweep: at 60× the 16-cell
+    // "defaults" as the third arg skips the explicit sweep: at 60× the 16-cell
     // row's probed volume (12/16 of a 120k×120k query load) exceeds
     // local spill disk by design — the sweep only exists to CONTRAST
     // the adaptive default, and the contrast is already measured at 10×.

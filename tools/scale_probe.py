@@ -287,17 +287,39 @@ def main():
         # min-merge this window's fresh base rows with the committed ones
         # (same deterministic corpus; a burst can only RAISE a sample), so
         # the new section's exponents never blame the scaled run for a
-        # noisy base measurement
-        for q, row in per_query.items():
-            prev = outer.get("queries", {}).get(q)
-            if prev and prev.get("base_sec", 0) > 0:
-                row["base_sec"] = min(row["base_sec"], prev["base_sec"])
-                tb, ts = row["base_sec"], row["scaled_sec"]
-                rb, rs = row["rows_base"], row["rows_scaled"]
-                row["time_ratio"] = round(ts / tb, 2)
-                if rb > 0 and rs > rb:
-                    row["scaling_exponent"] = round(
-                        math.log(ts / tb) / math.log(rs / rb), 3)
+        # noisy base measurement. GUARDED on base_dir (round-11 ADVICE): a
+        # run against a different base corpus must not min-merge timings
+        # across corpora. Provenance: base_sec_source records which run's
+        # min won, next to the untouched fresh samples under row['base'].
+        if outer.get("base_dir") == a.base:
+            for q, row in per_query.items():
+                prev = outer.get("queries", {}).get(q)
+                if prev and prev.get("base_sec", 0) > 0:
+                    if prev["base_sec"] < row["base_sec"]:
+                        row["base_sec"] = prev["base_sec"]
+                        row["base_sec_source"] = "min-merged from top-level 10x run"
+                    else:
+                        row["base_sec_source"] = "this run (fresh min kept)"
+                    tb, ts = row["base_sec"], row["scaled_sec"]
+                    rb, rs = row["rows_base"], row["rows_scaled"]
+                    row["time_ratio"] = round(ts / tb, 2)
+                    if rb > 0 and rs > rb:
+                        row["scaling_exponent"] = round(
+                            math.log(ts / tb) / math.log(rs / rb), 3)
+        # MERGE into an existing section rather than replacing it: a
+        # single-query extension run (e.g. adding q68 to mult60) must not
+        # drop the section's committed rows for the other queries.
+        prev_sec = outer.get(a.section)
+        if (prev_sec and prev_sec.get("base_dir") == art["base_dir"]
+                and prev_sec.get("scaled_dir") == art["scaled_dir"]):
+            merged = dict(prev_sec.get("queries", {}))
+            merged.update(per_query)
+            art["queries"] = merged
+            for rc in ("row_counts_base", "row_counts_scaled"):
+                rcs = dict(prev_sec.get(rc, {}))
+                rcs.update(art.get(rc, {}))
+                art[rc] = rcs
+            art["wall_s"] = round(prev_sec.get("wall_s", 0) + art["wall_s"], 1)
         outer[a.section] = art
         with open(a.out, "w") as f:
             json.dump(outer, f, indent=1)
