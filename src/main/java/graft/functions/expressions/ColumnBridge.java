@@ -22,4 +22,17 @@ public final class ColumnBridge {
   public static Expression expression(Column c) {
     return org.apache.spark.sql.classic.ExpressionUtils.expression(c);
   }
+
+  /**
+   * {@code collect_top_k(child, num, reverse)} as a complete aggregate
+   * expression. {@code CollectTopK} is {@code private[sql]} at the Scala
+   * level (the pickle blocks scalac), but its bytecode is public — the
+   * same Java sidestep as {@link #column(Expression)} above. See
+   * graft.functions.expressions.TopKAggregate for the semantics and the
+   * measured sort-spill failure this replaces.
+   */
+  public static Expression collectTopK(Expression child, int num, boolean reverse) {
+    return new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        child, num, reverse, 0, 0).toAggregateExpression();
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.TopKAggregate
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -192,8 +193,21 @@ object Ivf {
     *     shuffle) and explodes its `nProbe` nearest cells;
     *  2. equi-join on `cell` — each query meets only its probed cells'
     *     vectors (nProbe/nCells of the corpus), never all-pairs;
-    *  3. per-query top-k window (WindowGroupLimit prunes to k rows per
-    *     query map-side before the rank exchange).
+    *  3. per-query top-k via `collect_top_k` — bounded heaps inside
+    *     ObjectHashAggregate ([[graft.functions.expressions.TopKAggregate]]).
+    *
+    * Step 3 was a `row_number() <= k` window through round 10. The
+    * window's map-side WindowGroupLimit prune is SORT-based: the local
+    * Sort materializes the whole scored-pair volume per task before the
+    * prune drops anything, so the operator's DISK footprint equals its
+    * candidate volume — measured fatal at 60× (gate-mode q68 scores
+    * ~10.8G pairs; the sort spill filled 79 GB of local disk and died
+    * with `SPILL_OUT_OF_MEMORY … No space left on device`; round-11
+    * BENCH_SCALE note). The heap aggregation keeps O(queries-in-task × k)
+    * state, shuffles ≤ tasks × k rows per query, and never materializes
+    * a scored pair — the pair stream stays inside the codegen'd join
+    * stage. Same (sim DESC, vec_id ASC) order, rank and output schema
+    * (TopKAggregateSpec + IvfSpec pin equivalence and plan shape).
     *
     * At 100 TB with nCells ~ sqrt(|index|) the cell key space is wide
     * enough to spread the join; a skewed cell is an AQE skew-join split
@@ -202,14 +216,30 @@ object Ivf {
   def knnJoin(indexWithCells: DataFrame, model: KMeansModel,
               queries: DataFrame, k: Int, nProbe: Int,
               excludeSelf: Boolean = true): DataFrame = {
+    // ObjectHashAggregate's sort-based fallback would reintroduce the
+    // exact full-volume sort this aggregation exists to avoid. The
+    // default threshold (128 distinct keys per task) predates bounded
+    // buffers like collect_top_k's k-heap (~1 KB per query); raise the
+    // session floor so a task can hold millions of per-query heaps in
+    // the hash map before any fallback (2^21 × ~1 KB ≈ 2 GB worst case,
+    // and real tasks hold |Q|/tasks keys — far less).
+    val ss = queries.sparkSession
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (ss.conf.get(fallbackKey, "128").toLong < (1L << 21))
+      ss.conf.set(fallbackKey, (1L << 21).toString)
     val scored = probeCellsMapSide(model, queries, nProbe)
       .join(indexWithCells, Seq("cell"))
       .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
       .select("query_id", "vec_id", "sim")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    scored
+      .groupBy("query_id")
+      .agg(TopKAggregate.collectTopK(
+        struct(col("sim"), (-col("vec_id")).as("nid")), k,
+        reverse = false).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (-col("__e.nid")).as("vec_id"),
+        col("__e.sim").as("sim"), (col("__p") + 1).cast("int").as("rnk"))
   }
 
   /** [[probeCells]] without the broadcast join or probe-rank window:

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.expressions.TopKAggregate.collectTopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the `collect_top_k` convention [[graft.operators.Ivf.knnJoin]]
+  * stands on: reverse = false keeps the k LARGEST child values and eval
+  * returns them sorted DESCENDING, so `struct(sim, -id)` reproduces the
+  * (sim DESC, id ASC) order of the `row_number() <= k` window it
+  * replaces — including duplicate-sim tie groups and groups smaller
+  * than k. */
+class TopKAggregateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // (group, id, sim) — group 1 has a 3-way sim tie; group 2 has < k rows
+    (1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.7), (1L, 13L, 0.7),
+    (1L, 14L, 0.5), (1L, 15L, 0.95),
+    (2L, 20L, 0.1), (2L, 21L, 0.3)
+  ).toDF("g", "id", "sim")
+
+  private def viaTopK(k: Int) = rows
+    .groupBy("g")
+    .agg(collectTopK(struct(col("sim"), (-col("id")).as("nid")), k,
+      reverse = false).as("tk"))
+    .select(col("g"), posexplode(col("tk")).as(Seq("p", "e")))
+    .select(col("g"), (-col("e.nid")).as("id"), col("e.sim"),
+      (col("p") + 1).cast("int").as("rnk"))
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("sim").desc, col("id").asc)
+    rows.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("g", "id", "sim", "rnk")
+  }
+
+  test("reverse=true == (sim DESC, id ASC) row_number window, ties and " +
+    "short groups included") {
+    for (k <- Seq(1, 3, 4, 10)) {
+      val a = viaTopK(k).orderBy("g", "rnk").collect().toSeq
+      val b = viaWindow(k).orderBy("g", "rnk").collect().toSeq
+      assert(a == b, s"k=$k: collect_top_k disagrees with the window\n" +
+        s"topk:   $a\nwindow: $b")
+    }
+  }
+
+  test("plan aggregates with ObjectHashAggregate — no sort of the input") {
+    val df = viaTopK(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("WindowGroupLimit"), s"window crept back:\n$plan")
+  }
+}

@@ -127,8 +127,15 @@ class IvfSpec extends SparkTestBase {
         s"knnJoin must not require a broadcast:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffle join on cell:\n$plan")
-      assert(plan.contains("WindowGroupLimit"),
-        "per-query top-k should prune map-side before the rank exchange")
+      // Round 11: the top-k is a bounded-heap ObjectHashAggregate, NOT a
+      // sort-based window — the window's local Sort materialized the
+      // full scored-pair volume per task (measured 79 GB spill death at
+      // 60×, see Ivf.knnJoin). Partial heaps must aggregate map-side
+      // before the query_id exchange, and no Window may touch the pairs.
+      assert(plan.contains("ObjectHashAggregate"),
+        s"per-query top-k should be a bounded-heap aggregate:\n$plan")
+      assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "),
+        s"sort-based window crept back into knnJoin:\n$plan")
       assert(df.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
