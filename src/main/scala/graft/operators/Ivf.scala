@@ -216,31 +216,22 @@ object Ivf {
   def knnJoin(indexWithCells: DataFrame, model: KMeansModel,
               queries: DataFrame, k: Int, nProbe: Int,
               excludeSelf: Boolean = true): DataFrame = {
-    // ObjectHashAggregate's sort-based fallback would reintroduce the
-    // exact full-volume sort this aggregation exists to avoid. The
-    // default threshold (128 distinct keys per task) predates bounded
-    // buffers like collect_top_k's k-heap (~1 KB per query); raise the
-    // session floor so a task can hold millions of per-query heaps in
-    // the hash map before any fallback (2^21 × ~1 KB ≈ 2 GB worst case,
-    // and real tasks hold |Q|/tasks keys — far less).
-    val ss = queries.sparkSession
-    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (ss.conf.get(fallbackKey, "128").toLong < (1L << 21))
-      ss.conf.set(fallbackKey, (1L << 21).toString)
     val scored = probeCellsMapSide(model, queries, nProbe)
       .join(indexWithCells, Seq("cell"))
       .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
       .select("query_id", "vec_id", "sim")
-    scored
-      .groupBy("query_id")
-      .agg(TopKAggregate.collectTopK(
-        struct(col("sim"), (-col("vec_id")).as("nid")), k,
-        reverse = false).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
-      .select(col("query_id"), (-col("__e.nid")).as("vec_id"),
-        col("__e.sim").as("sim"), (col("__p") + 1).cast("int").as("rnk"))
+    topKPerQuery(scored, k)
   }
+
+  /** Per-query top-k over a scored (query_id, vec_id, sim, …) frame via
+    * bounded heaps — the disk-safe replacement for the
+    * `row_number() <= k` window (see [[knnJoin]] step 3 and
+    * [[graft.functions.expressions.TopKAggregate]]). Output
+    * (query_id, vec_id, sim, rnk) in the window's exact
+    * (sim DESC, vec_id ASC) order. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    TopKAggregate.perGroupTopK(scored, "query_id", "vec_id", "sim", k)
 
   /** [[probeCells]] without the broadcast join or probe-rank window:
     * the centroids are baked into ONE map-side expression (array of
@@ -282,14 +273,16 @@ object Ivf {
 
   private def rankInCells(indexWithCells: DataFrame, probed: DataFrame,
                           k: Int, excludeSelf: Boolean): DataFrame = {
+    // The broadcast-probe contract keeps |Q| small, but the scored frame
+    // is still |Q| × nProbe × |cell| — at 10⁹ vectors a 1000-query serve
+    // batch scores ~10⁸ rows, which the old window SORTED per task
+    // before its prune. Same bounded-heap tail as [[knnJoin]]; identical
+    // output (digest-pinned by q37/q43 and the IvfSpec exactness test).
     val scored = indexWithCells
       .join(probed.hint("broadcast"), Seq("cell"))
       .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("query_id", "vec_id", "sim", "rnk")
+    topKPerQuery(scored, k)
   }
 
   /** L2-normalize into an MLlib vector column (zero vectors stay zero). */

@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.TopKAggregate
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the memory-compression scale path beyond
@@ -222,10 +222,14 @@ object Pq {
       .join(probed.hint("broadcast"), Seq("cell"))
       .where(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("adc_sim", adcScore(col("codes"), col("__lut")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= shortlist)
+    // Bounded-heap top-k (round 11) — the candidate frame here is
+    // |Q| × nProbe × |cell| rows and the old window SORTED it per task,
+    // wide (codes + LUT + q_emb columns) — the same disk-footprint
+    // hazard measured fatal on Ivf.knnJoin at 60×. The heap prunes the
+    // payload columns; [[topKRefined]] re-attaches q_emb by joining the
+    // k-sized shortlist against the (broadcast-small) query frame.
+    TopKAggregate.perGroupTopK(scored, "query_id", "vec_id", "adc_sim",
+      shortlist)
   }
 
   /** IVFPQ+refine top-k — the production serving shape: ADC produces a
@@ -244,13 +248,14 @@ object Pq {
                   vecCol: String = "embedding"): DataFrame = {
     val cands = adcShortlist(encodedIndex, pq, coarse, queries, shortlist,
       nProbe, excludeSelf)
-      .select("query_id", "vec_id", "q_emb")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    cands
-      .join(fullVectors.select(col("vec_id"), col(vecCol).as("__fv")), Seq("vec_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("__fv")))
-      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("query_id", "vec_id", "sim", "rnk")
+      .select("query_id", "vec_id")
+      .join(queries.select(col("query_id"), col("q_emb")).hint("broadcast"),
+        Seq("query_id"))
+    TopKAggregate.perGroupTopK(
+      cands
+        .join(fullVectors.select(col("vec_id"), col(vecCol).as("__fv")),
+          Seq("vec_id"))
+        .withColumn("sim", cosine(col("q_emb"), col("__fv"))),
+      "query_id", "vec_id", "sim", k)
   }
 }

@@ -254,4 +254,33 @@ class PropertiesSpec extends SparkTestBase {
       .where(col("tfsum") =!= col("n") || size(col("tc")) =!= col("u"))
     assert(bad.count() == 0)
   }
+
+  test("perGroupTopK == (ord DESC, id ASC) row_number window for any " +
+    "grouped numeric rows (duplicate ord values, tiny and huge groups)") {
+    // the aggregate graft.operators.Ivf/Pq rank with instead of a sorted
+    // window (round 11) — equivalence must hold for ANY scored frame,
+    // including duplicated similarity values (tie ranks decided purely
+    // by id), groups below k, and ord values of either sign
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      g <- Gen.choose(1L, 12L)
+      id <- Gen.choose(0L, 400L)
+      // coarse grid forces heavy sim collisions → tie-order stress
+      s <- Gen.choose(-5, 5).map(_ / 4.0)
+    } yield (g, id, s)
+    val rows = sample(rowGen, 600).distinct // (g, id) must be unique keys
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = spark.createDataFrame(rows).toDF("g", "id", "s")
+    for (k <- Seq(1, 4, 25)) {
+      val viaHeap = graft.functions.expressions.TopKAggregate
+        .perGroupTopK(df, "g", "id", "s", k)
+      val w = Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)
+      val viaWindow = df.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("g"), col("id"), col("s"), col("rnk").cast("int"))
+      assert(viaHeap.exceptAll(viaWindow).count() == 0 &&
+        viaWindow.exceptAll(viaHeap).count() == 0,
+        s"k=$k: heap top-k diverged from the window")
+    }
+  }
 }
