@@ -103,10 +103,11 @@ object Bm25 {
       .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
       .groupBy("query_id", "doc_id")
       .agg((sum(floor(col("contrib") * 1e9 + 0.5).cast("long")) / 1e9).as("__s"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__s").desc, col("doc_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
+    // Bounded-heap top-k (round 11, same hazard as Ivf.knnJoin): the
+    // (query, doc) score frame is candidate-sized when |Q| rides the
+    // corpus, and the old window SORTED it per task before pruning.
+    graft.functions.expressions.TopKAggregate
+      .perGroupTopK(scored, "query_id", "doc_id", "__s", k)
       .select(col("query_id"), col("doc_id"),
         round(col("__s"), 6).as("score"), col("rnk"))
   }
