@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 ranked keyword retrieval — the SPARSE arm of hybrid search.
@@ -23,7 +22,7 @@ import org.apache.spark.sql.functions._
   *  2. query terms semi-filter the postings ON TERM (the query side is
   *     tiny and broadcasts; only postings of queried terms survive —
   *     per-query cost ∝ Σ df(term), never corpus size);
-  *  3. per-(query, doc) score, top-k window per query.
+  *  3. per-(query, doc) score, bounded-heap top-k per query.
   *
   * At 100 TB the df of stop-like terms makes step 2's survivor set the
   * cost driver — the classic answer is a df cap (stop filtering), same
