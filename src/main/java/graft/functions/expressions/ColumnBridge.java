@@ -30,6 +30,14 @@ public final class ColumnBridge {
    * same Java sidestep as {@link #column(Expression)} above. See
    * graft.functions.expressions.TopKAggregate for the semantics and the
    * measured sort-spill failure this replaces.
+   *
+   * VERSION PIN: the 5-arg constructor below (child, num, reverse,
+   * mutableAggBufferOffset = 0, inputAggBufferOffset = 0) is compiled
+   * against Spark 4.1.2 ({@code /opt/spark/jars/spark-catalyst_2.13-4.1.2.jar}).
+   * A Spark bump that changes CollectTopK's arity fails HERE at compile
+   * time (javac resolves the constructor against the new jar), and
+   * TopKAggregateSpec pins the runtime ordering convention as the
+   * semantic canary.
    */
   public static Expression collectTopK(Expression child, int num, boolean reverse) {
     return new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(

@@ -2,6 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Bounded-state per-group top-k — the aggregation that replaces a
   * sort-based `row_number() <= k` window on a corpus-scale frame.
@@ -35,6 +36,39 @@ import org.apache.spark.sql.functions._
   */
 object TopKAggregate {
 
+  /** The floor [[perGroupTopK]] raises
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to.
+    *
+    * Why it must be raised at all: ObjectHashAggregate's default
+    * fallback (128 distinct keys per task) converts the REMAINING input
+    * to sort-based processing — i.e. it reintroduces the exact
+    * candidate-volume sort this aggregation exists to avoid, after the
+    * first 128 groups. The default predates bounded buffers like
+    * collect_top_k's k-heap (~1 KB per group).
+    *
+    * Why 2^20 and not more (round-12, ADVICE): groups-per-task is
+    * bounded by rows-per-task — a 128 MB input split of narrow score
+    * rows holds a few million rows, and every measured engine path sits
+    * far below the floor (q68's 60× gate holds ~300 K query groups
+    * TOTAL across all tasks; the defaults serve path fewer). At the
+    * floor, worst-case bounded-heap state is 2^20 × ~1 KB ≈ 1 GB/task
+    * against 4 GB/thread on the bench box — the previous 2^21 doubled
+    * that exposure for no measured benefit.
+    *
+    * BLAST RADIUS (this is a SESSION-WIDE conf, set once and kept): the
+    * threshold also governs every other ObjectHashAggregate in the
+    * session, including unbounded-buffer aggregates (`collect_list` /
+    * `collect_set` — e.g. the ground-truth set builds and Rerank's
+    * per-query lists), for which the 128-key early fallback is a
+    * memory-safety valve: with the raised floor a task may hold up to
+    * 2^20 GROWING collect buffers before falling back to sort. The
+    * engine's own unbounded-collect aggregates operate on frames whose
+    * per-group buffers are small (tens of entries) and stay correct
+    * under the floor (TopKAggregateSpec pins this); a session that
+    * aggregates huge collect buffers under memory pressure should lower
+    * the conf back after the top-k action completes. */
+  val FallbackThresholdFloor: Long = 1L << 20
+
   /** `collect_top_k(child, k, reverse)` as a Column aggregate.
     * `reverse = false` → the k largest, returned sorted descending. */
   def collectTopK(child: Column, k: Int, reverse: Boolean): Column =
@@ -46,27 +80,53 @@ object TopKAggregate {
     * `row_number().over(Window.partitionBy(group).orderBy(ord.desc,
     * id.asc)) <= k` on frames whose row count is candidate-sized.
     * Output columns keep the input names plus `rnk` (1-based, same rank
-    * the window assigned). `id` must be a numeric column (the mixed
-    * sort direction is encoded by negation); every column other than
+    * the window assigned). `id` MUST be numeric (enforced — the mixed
+    * sort direction is encoded by negation, and under non-ANSI mode a
+    * negated string silently yields NULL ids); every column other than
     * (group, id, ord) is pruned — re-attach small per-group payloads by
-    * joining the k-sized output, not by carrying them through the heap. */
+    * joining the k-sized output, not by carrying them through the heap.
+    *
+    * Side effect: raises the session's ObjectHashAggregate sort-fallback
+    * threshold to [[FallbackThresholdFloor]] (never lowers it) — see
+    * that value's doc for the justification and the cross-operator
+    * blast radius. */
   def perGroupTopK(df: DataFrame, group: String, id: String, ord: String,
-                   k: Int): DataFrame = {
-    // ObjectHashAggregate's sort-based fallback would reintroduce the
-    // exact full-volume sort this aggregation exists to avoid. The
-    // default threshold (128 distinct keys per task) predates bounded
-    // buffers like collect_top_k's k-heap (~1 KB per group); raise the
-    // session floor so a task can hold millions of per-group heaps in
-    // the hash map before any fallback (2^21 × ~1 KB ≈ 2 GB worst case,
-    // and real tasks hold far fewer groups).
+                   k: Int): DataFrame =
+    perGroupTopKCarry(df, group, id, ord, k, Seq.empty)
+
+  /** [[perGroupTopK]] with extra `carry` columns riding through the heap
+    * struct. Carry fields sit BELOW the (ord, -id) tie encoding in the
+    * struct's lexicographic comparator, and `id` is unique within a
+    * group by the operators' contracts, so they never decide a
+    * comparison — cargo, not keys (they must still be of orderable
+    * types for CollectTopK's type check; numerics/strings are). Use for
+    * per-row payloads whose re-attachment would otherwise need a join
+    * against the candidate-sized frame (e.g. userNeighbors' `shared`
+    * count); per-GROUP payloads should still re-attach by joining the
+    * k-sized output. Same numeric-id contract and session-conf side
+    * effect as [[perGroupTopK]]. */
+  def perGroupTopKCarry(df: DataFrame, group: String, id: String,
+                        ord: String, k: Int, carry: Seq[String]): DataFrame = {
+    require(df.schema(id).dataType.isInstanceOf[NumericType],
+      s"perGroupTopK id column '$id' must be numeric (got " +
+        s"${df.schema(id).dataType.simpleString}): the (ord DESC, id ASC) " +
+        "tie order is encoded by negating id, and negating a non-numeric " +
+        "column yields NULL under non-ANSI mode — silently corrupting " +
+        "every output id. Map the id to a numeric surrogate first.")
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (df.sparkSession.conf.get(fallbackKey, "128").toLong < (1L << 21))
-      df.sparkSession.conf.set(fallbackKey, (1L << 21).toString)
+    if (df.sparkSession.conf.get(fallbackKey, "128").toLong < FallbackThresholdFloor)
+      df.sparkSession.conf.set(fallbackKey, FallbackThresholdFloor.toString)
+    // every struct field gets a reserved name: a caller's ord column
+    // literally named "nid" would otherwise collide with the tie field
+    // and resolve the extraction ambiguously (round-11 ADVICE)
+    val fields = struct((Seq(col(ord).as("__o"), (-col(id)).as("__nid")) ++
+      carry.map(c => col(c).as(s"__c_$c"))): _*)
     df.groupBy(group)
-      .agg(collectTopK(struct(col(ord), (-col(id)).as("nid")), k,
-        reverse = false).as("__tk"))
+      .agg(collectTopK(fields, k, reverse = false).as("__tk"))
       .select(col(group), posexplode(col("__tk")).as(Seq("__p", "__e")))
-      .select(col(group), (-col(s"__e.nid")).as(id),
-        col(s"__e.${ord}").as(ord), (col("__p") + 1).cast("int").as("rnk"))
+      .select((Seq(col(group), (-col("__e.__nid")).as(id),
+        col("__e.__o").as(ord)) ++
+        carry.map(c => col(s"__e.__c_$c").as(c)) :+
+        (col("__p") + 1).cast("int").as("rnk")): _*)
   }
 }

@@ -71,7 +71,13 @@ object Bm25 {
     * query terms are the DISTINCT tokens of the query text. Output
     * (query_id, doc_id, score, rnk), tie order (score DESC, doc_id ASC).
     * `maxDf` drops terms whose document frequency exceeds it (0 = no
-    * cap) — the stop-term guard for web-scale corpora. */
+    * cap) — the stop-term guard for web-scale corpora.
+    *
+    * CONTRACT: `idCol` must be a NUMERIC document id (enforced by the
+    * bounded-heap rank — the tie order is encoded by negation; see
+    * [[graft.functions.expressions.TopKAggregate.perGroupTopK]]). A
+    * string-keyed corpus (e.g. ASINs) maps ids to a numeric surrogate
+    * before calling, exactly as the offline index build does. */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
            k1: Double = K1, b: Double = B, maxDf: Long = 0L,
            excludeSelf: Boolean = false,

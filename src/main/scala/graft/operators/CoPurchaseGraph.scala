@@ -231,7 +231,20 @@ object CoPurchaseGraph {
     *
     * @return (user, neighbor, shared, cosine, rnk) — rnk 1..k */
   def userNeighbors(orders: DataFrame, lineitem: DataFrame, k: Int,
-                    maxUsers: Int = 200): DataFrame = {
+                    maxUsers: Int = 200): DataFrame =
+    userNeighborsImpl(orders, lineitem, k, maxUsers, heapTopK = false)
+
+  /** [[userNeighbors]] with the per-user rank strategy selectable, for
+    * the round-12 heap-vs-sort A/B (UserKnnAbProbe): `heapTopK = true`
+    * ranks via [[graft.functions.expressions.TopKAggregate
+    * .perGroupTopKCarry]] (bounded per-user heaps, `shared` riding as
+    * cargo) instead of the row_number window. The window remains the
+    * shipped default — see SCALE.md's conversion-criterion entry for
+    * the measured decision. */
+  private[graft] def userNeighborsImpl(orders: DataFrame,
+                                       lineitem: DataFrame, k: Int,
+                                       maxUsers: Int,
+                                       heapTopK: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ui = lineitem.select(col("l_orderkey").as("okey"),
         col("l_partkey").as("item"))
@@ -265,12 +278,19 @@ object CoPurchaseGraph {
           col("shared"), col("cosine")))).as("e"))
       .select(col("e.user"), col("e.neighbor"), col("e.shared"),
         col("e.cosine"))
-    sym
-      .withColumn("rnk", row_number().over(Window.partitionBy("user")
-        .orderBy(col("cosine").desc, col("neighbor"))))
-      .where(col("rnk") <= k)
-      .select(col("user"), col("neighbor"), col("shared"), col("cosine"),
-        col("rnk"))
+    if (heapTopK)
+      graft.functions.expressions.TopKAggregate
+        .perGroupTopKCarry(sym, "user", "neighbor", "cosine", k,
+          Seq("shared"))
+        .select(col("user"), col("neighbor"), col("shared"), col("cosine"),
+          col("rnk"))
+    else
+      sym
+        .withColumn("rnk", row_number().over(Window.partitionBy("user")
+          .orderBy(col("cosine").desc, col("neighbor"))))
+        .where(col("rnk") <= k)
+        .select(col("user"), col("neighbor"), col("shared"), col("cosine"),
+          col("rnk"))
   }
 
   /** Per-source max-normalized weight (reference `cf_candidates`

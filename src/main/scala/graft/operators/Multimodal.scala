@@ -59,7 +59,18 @@ object Multimodal {
   // ---- real codec ----------------------------------------------------
 
   /** Cycle `src` to exactly `t` bytes (payload-fill rule the oracle can
-    * replay: out(p) = src(p mod |src|); an empty source fills zeros). */
+    * replay: out(p) = src(p mod |src|); an empty source fills zeros).
+    *
+    * The empty-source rule is PINNED on both sides (round-10 directive,
+    * delivered with the r10 resize work): an empty-text IMAGE/VIDEO doc
+    * still has a real 16×16 zero-filled raster, so its feature histogram
+    * is the bin-0 unit vector — the oracle replays exactly this via
+    * `mediaHistSql`'s `n = 0 AND tt > 0` branch (bin-0 mass = tt) and
+    * q54's `byte = 0 WHEN n = 0` rule; an empty AUDIO doc has tt = 0 and
+    * both sides emit the all-zero vector. MultimodalSpec's
+    * "empty visual payloads" case pins the engine side; the DuckDB
+    * replay of mediaHistSql on empty-text docs of all three media types
+    * was re-verified equal in round 12. */
   private def cycle(src: Array[Byte], t: Int): Array[Byte] = {
     val out = new Array[Byte](t)
     if (src.nonEmpty) {

@@ -35,7 +35,7 @@ class TopKAggregateSpec extends SparkTestBase {
       .select("g", "id", "sim", "rnk")
   }
 
-  test("reverse=true == (sim DESC, id ASC) row_number window, ties and " +
+  test("reverse=false == (sim DESC, id ASC) row_number window, ties and " +
     "short groups included") {
     for (k <- Seq(1, 3, 4, 10)) {
       val a = viaTopK(k).orderBy("g", "rnk").collect().toSeq
@@ -51,5 +51,45 @@ class TopKAggregateSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate"),
       s"expected ObjectHashAggregate:\n$plan")
     assert(!plan.contains("WindowGroupLimit"), s"window crept back:\n$plan")
+  }
+
+  test("perGroupTopK rejects a non-numeric id column with a clear error " +
+    "(negation of a string would silently NULL every output id)") {
+    val df = Seq((1L, "a", 0.9), (1L, "b", 0.8)).toDF("g", "id", "sim")
+    val e = intercept[IllegalArgumentException] {
+      expressions.TopKAggregate.perGroupTopK(df, "g", "id", "sim", 1)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
+  test("ord column literally named 'nid' does not collide with the tie " +
+    "field (both struct fields use reserved names)") {
+    val df = Seq((1L, 10L, 0.9), (1L, 11L, 0.7), (2L, 20L, 0.1))
+      .toDF("g", "id", "nid")
+    val got = expressions.TopKAggregate.perGroupTopK(df, "g", "id", "nid", 1)
+      .orderBy("g").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == Seq((1L, 10L, 0.9, 1), (2L, 20L, 0.1, 1)))
+  }
+
+  test("session fallback floor: perGroupTopK raises the conf to exactly " +
+    "FallbackThresholdFloor, and an unbounded collect_set aggregate with " +
+    "more groups than the OLD default (128) stays correct under it") {
+    // trigger the documented side effect
+    expressions.TopKAggregate.perGroupTopK(rows, "g", "id", "sim", 2).collect()
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    assert(spark.conf.get(key).toLong ==
+      expressions.TopKAggregate.FallbackThresholdFloor)
+    // blast-radius check: collect_set over 1000 groups (≫ the 128-key
+    // valve the floor displaces) in the SAME session — results exact
+    val many = spark.range(5000)
+      .select((col("id") % 1000).as("g"),
+        floor(col("id") / 1000).cast("long").as("v"))
+    val sets = many.groupBy("g").agg(collect_set(col("v")).as("s"))
+      .select(col("g"), size(col("s")).as("n"),
+        aggregate(col("s"), lit(0L), _ + _).as("sum"))
+      .collect()
+    assert(sets.length == 1000)
+    assert(sets.forall(r => r.getInt(1) == 5 && r.getLong(2) == 10L))
   }
 }

@@ -78,6 +78,26 @@ class CoPurchaseGraphSpec extends SparkTestBase {
     assert(!got.keySet.exists(_._1 == 3L), "pruned item must not pair user 3")
   }
 
+  test("userNeighbors heap variant == window variant (round-12 A/B " +
+    "candidate): same rows, same ranks, shared rides the heap as cargo") {
+    import spark.implicits._
+    // several users with overlapping item sets so ranks 1..k differ
+    val rows = for {
+      u <- 1L to 8L; i <- 1L to 12L if (u + i) % 3 != 0 || i <= u
+    } yield (u * 100 + i, u, i)
+    val orders = rows.map(r => (r._1, r._2)).distinct.toDF("o_orderkey", "o_custkey")
+    val lineitem = rows.map(r => (r._1, r._3)).toDF("l_orderkey", "l_partkey")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getInt(4))).toSeq
+    val win = canon(CoPurchaseGraph.userNeighborsImpl(orders, lineitem, 3,
+      200, heapTopK = false))
+    val heap = canon(CoPurchaseGraph.userNeighborsImpl(orders, lineitem, 3,
+      200, heapTopK = true))
+    assert(win.nonEmpty && win == heap)
+  }
+
   test("frequentTriples: canonical once-per-basket triples, jumbo cap") {
     import spark.implicits._
     // baskets: {a,b,c} ×3, {a,b,c,d} ×1 → abc support 4; abd/acd/bcd 1
