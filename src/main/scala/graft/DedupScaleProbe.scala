@@ -24,14 +24,19 @@ import org.apache.spark.sql.functions._
   * (cheap: one df aggregation, no join) and then RUNS the operator at a
   * chosen cap to show the knob restores completion.
   *
-  * Usage: runMain graft.DedupScaleProbe <sfDir> [cap,cap,...] [runCap]
+  * Round 12: also prints what the ADAPTIVE default (Dedup.adaptiveMaxDf,
+  * budget = PairsPerDocBudget·|docs|) resolves to on the corpus, and
+  * `runCap` accepts the literal `adaptive` to execute the operator under
+  * the self-protecting default end-to-end.
+  *
+  * Usage: runMain graft.DedupScaleProbe <sfDir> [cap,cap,...] [runCap|adaptive]
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val caps = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(17, 100, 1000))
-    val runCap = args.lift(2).map(_.toInt)
+    val runCap = args.lift(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -64,10 +69,25 @@ object DedupScaleProbe {
       println(f"[dedupscale] maxDf=$c%6d  join_rows(df<=cap)=${row.getLong(2 * i)}%14d  " +
         f"heavy_shingles=${row.getLong(2 * i + 1)}%8d")
     }
-    runCap.foreach { c =>
+    // what the self-protecting default would pick on THIS corpus
+    val hist = df.where(col("df") >= 2)
+      .groupBy("df").agg(count(lit(1)).as("nsh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adaptive = Dedup.adaptiveMaxDf(hist, nDocs)
+    val adaptiveVol = hist.filter(_._1 <= adaptive)
+      .map { case (d, n) => n.toDouble * d * (d - 1) / 2 }.sum
+    println(f"[dedupscale] ADAPTIVE default -> maxDf=" +
+      (if (adaptive == Int.MaxValue) "disabled (whole distribution fits)"
+       else adaptive.toString) +
+      f"  predicted_join_rows=${adaptiveVol}%.3g" +
+      f"  gate=${Dedup.PairsPerDocBudget * nDocs}%d" +
+      f"  capped_budget=${Dedup.CappedPairsPerDocBudget * nDocs}%d")
+    runCap.foreach { cArg =>
       val t0 = System.nanoTime()
-      val out = Dedup.ngramJaccard(docs, 3, 0.05, maxDf = c).count()
-      println(f"[dedupscale] RUN maxDf=$c%6d  pairs_out=$out%12d  " +
+      val out =
+        if (cArg == "adaptive") Dedup.ngramJaccard(docs, 3, 0.05).count()
+        else Dedup.ngramJaccard(docs, 3, 0.05, maxDf = cArg.toInt).count()
+      println(f"[dedupscale] RUN maxDf=$cArg%s  pairs_out=$out%12d  " +
         f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()

@@ -359,12 +359,18 @@ object SparkEntry {
     // --- dedup suite ----------------------------------------------------
     "q13_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
 
-    // df cap 1000: no shingle key carries more than 1000 postings into the
-    // quadratic join (values stay exact — see Dedup.ngramJaccard). The
-    // corpus' max df is ~25 at sf0.1, so the result is bit-identical to
-    // the uncapped oracle while the plan is skew-safe at any scale.
+    // ADAPTIVE df cap (round 12): the default derives maxDf from the
+    // corpus's own df distribution — uncapped while the whole
+    // distribution predicts ≤ 512·|docs| join rows, else the largest
+    // cap fitting a verification-priced 16·|docs| (the old fixed 1000
+    // admitted a measured 4.50G-row join on the adversarial 60× corpus
+    // = spill death; the adaptive default completes it in 237 s). At
+    // every test sf the whole distribution fits the gate, so the cap
+    // resolves to "disabled" and the result is bit-identical to the
+    // uncapped oracle; values stay exact at ANY cap (see
+    // Dedup.ngramJaccard's bound machinery).
     "q14_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.05, maxDf = 1000)),
+      Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.05)),
 
     "q15_minhash_cand" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), 3, 16, 8)),

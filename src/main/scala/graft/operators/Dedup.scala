@@ -39,6 +39,71 @@ object Dedup {
       .withColumn("is_duplicate", (col("doc_id") =!= col("canonical_id")))
   }
 
+  /** Sentinel for [[ngramJaccard]]'s `maxDf`: derive the cap at run time
+    * from the corpus's OWN df distribution (see [[adaptiveMaxDf]]) — the
+    * self-protecting default. An explicit positive `maxDf` always wins;
+    * `Int.MaxValue` explicitly disables the cap. */
+  val AdaptiveMaxDf: Int = -1
+
+  /** Uncapped-gate budget of the adaptive default: if the WHOLE df
+    * distribution predicts at most `PairsPerDocBudget × |docs|` join
+    * rows, the cap stays disabled and the operator takes the cheap
+    * single-join path (no bound machinery at all). 512 gives two
+    * orders of magnitude headroom over a measured healthy corpus
+    * (sf0.1: 254 uncapped join rows/doc) while refusing the measured
+    * adversarial blow-up (60× replica corpus: 15,000 join rows/doc
+    * under the old fixed maxDf=1000 = 4.50G rows = local-spill death;
+    * SCALE.md round-11 table). */
+  private[graft] val PairsPerDocBudget = 512L
+
+  /** Capped-regime budget: once the cap ENGAGES, every admitted
+    * candidate pair may enter the exact-verification branch, whose rows
+    * carry the two docs' heavy-shingle sets (~KBs, not the 48-byte
+    * light-join row) — so admitted volume must be priced for that
+    * payload, not for narrow rows. 16 pairs/doc × a ~4 KB verification
+    * row ≈ 64 KB/doc of worst-case verification traffic — the same
+    * order as the corpus's own text bytes, i.e. the operator never
+    * shuffles more than a few× the data it read. (Round-12 measurement:
+    * the first adaptive rule priced the capped regime at 512/doc in
+    * NARROW rows, picked cap=528 on the 60× corpus — admitting a
+    * bimodal 142M-pair boilerplate band — and died in verification
+    * shuffle; see SCALE.md.) */
+  private[graft] val CappedPairsPerDocBudget = 16L
+
+  /** The adaptive-cap rule, pure so DedupSpec can pin it: given the
+    * df histogram `(df, nShingles)` (df ≥ 2 bands only) and the corpus
+    * size, two tiers —
+    *
+    *  - TOTAL predicted volume Σ n(df)·C(df,2) fits
+    *    [[PairsPerDocBudget]]·|docs| → `Int.MaxValue` (cap disabled,
+    *    cheap single-join path; the healthy-corpus common case);
+    *  - otherwise the cap engages: pick the LARGEST cap — a distinct df
+    *    value — whose cumulative volume fits the verification-priced
+    *    [[CappedPairsPerDocBudget]]·|docs|; even the smallest band
+    *    overflowing → 1 (refuse all quadratic work: a corpus of
+    *    wholesale-identical shingle sets is [[exact]]'s job, and its
+    *    pair OUTPUT is itself quadratic).
+    *
+    * Volume math in Double — precision near the budget boundary is
+    * irrelevant and df² overflows Long on a 100 TB corpus. */
+  private[graft] def adaptiveMaxDf(hist: Seq[(Long, Long)],
+                                   nDocs: Long): Int = {
+    def vol(b: (Long, Long)): Double =
+      b._2.toDouble * b._1.toDouble * (b._1 - 1).toDouble / 2.0
+    val docs = math.max(nDocs, 1L).toDouble
+    if (hist.map(vol).sum <= docs * PairsPerDocBudget) return Int.MaxValue
+    val budget = docs * CappedPairsPerDocBudget
+    var cum = 0.0
+    var cap = 1L
+    var overflowed = false
+    hist.sortBy(_._1).foreach { case (df, nsh) =>
+      cum += vol((df, nsh))
+      if (!overflowed && cum <= budget) cap = df
+      else overflowed = true
+    }
+    math.min(cap, Int.MaxValue.toLong).toInt
+  }
+
   /** Pairwise n-gram Jaccard via a document-frequency-capped inverted
     * index. Output: (a, b, inter, card_a, card_b, jaccard) for pairs with
     * jaccard ≥ minJaccard; a < b canonical.
@@ -57,18 +122,30 @@ object Dedup {
     *  3. pairs where the bounds already agree (min(heavy)=0 — all pairs,
     *     in a corpus without boilerplate) are emitted exactly; only pairs
     *     where BOTH docs hold heavy shingles AND the upper bound clears
-    *     the threshold re-check against the full shingle sets
-    *     (array_intersect) — a vanishing fraction by construction.
+    *     the threshold re-check exactly — the intersection partitions
+    *     along the cap, so inter = light_inter + |heavy_a ∩ heavy_b| and
+    *     the re-check intersects the docs' HEAVY shingle sets only
+    *     (boilerplate-tail-sized), never the full sets.
     *
     * Values are therefore EXACT at any maxDf. The one semantic cap:
     * a pair sharing ONLY heavy shingles (light_inter = 0) is never a
     * candidate — i.e. near-dups whose entire overlap is corpus-wide
     * boilerplate are out of scope, which is the standard (and desired)
-    * spam-shingle exclusion at 100 TB. maxDf = Int.MaxValue disables the
-    * cap and recovers the textbook exact algorithm. */
+    * spam-shingle exclusion at 100 TB.
+    *
+    * The DEFAULT cap is adaptive (round-12; the round-11 probe measured
+    * the old fixed default maxDf=1000 admitting a 4.50G-row join on the
+    * adversarial 60× corpus = guaranteed spill death): [[adaptiveMaxDf]]
+    * picks the largest cap whose predicted join volume fits
+    * [[PairsPerDocBudget]]·|docs|, from one cheap df-histogram
+    * aggregation (two driver-side scalar jobs — a docs count and a
+    * histogram collect of ≤ |distinct df values| rows) before the
+    * quadratic join is committed. An explicit `maxDf` always wins;
+    * `Int.MaxValue` disables the cap and recovers the textbook exact
+    * algorithm. */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxDf: Int = Int.MaxValue): DataFrame = {
+                   maxDf: Int = AdaptiveMaxDf): DataFrame = {
     // Cardinality rides along the inverted index (one extra long per posting)
     // instead of being re-joined afterwards: that removes two shuffle joins
     // and a recompute of the shingle projection, and the two identical join
@@ -78,23 +155,32 @@ object Dedup {
     val inv = sets
       .select(col("doc_id"), size(col("shingles")).cast("long").as("card"),
         explode(col("shingles")).as("shingle"))
-    // The HEAVY shingle set (df > maxDf) is computed by aggregation and
-    // anti-joined away: it holds at most |postings|/maxDf keys by
+    val cap =
+      if (maxDf != AdaptiveMaxDf) maxDf
+      else {
+        val hist = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2)
+          .groupBy("df").agg(count(lit(1)).as("nsh"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        adaptiveMaxDf(hist, docs.count())
+      }
+    // The HEAVY shingle set (df > cap) is computed by aggregation and
+    // anti-joined away: it holds at most |postings|/cap keys by
     // definition, so it is broadcast-sized in any healthy corpus and the
     // cap costs one partial-agg shuffle of distinct shingle counts — not
     // the full postings sort a window-df would pay. (AQE falls back to a
     // shuffled anti-join if an adversarial corpus makes it big.)
     val heavy = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("shingle")
+      .where(col("df") > cap).select("shingle")
     val light =
-      if (maxDf == Int.MaxValue) inv
+      if (cap == Int.MaxValue) inv
       else inv.join(heavy, Seq("shingle"), "left_anti")
     val cand = light.as("x").join(light.as("y"), "shingle")
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("light_inter"),
         first(col("x.card")).as("card_a"), first(col("y.card")).as("card_b"))
-    if (maxDf == Int.MaxValue) {
+    if (cap == Int.MaxValue) {
       // No cap ⇒ light_inter IS the intersection; skip the bound machinery
       // so the common path stays one join + one aggregation.
       cand
@@ -104,8 +190,18 @@ object Dedup {
         .select(col("a"), col("b"), col("light_inter").as("inter"),
           col("card_a"), col("card_b"), col("jaccard"))
     } else {
+      // per-doc heavy COUNT (narrow, joins every candidate) and heavy
+      // SET (array payload, joins ONLY the verification sliver): the
+      // exact intersection partitions along the df cap — inter =
+      // light_inter + |heavy_a ∩ heavy_b| — so verification needs the
+      // docs' HEAVY shingles only, never the full sets. On a healthy
+      // corpus the heavy set is the boilerplate tail (a few shingles per
+      // doc), so even a verification-heavy workload shuffles KBs per
+      // pair, not the whole document's shingle set (round 12: the
+      // full-set join was the measured spill death on the 60× corpus).
       val heavyPerDoc = inv.join(heavy, Seq("shingle"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("heavy"))
+        .groupBy("doc_id").agg(count(lit(1)).as("heavy"),
+          collect_list(col("shingle")).as("hs"))
       val bounded = cand
         .join(heavyPerDoc.select(col("doc_id").as("a"), col("heavy").as("heavy_a")),
           Seq("a"), "left")
@@ -121,10 +217,12 @@ object Dedup {
       val exactNow = bounded.where(col("slack") === 0)
         .withColumn("inter", col("light_inter"))
       val verified = bounded.where(col("slack") > 0)
-        .join(sets.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
-        .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .join(heavyPerDoc.select(col("doc_id").as("a"), col("hs").as("hsa")),
+          Seq("a"))
+        .join(heavyPerDoc.select(col("doc_id").as("b"), col("hs").as("hsb")),
+          Seq("b"))
+        .withColumn("inter", col("light_inter") +
+          size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
       exactNow.select("a", "b", "inter", "card_a", "card_b")
         .unionByName(verified.select("a", "b", "inter", "card_a", "card_b"))
         .withColumn("jaccard", col("inter").cast("double") /

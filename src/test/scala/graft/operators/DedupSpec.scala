@@ -58,6 +58,54 @@ class DedupSpec extends SparkTestBase {
     assert(capped == uncapped) // same pairs, same exact inter AND jaccard
   }
 
+  test("adaptiveMaxDf two tiers: disabled while the TOTAL volume fits " +
+    "512/doc; once the cap engages it is priced for verification " +
+    "payloads at 16/doc; 1 when even the smallest band overflows") {
+    // healthy corpus: whole distribution under the uncapped gate
+    assert(Dedup.adaptiveMaxDf(Seq((2L, 10L), (5L, 3L)), 100L) == Int.MaxValue)
+    assert(Dedup.adaptiveMaxDf(Seq.empty, 100L) == Int.MaxValue)
+    // still healthy: total 45100 <= 100*512 even though it would blow
+    // the capped-regime budget — the gate keeps the cheap path
+    assert(Dedup.adaptiveMaxDf(Seq((2L, 100L), (10L, 1000L)), 100L)
+      == Int.MaxValue)
+    // one boilerplate band blows the gate -> capped regime at 16/doc
+    // (1600): cum at 2 = 5 fits, df=1000 band (~5e8) overflows -> 2
+    assert(Dedup.adaptiveMaxDf(Seq((2L, 5L), (1000L, 1000L)), 100L) == 2)
+    // capped regime is CUMULATIVE at the verification-priced budget:
+    // total 123200 > 51200 gate; 16/doc budget 1600 -> cum at 2 = 100
+    // fits, cum at 10 = 45100 overflows -> cap 2 (not 10)
+    val hist = Seq((2L, 100L), (10L, 1000L), (40L, 100L))
+    assert(Dedup.adaptiveMaxDf(hist, 100L) == 2)
+    // all-duplicate pathology: even the first band overflows -> 1
+    assert(Dedup.adaptiveMaxDf(Seq((2L, 1000000000L)), 10L) == 1)
+  }
+
+  test("ngramJaccard adaptive default: a corpus-wide boilerplate shingle " +
+    "that blows the volume budget is excluded automatically, planted " +
+    "near-dups still found with exact values") {
+    // 1100 docs all sharing one boilerplate shingle (df=1100 ->
+    // C(1100,2) = 604k predicted join rows > budget 1102*512 = 564k);
+    // docs 9001/9002 are a planted near-dup pair sharing rare shingles.
+    val boiler = "common header text"
+    val base = (1L to 1100L).map(i => (i, s"$boiler alpha$i beta$i gamma$i"))
+    val pair = Seq(
+      (9001L, s"$boiler alpha0 beta0 gamma0 delta0"),
+      (9002L, s"$boiler alpha0 beta0 gamma0 delta0"))
+    val d = spark.createDataFrame(base ++ pair).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(d, 3, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    // the planted pair survives through its LIGHT (df=2) shingles with
+    // the exact uncapped values: shingle sets are identical -> 1.0
+    assert(got.keySet == Set((9001L, 9002L)))
+    assert(got((9001L, 9002L))._2 == 1.0)
+    // and the exactness contract: an explicit uncapped run agrees on
+    // every pair that clears the threshold
+    val uncapped = Dedup.ngramJaccard(d, 3, 0.2, maxDf = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    assert(got == uncapped)
+  }
+
   test("minhashCandidates: identical docs match on all bands with est 1.0") {
     val cand = Dedup.minhashCandidates(docs, 3, 16, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
