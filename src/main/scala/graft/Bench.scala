@@ -182,11 +182,28 @@ object Bench {
       // -1.0 marker (pickReported's contract) so downstream mins/sums
       // can't mistake a failure for a fast run; the [bench] line carries
       // the FAILED marker and the fail-tokened sample vector.
+      // The reap (below) runs BETWEEN repeats too, not just between
+      // queries (round 13): a query that leaves per-run session state
+      // otherwise times repeat N against N−1 runs of ContextCleaner
+      // backlog — Q165RepeatProbe reproduced BENCH_ISOLATED_r12's
+      // monotonic 6.6→28.4→55.2 s repeat growth exactly this way
+      // (superseded localCheckpoint blocks survive until a GC proves
+      // them dead; later block stores then stall 20–30 s per task in
+      // SizeEstimator walks), and an explicit between-repeat reap held
+      // the same query flat at 5–7 s. The reap sits OUTSIDE the timed
+      // region, so samples are iid under the min estimator's model.
+      def reap(): Unit = {
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
       val samples = (1 to (1 + warmRuns.getOrElse(0))).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val el = (System.nanoTime() - t0) / 1e9
+        reap()
         if (ok) el else Double.PositiveInfinity
       }
       val (reported, timed) = pickReported(samples, warmRuns.isDefined)
@@ -200,21 +217,17 @@ object Bench {
       // ContextCleaner only after a GC proves them unreachable; across
       // a long suite they otherwise pile up in the block manager and
       // squeeze execution memory (BENCH_r05's suite-wide spill churn).
-      // Reap DETERMINISTICALLY between queries, OUTSIDE the timed
-      // region: results are counted, no store keeps a cached RDD.
+      // reap() above runs DETERMINISTICALLY after every repeat — so the
+      // last repeat's state is already gone before the next query.
       // clearCache() first — defensive: no operator registers a
       // DataFrame cache today, but if one ever does (Iterate.pin's
       // rejected cache form, a future setup), dropping only RDD blocks
       // would leave stale CacheManager entries shadowing later
       // identical plans.
-      // BLOCKING unpersist + a GC after every query: the async form
-      // left an iterative query's blocks/broadcasts alive into its
-      // successor (r7: q65 ran 0.65 s isolated but 30-50 s when it
-      // followed q63's ten checkpoint rounds in the same JVM).
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
+      // BLOCKING unpersist + a GC: the async form left an iterative
+      // query's blocks/broadcasts alive into its successor (r7: q65 ran
+      // 0.65 s isolated but 30-50 s when it followed q63's ten
+      // checkpoint rounds in the same JVM).
       name -> reported
     }
   }

@@ -107,12 +107,25 @@ object TopKAggregate {
     * effect as [[perGroupTopK]]. */
   def perGroupTopKCarry(df: DataFrame, group: String, id: String,
                         ord: String, k: Int, carry: Seq[String]): DataFrame = {
+    // Id contract (ADVICE r12): numeric is CHECKED (a non-numeric id
+    // negates to NULL under non-ANSI mode — silent corruption); the two
+    // residual hazards the type check cannot see are part of the
+    // documented contract instead: a NULL id value negates to NULL and
+    // sorts in the wrong tie position, and Long.MinValue negates to
+    // ITSELF (two's complement), inverting its tie rank. Every caller
+    // here feeds non-null surrogate/natural keys ≥ 0; callers with
+    // nullable ids must coalesce first (a per-row assert_true would put
+    // a non-codegen throw expression in the hot aggregation path for a
+    // contract violation no in-tree caller can produce).
     require(df.schema(id).dataType.isInstanceOf[NumericType],
       s"perGroupTopK id column '$id' must be numeric (got " +
         s"${df.schema(id).dataType.simpleString}): the (ord DESC, id ASC) " +
         "tie order is encoded by negating id, and negating a non-numeric " +
         "column yields NULL under non-ANSI mode — silently corrupting " +
-        "every output id. Map the id to a numeric surrogate first.")
+        "every output id. Map the id to a numeric surrogate first. Ids " +
+        "must also be non-null and (for longs) not Long.MinValue — NULL " +
+        "negates to NULL and MinValue negates to itself, both corrupting " +
+        "the tie order.")
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     if (df.sparkSession.conf.get(fallbackKey, "128").toLong < FallbackThresholdFloor)
       df.sparkSession.conf.set(fallbackKey, FallbackThresholdFloor.toString)

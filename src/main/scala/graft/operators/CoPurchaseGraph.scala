@@ -240,18 +240,34 @@ object CoPurchaseGraph {
     * .perGroupTopKCarry]] (bounded per-user heaps, `shared` riding as
     * cargo) instead of the row_number window. The window remains the
     * shipped default — see SCALE.md's conversion-criterion entry for
-    * the measured decision. */
+    * the measured decision.
+    *
+    * `checkpointUi` (round-13 decision, default OFF): `ui` feeds the
+    * norms aggregation AND both postings legs, and an earlier round
+    * materialized it with `localCheckpoint()` so it would compute once.
+    * ReuseExchange already dedupes the identical subtree within the one
+    * plan — measured steady state is the same 5–6 s either way at
+    * sf0.1 — and the checkpoint was the query's ONLY per-call session
+    * state: in a JVM that runs q165 back-to-back without a GC, the
+    * superseded checkpoint blocks accumulate (the ContextCleaner frees
+    * them only after a collection proves the driver handles dead) and
+    * every later store stalls 20–30 s per task inside SizeEstimator
+    * sampling walks — BENCH_ISOLATED_r12's 6.6→28.4→55.2 s monotonic
+    * repeat growth, reproduced and bisected by Q165RepeatProbe (see
+    * SCALE.md round-13). Stateless is strictly better here; the flag
+    * stays as the measurement record. */
   private[graft] def userNeighborsImpl(orders: DataFrame,
                                        lineitem: DataFrame, k: Int,
                                        maxUsers: Int,
-                                       heapTopK: Boolean): DataFrame = {
+                                       heapTopK: Boolean,
+                                       checkpointUi: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ui = lineitem.select(col("l_orderkey").as("okey"),
+    val uiBase = lineitem.select(col("l_orderkey").as("okey"),
         col("l_partkey").as("item"))
       .join(orders.select(col("o_orderkey").as("okey"),
         col("o_custkey").as("user")), Seq("okey"))
       .select(col("user"), col("item")).distinct()
-      .localCheckpoint() // feeds norms AND postings — materialize once
+    val ui = if (checkpointUi) uiBase.localCheckpoint() else uiBase
     val norms = ui.groupBy("user").agg(count(lit(1)).as("n"))
     val light = ui.groupBy("item").agg(count(lit(1)).as("nu"))
       .where(col("nu") <= maxUsers).select("item")

@@ -87,22 +87,44 @@ object Dedup {
     * Volume math in Double — precision near the budget boundary is
     * irrelevant and df² overflows Long on a 100 TB corpus. */
   private[graft] def adaptiveMaxDf(hist: Seq[(Long, Long)],
-                                   nDocs: Long): Int = {
-    def vol(b: (Long, Long)): Double =
-      b._2.toDouble * b._1.toDouble * (b._1 - 1).toDouble / 2.0
+                                   nDocs: Long): Int =
+    adaptiveMaxDfFromBands(hist.map { case (df, nsh) =>
+      (df, nsh.toDouble * df.toDouble * (df - 1).toDouble / 2.0)
+    }, nDocs)
+
+  /** [[adaptiveMaxDf]] over pre-aggregated volume bands — the form the
+    * operator feeds from Spark (round 13): each band is (capCandidate =
+    * the band's max df, exactVolume = Σ C(df,2) over the band's
+    * shingles, computed EXACTLY executor-side). Banding keeps the
+    * driver collect bounded on adversarial df distributions (≤
+    * [[HistExactMaxDf]] exact rows + ~54 log₂ buckets) without
+    * approximating any volume: the total-gate decision is identical to
+    * the exact histogram's, and an engaged cap is merely restricted to
+    * band boundaries above [[HistExactMaxDf]] — conservative, never
+    * over-budget. */
+  private[graft] def adaptiveMaxDfFromBands(bands: Seq[(Long, Double)],
+                                            nDocs: Long): Int = {
     val docs = math.max(nDocs, 1L).toDouble
-    if (hist.map(vol).sum <= docs * PairsPerDocBudget) return Int.MaxValue
+    if (bands.map(_._2).sum <= docs * PairsPerDocBudget) return Int.MaxValue
     val budget = docs * CappedPairsPerDocBudget
     var cum = 0.0
     var cap = 1L
     var overflowed = false
-    hist.sortBy(_._1).foreach { case (df, nsh) =>
-      cum += vol((df, nsh))
-      if (!overflowed && cum <= budget) cap = df
+    bands.sortBy(_._1).foreach { case (c, v) =>
+      cum += v
+      if (!overflowed && cum <= budget) cap = c
       else overflowed = true
     }
     math.min(cap, Int.MaxValue.toLong).toInt
   }
+
+  /** df values ≤ this collect as exact histogram rows; above it they
+    * aggregate into log₂ volume bands (see [[adaptiveMaxDfFromBands]]).
+    * 1024 covers every measured healthy corpus' full df range exactly;
+    * only boilerplate tails land in buckets. */
+  private[graft] val HistExactMaxDf = 1024L
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Pairwise n-gram Jaccard via a document-frequency-capped inverted
     * index. Output: (a, b, inter, card_a, card_b, jaccard) for pairs with
@@ -137,32 +159,71 @@ object Dedup {
     * the old fixed default maxDf=1000 admitting a 4.50G-row join on the
     * adversarial 60× corpus = guaranteed spill death): [[adaptiveMaxDf]]
     * picks the largest cap whose predicted join volume fits
-    * [[PairsPerDocBudget]]·|docs|, from one cheap df-histogram
-    * aggregation (two driver-side scalar jobs — a docs count and a
-    * histogram collect of ≤ |distinct df values| rows) before the
-    * quadratic join is committed. An explicit `maxDf` always wins;
-    * `Int.MaxValue` disables the cap and recovers the textbook exact
-    * algorithm. */
+    * [[PairsPerDocBudget]]·|docs|, before the quadratic join is
+    * committed. An explicit `maxDf` always wins; `Int.MaxValue`
+    * disables the cap and recovers the textbook exact algorithm.
+    *
+    * SINGLE-SCAN gate (round 13; the r12 shape re-shingled the corpus
+    * for the histogram action and again inside the main plan): in
+    * adaptive mode the postings frame is materialized ONCE with an
+    * eager serialized localCheckpoint — the gate's df aggregation, the
+    * heavy set, and every join leg of the main plan read those blocks,
+    * so the corpus is scanned and shingled exactly once per call.
+    * (Serialized storage deliberately: a deserialized store pays
+    * SizeEstimator sampling walks per partition — the q165/SCALE.md
+    * round-13 pathology — and postings rows are compact when packed.)
+    * The histogram collect is BOUNDED: exact df rows to
+    * [[HistExactMaxDf]], log₂ volume bands above, so an adversarial df
+    * distribution cannot ship unbounded rows to the driver. The one
+    * remaining scalar job is `docs.count()` (metadata-cheap on a
+    * parquet source); callers that already know it pass `numDocsHint`.
+    * On a cluster, localCheckpoint blocks die with an executor —
+    * callers running under executor churn should persist the postings
+    * themselves and pass an explicit cap instead. */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxDf: Int = AdaptiveMaxDf): DataFrame = {
+                   maxDf: Int = AdaptiveMaxDf,
+                   numDocsHint: Long = -1L): DataFrame = {
     // Cardinality rides along the inverted index (one extra long per posting)
     // instead of being re-joined afterwards: that removes two shuffle joins
     // and a recompute of the shingle projection, and the two identical join
     // sides shuffle once (Spark reuses the exchange for self-joins).
     val sets = docs.select(col(idCol).as("doc_id"),
       shingleSet(col(textCol), n).as("shingles"))
-    val inv = sets
+    val invBase = sets
       .select(col("doc_id"), size(col("shingles")).cast("long").as("card"),
         explode(col("shingles")).as("shingle"))
-    val cap =
-      if (maxDf != AdaptiveMaxDf) maxDf
+    val (cap, inv) =
+      if (maxDf != AdaptiveMaxDf) (maxDf, invBase)
       else {
-        val hist = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val snap = invBase.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val volExpr = sum(col("df").cast("double") *
+          (col("df") - 1).cast("double") / lit(2.0)).as("vol")
+        // band key: exact df up to HistExactMaxDf; NEGATIVE log₂ bucket
+        // ids above it (negated so bucket ids can never collide with
+        // small exact-df keys). Volumes are exact either way.
+        val bands = snap.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") >= 2)
-          .groupBy("df").agg(count(lit(1)).as("nsh"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        adaptiveMaxDf(hist, docs.count())
+          .groupBy(when(col("df") <= HistExactMaxDf, col("df"))
+            .otherwise(-floor(log(2.0, col("df").cast("double"))).cast("long"))
+            .as("band"))
+          .agg(max("df").as("cap"), volExpr)
+          .select("cap", "vol")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val nDocs = if (numDocsHint > 0) numDocsHint else docs.count()
+        val resolved = adaptiveMaxDfFromBands(bands, nDocs)
+        if (resolved != Int.MaxValue) {
+          // ADVICE r12: the engaged cap silently shrinks output vs the
+          // old uncapped default — make it diagnosable from the logs.
+          val admitted = bands.filter(_._1 <= resolved).map(_._2).sum
+          logger.warn(s"ngramJaccard adaptive df-cap ENGAGED: maxDf=$resolved " +
+            f"over $nDocs%d docs (predicted candidate pairs $admitted%.3g, " +
+            s"verification budget ${CappedPairsPerDocBudget}/doc); pairs " +
+            "sharing only heavier shingles are excluded — pass an explicit " +
+            "maxDf to override")
+        }
+        (resolved, snap)
       }
     // The HEAVY shingle set (df > cap) is computed by aggregation and
     // anti-joined away: it holds at most |postings|/cap keys by
@@ -199,13 +260,19 @@ object Dedup {
       // doc), so even a verification-heavy workload shuffles KBs per
       // pair, not the whole document's shingle set (round 12: the
       // full-set join was the measured spill death on the 60× corpus).
-      val heavyPerDoc = inv.join(heavy, Seq("shingle"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("heavy"),
-          collect_list(col("shingle")).as("hs"))
+      // TWO aggregates, not one (ADVICE r12): a fused count+collect_list
+      // aggregate made the two narrow `bounded` joins shuffle array
+      // payloads they never read; split, the count aggregate stays
+      // 16 bytes/row and only the `verified` sliver pays for arrays.
+      val heavyPostings = inv.join(heavy, Seq("shingle"), "left_semi")
+      val heavyCnt = heavyPostings
+        .groupBy("doc_id").agg(count(lit(1)).as("heavy"))
+      val heavySets = heavyPostings
+        .groupBy("doc_id").agg(collect_list(col("shingle")).as("hs"))
       val bounded = cand
-        .join(heavyPerDoc.select(col("doc_id").as("a"), col("heavy").as("heavy_a")),
+        .join(heavyCnt.select(col("doc_id").as("a"), col("heavy").as("heavy_a")),
           Seq("a"), "left")
-        .join(heavyPerDoc.select(col("doc_id").as("b"), col("heavy").as("heavy_b")),
+        .join(heavyCnt.select(col("doc_id").as("b"), col("heavy").as("heavy_b")),
           Seq("b"), "left")
         .na.fill(0L, Seq("heavy_a", "heavy_b"))
         .withColumn("slack", least(col("heavy_a"), col("heavy_b")))
@@ -217,9 +284,9 @@ object Dedup {
       val exactNow = bounded.where(col("slack") === 0)
         .withColumn("inter", col("light_inter"))
       val verified = bounded.where(col("slack") > 0)
-        .join(heavyPerDoc.select(col("doc_id").as("a"), col("hs").as("hsa")),
+        .join(heavySets.select(col("doc_id").as("a"), col("hs").as("hsa")),
           Seq("a"))
-        .join(heavyPerDoc.select(col("doc_id").as("b"), col("hs").as("hsb")),
+        .join(heavySets.select(col("doc_id").as("b"), col("hs").as("hsb")),
           Seq("b"))
         .withColumn("inter", col("light_inter") +
           size(array_intersect(col("hsa"), col("hsb"))).cast("long"))

@@ -72,13 +72,16 @@ class TopKAggregateSpec extends SparkTestBase {
     assert(got == Seq((1L, 10L, 0.9, 1), (2L, 20L, 0.1, 1)))
   }
 
-  test("session fallback floor: perGroupTopK raises the conf to exactly " +
+  test("session fallback floor: perGroupTopK raises the conf to at least " +
     "FallbackThresholdFloor, and an unbounded collect_set aggregate with " +
     "more groups than the OLD default (128) stays correct under it") {
-    // trigger the documented side effect
+    // trigger the documented side effect; the contract is "never lowers,
+    // raises to AT LEAST the floor" (ADVICE r12: an exact-equality
+    // assert was order-dependent on any earlier test/bench raising the
+    // shared session's conf above the floor)
     expressions.TopKAggregate.perGroupTopK(rows, "g", "id", "sim", 2).collect()
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    assert(spark.conf.get(key).toLong ==
+    assert(spark.conf.get(key).toLong >=
       expressions.TopKAggregate.FallbackThresholdFloor)
     // blast-radius check: collect_set over 1000 groups (≫ the 128-key
     // valve the floor displaces) in the SAME session — results exact
