@@ -254,6 +254,21 @@ class PlanSpec extends SparkTestBase {
     assert(!joinAbove, s"pair-sized frame must not be joined post-expansion:\n$p")
   }
 
+  test("q14 adaptive dedup: the main plan reads the ONE postings " +
+    "materialization — no document re-scan (single-scan gate, round 13)") {
+    // In adaptive mode ngramJaccard shingles the corpus exactly once:
+    // the postings frame is eagerly checkpointed for the gate, and the
+    // returned plan's leaves are that materialization — a parquet scan
+    // of documents appearing here means the main plan re-shingled the
+    // corpus (the r12 two-scan shape this round removed).
+    val df = SparkEntry.queries("q14_ngram_jaccard")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed postings leaf:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"main plan must not re-scan the corpus:\n$p")
+  }
+
   test("q53 fused corpus gate: at most two parquet scans of documents") {
     // the lang+quality arms ride ONE surfaceGate pass (the unfused
     // form joined two separate frames, each re-scanning and

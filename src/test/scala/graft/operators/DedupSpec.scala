@@ -80,6 +80,25 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.adaptiveMaxDf(Seq((2L, 1000000000L)), 10L) == 1)
   }
 
+  test("adaptiveMaxDfFromBands: banded volumes decide identically to the " +
+    "exact histogram on the gate, and an engaged cap picks the largest " +
+    "fitting band boundary") {
+    // identical decision to the exact-histogram form when bands ARE
+    // exact df values (the df <= 1024 regime: every test corpus)
+    val hist = Seq((2L, 100L), (10L, 1000L), (40L, 100L))
+    val bands = hist.map { case (df, n) => (df, n.toDouble * df * (df - 1) / 2) }
+    assert(Dedup.adaptiveMaxDfFromBands(bands, 100L)
+      == Dedup.adaptiveMaxDf(hist, 100L))
+    // bucketed regime: one band summarizes dfs 1025..2048 with its max
+    // df as the cap candidate and the EXACT summed volume — the gate
+    // total is unchanged, and the engaged cap lands on the boundary
+    val bucketed = Seq((2L, 50.0), (2000L, 2.0e9))
+    assert(Dedup.adaptiveMaxDfFromBands(bucketed, 100L) == 2)
+    // whole distribution under the gate -> disabled, buckets or not
+    assert(Dedup.adaptiveMaxDfFromBands(Seq((2000L, 100.0)), 100L)
+      == Int.MaxValue)
+  }
+
   test("ngramJaccard adaptive default: a corpus-wide boilerplate shingle " +
     "that blows the volume budget is excluded automatically, planted " +
     "near-dups still found with exact values") {
