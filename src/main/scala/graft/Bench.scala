@@ -158,7 +158,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       // Build-once artifacts are constructed OUTSIDE the timed region:
       // the benched number is serving cost, matching how the baseline
-      // measures (pre-built index, timed queries).
+      // measures (pre-built index, timed queries). Setups must be
+      // DISK-backed (all in-tree ones write stores): the reap between
+      // repeats drops every in-memory persisted/checkpointed frame, so
+      // an in-memory setup artifact would be rebuilt inside repeat 2's
+      // timed region (or crash it).
       try SparkEntry.setups.get(name).foreach(_(spark, sfDir))
       catch { case _: Throwable => () }
       // SPARK_GRAFT_WARM=N: one untimed warmup run (codegen/broadcast/

@@ -32,7 +32,7 @@ object Q165RepeatProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(1).map(_.toInt).getOrElse(6)
     val qname = args.lift(2).getOrElse("q165_user_knn")
-    val reap = sys.env.get("PROBE_REAP").contains("1")
+    val reapMode = sys.env.getOrElse("PROBE_REAP", "off")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -61,7 +61,8 @@ object Q165RepeatProbe {
           .sum
         finally s.close()
       }
-      Files.list(tmp).iterator().asScala
+      val ls = Files.list(tmp)
+      try ls.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           (n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
@@ -70,6 +71,7 @@ object Q165RepeatProbe {
         }
         .map(p => try sizeOf(p) catch { case _: Throwable => 0L })
         .sum
+      finally ls.close()
     }
 
     // Task-level metrics: total executor run time and in-task GC time
@@ -89,20 +91,30 @@ object Q165RepeatProbe {
         }
       })
 
-    // PROBE_NOCKPT=1: run the no-localCheckpoint variant of q165's
-    // operator (relies on ReuseExchange dedup of the ui subtree) —
-    // the candidate fix for the repeat-growth leak.
+    // PROBE_UI_CKPT selects the q165 A/B arm explicitly now that the
+    // SHIPPED default is no-checkpoint (round 13): unset → the shipped
+    // registry query; "1" → checkpointUi = true (the HISTORICAL repro
+    // arm that grows without a reap); "0" → checkpointUi = false called
+    // directly (≡ shipped, kept for symmetry). The pre-fix env name
+    // PROBE_NOCKPT=1 is honored as an alias of "0".
+    val uiCkpt: Option[Boolean] =
+      sys.env.get("PROBE_UI_CKPT").map(_ == "1")
+        .orElse(if (sys.env.get("PROBE_NOCKPT").contains("1")) Some(false)
+                else None)
     val fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame =
-      if (sys.env.get("PROBE_NOCKPT").contains("1"))
-        (s, d) => graft.operators.CoPurchaseGraph.userNeighborsImpl(
-          graft.sources.Tables.orders(s, d),
-          graft.sources.Tables.lineitem(s, d), 5, 200,
-          heapTopK = false, checkpointUi = false)
-      else SparkEntry.queries(qname)
+      uiCkpt match {
+        case Some(ck) =>
+          (s, d) => graft.operators.CoPurchaseGraph.userNeighborsImpl(
+            graft.sources.Tables.orders(s, d),
+            graft.sources.Tables.lineitem(s, d), 5, 200,
+            heapTopK = false, checkpointUi = ck)
+        case None => SparkEntry.queries(qname)
+      }
     try SparkEntry.setups.get(qname).foreach(_(spark, sfDir))
     catch { case _: Throwable => () }
-    println(s"[q165probe] query=$qname sf=$sfDir runs=$runs reap=$reap " +
+    println(s"[q165probe] query=$qname sf=$sfDir runs=$runs " +
+      s"reap=$reapMode uiCkpt=${uiCkpt.map(_.toString).getOrElse("shipped")} " +
       s"heapMax=${Runtime.getRuntime.maxMemory / (1 << 20)}MB")
     for (i <- 1 to runs) {
       val (g0, c0) = gcStats
@@ -125,14 +137,14 @@ object Q165RepeatProbe {
       // PROBE_REAP: "1" = full Bench between-query reap; "gc" = only
       // System.gc(); "unpersist" = only blocking unpersist — isolates
       // which half of the reap removes the repeat-growth state.
-      sys.env.get("PROBE_REAP") match {
-        case Some("1") =>
+      reapMode match {
+        case "1" =>
           try spark.catalog.clearCache() catch { case _: Throwable => () }
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           System.gc()
-        case Some("gc") => System.gc()
-        case Some("unpersist") =>
+        case "gc" => System.gc()
+        case "unpersist" =>
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
         case _ => ()

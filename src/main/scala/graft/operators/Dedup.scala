@@ -179,7 +179,16 @@ object Dedup {
     * parquet source); callers that already know it pass `numDocsHint`.
     * On a cluster, localCheckpoint blocks die with an executor —
     * callers running under executor churn should persist the postings
-    * themselves and pass an explicit cap instead. */
+    * themselves and pass an explicit cap instead.
+    *
+    * Session-state lifetime: the postings blocks back the RETURNED plan
+    * (that is the single-scan design), so they stay registered until
+    * the caller drops the DataFrame and a GC lets the ContextCleaner
+    * reap them. The SERIALIZED level keeps the store itself cheap (no
+    * SizeEstimator object-graph walks — the q165 hazard), but a
+    * serving loop calling the adaptive mode repeatedly should reap
+    * between calls (Bench does) or pass an explicit `maxDf`, which
+    * skips the materialization entirely. */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxDf: Int = AdaptiveMaxDf,

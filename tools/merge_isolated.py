@@ -41,7 +41,9 @@ def flatten_passes(arts):
             })
     for i, p in enumerate(passes, start=1):
         p["pass"] = i
-        if not p.get("samples") or not p.get("load1_at_start"):
+        # `is None`, not falsy: an empty-but-present vector or a 0.0 load
+        # is legitimate data, only real absence is a provenance gap
+        if p.get("samples") is None or p.get("load1_at_start") is None:
             print(f"[merge] WARNING: pass {i} ({p.get('source')}) is missing "
                   "samples/load vectors — provenance incomplete",
                   file=sys.stderr)
@@ -60,13 +62,18 @@ def main():
     for rec in passes:
         for q, sec in (rec.get("queries") or {}).items():
             if sec is None or sec <= 0:
-                continue  # failed-run marker: never wins a min
+                # failed-run marker: never wins a min, but a query that
+                # failed in EVERY pass must stay visible as -1.0 (absent
+                # reads as "never benchmarked", hiding a crash regression)
+                if q not in merged:
+                    merged[q] = -1.0
+                    src[q] = rec["pass"]
+                continue
             if q not in merged or merged[q] <= 0 or sec < merged[q]:
                 merged[q] = sec
                 src[q] = rec["pass"]
     out = {
         "sf": base.get("sf"),
-        "mode": base.get("mode"),
         "protocol": f"{len(passes)} passes x fresh JVM per query, "
                     "min-merged via tools/merge_isolated.py; per-pass "
                     "sample vectors + load1 preserved under 'passes' "
@@ -75,6 +82,8 @@ def main():
         "min_source_pass": src,
         "passes": passes,
     }
+    if base.get("mode") is not None:  # never emit a literal null mode
+        out["mode"] = base["mode"]
     # carry forward any round-note keys the caller added to the base
     for k, v in base.items():
         if k not in out and k not in ("samples", "load1_at_start",
