@@ -53,6 +53,50 @@ object Bench {
 
   private[graft] val heavySet: Set[String] = heavyQueries.toSet
 
+  /** One benched query's reported time plus its own ambient evidence:
+    * 1-min load sampled at query start and hypervisor-steal%% across
+    * the query's sample window (setup excluded; warmup + reaps
+    * included — steal is a rate, so the window just needs to cover the
+    * timed region). Motivation (VERDICT r13): every round's driver-
+    * channel outliers forced an after-the-fact isolated-rerun chase
+    * because the artifact carried load only at chunk starts — a row
+    * that carries its own load1/steal%% at measurement time is
+    * adjudicable from the artifact alone. -1.0 = not measurable
+    * (non-Linux /proc, or a zero-width window). */
+  private[graft] final case class QueryRun(name: String, sec: Double,
+                                           load1: Double, stealPct: Double)
+
+  private[graft] def load1(): Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
+    * line; None where unreadable. Steal is the 8th value after the
+    * "cpu" tag; total sums the canonical 8 time buckets (guest time is
+    * already inside user on Linux, so summing 10 would double-count). */
+  private[graft] def stealTotal(): Option[(Long, Long)] =
+    try {
+      Files.readAllLines(Paths.get("/proc/stat")).asScala
+        .find(_.startsWith("cpu "))
+        .map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          (if (f.length > 7) f(7) else 0L, f.take(8).sum)
+        }
+    } catch { case _: Throwable => None }
+
+  /** Steal%% across a (before, after) pair of [[stealTotal]] readings. */
+  private[graft] def stealPctOf(a: Option[(Long, Long)],
+                                b: Option[(Long, Long)]): Double =
+    (a, b) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        100.0 * (s1 - s0).toDouble / (t1 - t0).toDouble
+      case _ => -1.0
+    }
+
+  /** reap()'s clearCache guard logs its first failure instead of
+    * silently swallowing (VERDICT r13 item 6): a CacheManager failure
+    * that persisted would otherwise quietly turn min-samples non-iid. */
+  @volatile private var reapClearCacheWarned = false
+
   /** Select the reported time from a run's sample vector. `warmed`
     * drops the first (untimed warmup) sample; of the rest the MIN is
     * reported — interference can only RAISE a sample, so the min
@@ -119,9 +163,9 @@ object Bench {
     spark
   }
 
-  /** Run `names` in this JVM and return (name, seconds) per query. */
+  /** Run `names` in this JVM and return one [[QueryRun]] per query. */
   private def runInProcess(spark: SparkSession, sfDir: String,
-                           names: Seq[String]): Seq[(String, Double)] = {
+                           names: Seq[String]): Seq[QueryRun] = {
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
     // per family doesn't absorb session cold-start (it would at any scale
     // factor): q01 = relational agg/shuffle machinery, q08 = vector
@@ -197,11 +241,23 @@ object Bench {
       // the same query flat at 5–7 s. The reap sits OUTSIDE the timed
       // region, so samples are iid under the min estimator's model.
       def reap(): Unit = {
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        try spark.catalog.clearCache()
+        catch { case t: Throwable =>
+          if (!reapClearCacheWarned) {
+            reapClearCacheWarned = true
+            System.err.println(
+              s"[bench] reap: clearCache failed (further failures silenced): $t")
+          }
+        }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
       }
+      // ambient window: load1 at query start, steal jiffies across the
+      // sample loop (QueryRun's contract) — read BEFORE the first
+      // sample, AFTER the last
+      val qLoad1 = load1()
+      val steal0 = stealTotal()
       val samples = (1 to (1 + warmRuns.getOrElse(0))).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -210,6 +266,7 @@ object Bench {
         reap()
         if (ok) el else Double.PositiveInfinity
       }
+      val qSteal = stealPctOf(steal0, stealTotal())
       val (reported, timed) = pickReported(samples, warmRuns.isDefined)
       System.err.println(f"[bench] $name%-24s $reported%8.2f s" +
         (if (reported < 0) "  FAILED (all runs threw)" else "") +
@@ -232,14 +289,14 @@ object Bench {
       // query's blocks/broadcasts alive into its successor (r7: q65 ran
       // 0.65 s isolated but 30-50 s when it followed q63's ten
       // checkpoint rounds in the same JVM).
-      name -> reported
+      QueryRun(name, reported, qLoad1, qSteal)
     }
   }
 
   /** Spawn one child JVM per chunk (temp cwd: the child's own
     * BENCH_FULL.json can never clobber the parent artifact). Returns
     * None if the child failed — caller falls back in-process. */
-  private def runChunkForked(chunk: Seq[String]): Option[Seq[(String, Double)]] = {
+  private def runChunkForked(chunk: Seq[String]): Option[Seq[QueryRun]] = {
     try {
       val dir = Files.createTempDirectory("graft-bench-").toFile
       val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
@@ -272,7 +329,26 @@ object Bench {
       val re = "\"([A-Za-z0-9_]+)\":([-0-9.Ee]+)".r
       val got = re.findAllMatchIn(qsPart.takeWhile(_ != '}'))
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-      if (got.map(_._1).sorted == chunk.sorted) Some(got) else None
+      // the child's per-query ambient columns ([load1, steal_pct]
+      // arrays — no nested braces, so the same first-'}' scan is safe);
+      // missing section → -1.0 markers, never a parse failure, so an
+      // ambient-format skew can't discard a chunk's timings
+      val amb: Map[String, (Double, Double)] = {
+        val i = txt.indexOf("\"ambient\":{")
+        if (i < 0) Map.empty
+        else {
+          val aRe = "\"([A-Za-z0-9_]+)\":\\[([-0-9.Ee]+),([-0-9.Ee]+)\\]".r
+          aRe.findAllMatchIn(txt.substring(i + 11).takeWhile(_ != '}'))
+            .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+            .toMap
+        }
+      }
+      if (got.map(_._1).sorted == chunk.sorted)
+        Some(got.map { case (n, s) =>
+          val (l, st) = amb.getOrElse(n, (-1.0, -1.0))
+          QueryRun(n, s, l, st)
+        })
+      else None
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fork failed: ${e.getMessage}")
       None
@@ -296,9 +372,7 @@ object Bench {
     // queries all inflated 3x against their isolated rows under a
     // load1=15 start is window contamination, not regression.
     val chunkLoads = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    def load1(): Double =
-      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val results: Seq[(String, Double)] =
+    val results: Seq[QueryRun] =
       if (chunkSize > 0 && names.size > chunkSize) {
         val chunks = topoChunks(names, chunkSize)
         chunks.zipWithIndex.flatMap { case (chunk, i) =>
@@ -311,7 +385,7 @@ object Bench {
           }
         }
       } else runInProcess(spark, sfDir, names)
-    val total = results.map(_._2).sum
+    val total = results.map(_.sec).sum
     // The harness keeps only the TAIL of this process' output (2000
     // chars observed) — a full-name 185-query JSON line gets its head
     // cut off and fails to parse (BENCH_r03 "parsed": null). Two
@@ -324,14 +398,21 @@ object Bench {
     // Short keys truncate at the first '_' — two query names sharing a
     // qNN prefix would silently emit duplicate JSON keys and lose a
     // measurement to whichever the parser keeps. Fail loudly instead.
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val shortKeys = results.map(_.name.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
     val qsShort = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .map(q => "\"" + q.name.takeWhile(_ != '_') + "\":" + r2(q.sec))
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qsFull = results.map(q => "\"" + q.name + "\":" + r3(q.sec))
       .mkString("{", ",", "}")
+    // per-query ambient evidence ([load1_at_query_start, steal_pct over
+    // the sample window]; -1 = unmeasurable) — artifact only, like
+    // load1_at_chunk_start: the stdout line is sized for the harness's
+    // tail window and stays schema-stable
+    val ambFull = results
+      .map(q => "\"" + q.name + "\":[" + r2(q.load1) + "," + r2(q.stealPct) + "]")
+      .mkString(""","ambient":{""", ",", "}")
     // SPARK_GRAFT_NO_ARTIFACT=1: skip the cwd artifact — ad-hoc probe
     // runs from the repo root would clobber the committed driver file.
     // Belt-and-braces (a probe DID clobber it once, and the flag only
@@ -357,7 +438,7 @@ object Bench {
         .mkString(""","load1_at_chunk_start":{""", ",", "}")
     if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACT") && !subsetInRepo)
       try Files.writeString(Paths.get("BENCH_FULL.json"),
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"$loadPart}""" + "\n")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"$ambFull$loadPart}""" + "\n")
       catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => () }

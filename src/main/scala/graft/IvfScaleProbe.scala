@@ -71,6 +71,45 @@ object IvfScaleProbe {
         f"recall@10 ${hit.toDouble / denom}%.4f")
     }
 
+    // "nprobe" as the third arg (round 14, VERDICT item 4): hold the
+    // store's own defaults index (nCells = √N) and sweep the PROBE
+    // fraction — the knob the knnJoin cost model says trades recall
+    // for candidate volume. Closed form: candidates/query =
+    // nProbe·(N/nCells) = nProbe·√N, so total self-join cost ∝
+    // nProbe·N^1.5 — the sweep row's job is to show a future q68
+    // regression can be judged against cost ∝ nProbe, not gut feeling.
+    if (args.lift(2).contains("nprobe")) {
+      import graft.operators.IvfIndexStore
+      IvfIndexStore.ensure(spark, sfDir)
+      val model = IvfIndexStore.loadModel(sfDir)
+      val index = IvfIndexStore.indexFrame(spark, sfDir)
+      val cellSizes = index.groupBy("cell").count().localCheckpoint()
+      val nCells = model.clusterCenters.length
+      for (nProbe <- Seq(3, 6, 12, 24, 48)) {
+        Ivf.knnJoin(index, model, qSample, 10, nProbe).count() // warm
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          Ivf.knnJoin(index, model, queries, 10, nProbe).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val approx = Ivf.knnJoin(index, model, qSample, 10, nProbe)
+          .select(col("query_id"), col("vec_id"))
+        val hit = approx.join(exact, Seq("query_id", "vec_id")).count()
+        val denom = exact.count()
+        // exact candidate volume for the model column: per query, the
+        // sizes of its nProbe probed cells, summed over all queries
+        val pairVolume = Ivf.probeCells(spark, model, queries, nProbe)
+          .join(cellSizes, Seq("cell"))
+          .agg(sum("count")).collect()(0).getLong(0)
+        println(f"[ivfscale] NPROBE-SWEEP nCells=$nCells%4d nProbe=$nProbe%3d  " +
+          f"serve_min ${samples.min}%7.2f s (samples ${samples.map(s => f"$s%.2f").mkString(" ")})  " +
+          f"recall@10 ${hit.toDouble / denom}%.4f  " +
+          f"candidate_pairs ${pairVolume}%d  model nProbe*sqrtN=${nProbe * math.sqrt(n.toDouble)}%.3g")
+      }
+      spark.stop()
+      return
+    }
+
     // "defaults" as the third arg skips the explicit sweep: at 60× the 16-cell
     // row's probed volume (12/16 of a 120k×120k query load) exceeds
     // local spill disk by design — the sweep only exists to CONTRAST

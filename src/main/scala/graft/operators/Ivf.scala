@@ -259,7 +259,7 @@ object Ivf {
   /** Per query, the `nProbe` cells whose centroid is most cosine-similar
     * (the centroid table is tiny and broadcast; deterministic cell-id tie
     * order). Output (query_id, q_emb, cell). */
-  private[operators] def probeCells(spark: SparkSession, model: KMeansModel,
+  private[graft] def probeCells(spark: SparkSession, model: KMeansModel,
                          queries: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__csim").desc, col("cell").asc)

@@ -92,4 +92,17 @@ class BenchChunkSpec extends AnyFunSuite {
     assert(Bench.pickReported(Seq(1.0, inf, inf), warmed = true)._1 == -1.0)
     assert(Bench.pickReported(Seq(inf), warmed = false)._1 == -1.0)
   }
+
+  test("ambient columns: stealPctOf is a jiffy-delta rate with -1 markers") {
+    // normal window: 5 steal jiffies over 500 total -> 1%
+    assert(Bench.stealPctOf(Some((100L, 10000L)), Some((105L, 10500L))) == 1.0)
+    // zero-width or backwards window must be the marker, not NaN/Inf
+    assert(Bench.stealPctOf(Some((100L, 10000L)), Some((100L, 10000L))) == -1.0)
+    // either reading unavailable (non-Linux /proc) -> marker
+    assert(Bench.stealPctOf(None, Some((1L, 2L))) == -1.0)
+    assert(Bench.stealPctOf(Some((1L, 2L)), None) == -1.0)
+    // on this (Linux) box the live reading parses and is monotone
+    val a = Bench.stealTotal()
+    assert(a.isDefined && a.get._2 > 0L && a.get._1 >= 0L)
+  }
 }

@@ -254,19 +254,27 @@ class PlanSpec extends SparkTestBase {
     assert(!joinAbove, s"pair-sized frame must not be joined post-expansion:\n$p")
   }
 
-  test("q14 adaptive dedup: the main plan reads the ONE postings " +
-    "materialization — no document re-scan (single-scan gate, round 13)") {
-    // In adaptive mode ngramJaccard shingles the corpus exactly once:
-    // the postings frame is eagerly checkpointed for the gate, and the
-    // returned plan's leaves are that materialization — a parquet scan
-    // of documents appearing here means the main plan re-shingled the
-    // corpus (the r12 two-scan shape this round removed).
+  test("q14 adaptive dedup, healthy corpus: gate resolves uncapped — " +
+    "the plan is fully streaming and the call leaves ZERO persisted " +
+    "state (round 14; ADVICE r13)") {
+    // The r13 shape checkpointed the full postings frame before the
+    // gate decision, demanding corpus-scale executor memory+disk on
+    // every adaptive call even when the cap resolved disabled (the
+    // healthy-corpus common case). Round 14: the histogram streams and
+    // an uncapped resolution returns the streaming plan — nothing is
+    // materialized, nothing survives the call. (The capped path's
+    // single-materialization + releasePostings() contract is pinned on
+    // a cap-engaging corpus in DedupSpec.)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = SparkEntry.queries("q14_ngram_jaccard")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
-      s"expected the checkpointed postings leaf:\n$p")
-    assert(!p.contains("Scan parquet"),
-      s"main plan must not re-scan the corpus:\n$p")
+    assert(!p.contains("Scan ExistingRDD") && !p.contains("LogicalRDD"),
+      s"uncapped adaptive plan must not read a materialization:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"uncapped adaptive plan should stream from the source:\n$p")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"uncapped adaptive call must leave zero persisted state, leaked RDDs: $leaked")
   }
 
   test("q53 fused corpus gate: at most two parquet scans of documents") {

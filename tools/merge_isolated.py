@@ -67,7 +67,11 @@ def main():
                 # reads as "never benchmarked", hiding a crash regression)
                 if q not in merged:
                     merged[q] = -1.0
-                    src[q] = rec["pass"]
+                    # sentinel, not a pass number: there is no pass that
+                    # "produced" an all-failed marker, and recording the
+                    # first failing pass here read as a real min source
+                    # (ADVICE r13)
+                    src[q] = "all-failed"
                 continue
             if q not in merged or merged[q] <= 0 or sec < merged[q]:
                 merged[q] = sec
