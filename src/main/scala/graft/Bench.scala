@@ -273,7 +273,11 @@ object Bench {
         (if (timed.size > 1)
            timed.map(s => if (s.isInfinity) "fail" else f"$s%.2f")
              .mkString("  (samples: ", " ", ")")
-         else ""))
+         else "") +
+        // ambient evidence on the line itself so the isolated channel's
+        // artifacts (tools/isolated_bench.py parses this) are as
+        // self-adjudicating as the suite artifact
+        f"  [ambient load1 $qLoad1%.2f steal $qSteal%.2f%%]")
       // Dead localCheckpoint/broadcast blocks are reaped by the
       // ContextCleaner only after a GC proves them unreachable; across
       // a long suite they otherwise pile up in the block manager and

@@ -58,7 +58,7 @@ def run_one(name, sfdir, warm):
     # carries the full sample vector, whose tokens are floats OR the
     # literal 'fail' (a failed run records +Infinity in the min).
     out = proc.stdout + "\n" + proc.stderr + "\n"
-    m, samples = None, None
+    m, samples, ambient = None, None, None
     for line in out.splitlines():
         if '"metric"' in line:
             j = json.loads(line[line.index("{"):])
@@ -71,7 +71,14 @@ def run_one(name, sfdir, warm):
             # on the vector
             samples = ["fail" if x == "fail" else float(x)
                        for x in sm.group(1).split()]
-    return m, samples, out
+        am = re.search(r"\[ambient load1 ([-0-9.]+) steal ([-0-9.]+)%\]",
+                       line)
+        if am:
+            # [load1 at query start, steal% across the sample window]
+            # measured INSIDE the benched JVM (round 14) — the row
+            # carries its own contamination evidence; -1.0 = marker
+            ambient = [float(am.group(1)), float(am.group(2))]
+    return m, samples, ambient, out
 
 def main():
     ap = argparse.ArgumentParser()
@@ -83,10 +90,10 @@ def main():
     ap.add_argument("queries", nargs="*")
     a = ap.parse_args()
     names = a.queries or heavy_list()
-    res, loads, vecs, t0 = {}, {}, {}, time.time()
+    res, loads, vecs, ambs, t0 = {}, {}, {}, {}, time.time()
     for n in names:
         loads[n] = round(load1(), 2)
-        sec, samples, raw = run_one(n, a.sf, a.warm)
+        sec, samples, ambient, raw = run_one(n, a.sf, a.warm)
         if sec is None:
             print(f"[isolated] {n}: NO TIMING LINE (unknown name or crash)",
                   file=sys.stderr)
@@ -95,7 +102,10 @@ def main():
         res[n] = sec
         if samples:
             vecs[n] = samples
+        if ambient:
+            ambs[n] = ambient
         tail = f"  samples {samples}" if samples else ""
+        tail += f"  ambient {ambient}" if ambient else ""
         print(f"[isolated] {n:28s} {sec:7.2f} s  (load1 at start "
               f"{loads[n]}){tail}")
     art = {
@@ -109,6 +119,9 @@ def main():
         "queries": res,
         "samples": vecs,
         "load1_at_start": loads,
+        # per-query [load1_at_query_start, steal_pct_over_sample_window]
+        # measured inside the benched JVM itself (round 14)
+        "ambient": ambs,
     }
     with open(a.out, "w") as f:
         json.dump(art, f, indent=1)

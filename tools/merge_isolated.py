@@ -37,6 +37,9 @@ def flatten_passes(arts):
                 "queries": art.get("queries"),
                 "samples": art.get("samples"),
                 "load1_at_start": art.get("load1_at_start"),
+                # per-query [load1, steal%] measured inside the benched
+                # JVM (round 14) — optional, older passes lack it
+                "ambient": art.get("ambient"),
                 "source": path,
             })
     for i, p in enumerate(passes, start=1):

@@ -149,7 +149,7 @@ def isolated(queries, sfdir, warm):
     res = {}
     for q in queries:
         l1 = round(os.getloadavg()[0], 2)
-        sec, samples, raw = ib.run_one(q, sfdir, warm)
+        sec, samples, ambient, raw = ib.run_one(q, sfdir, warm)
         # sec <= 0 is isolated_bench's all-runs-failed marker (-1.0):
         # storing it would poison downstream mins and produce negative
         # time_ratios — treat it exactly like the no-timing-line case.
@@ -157,7 +157,8 @@ def isolated(queries, sfdir, warm):
             print(f"[scale] {q}: FAILED (sec={sec})\n{raw[-1500:]}",
                   file=sys.stderr)
             continue
-        res[q] = {"sec": sec, "samples": samples, "load1_at_start": l1}
+        res[q] = {"sec": sec, "samples": samples, "load1_at_start": l1,
+                  "ambient": ambient}
         print(f"[scale] {q:24s} {sec:8.2f} s  (load1 {l1})  samples {samples}")
     return res
 
