@@ -164,7 +164,6 @@ object GraphMetrics {
       .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
     var frontier = visited.select("node")
-    var frontierCp: Option[DataFrame] = None
     // frontier size rides each roll as an observed metric — the old
     // isEmpty probe was one extra (tiny) job per hop round
     var frontierSize = obs0.get("n").asInstanceOf[Long]
@@ -184,13 +183,22 @@ object GraphMetrics {
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .observe(obs, count(lit(1)).as("n")),
-        frontierCp)
+        None)
       frontierSize = obs.get("n").asInstanceOf[Long]
       h += 1
-      visited = Iterate.roll(
-        visited.unionAll(next.withColumn("hop", lit(h))), Some(visited))
+      // BFS visits each node exactly once, so the visited set IS the
+      // disjoint union of the per-hop frontiers — and every frontier is
+      // already materialized (its roll drives the loop's observed
+      // metric). Re-materializing that union each hop (the pre-r14
+      // shape: a second roll per hop) duplicated |visited| rows into a
+      // fresh checkpoint for nothing; the union of the existing
+      // checkpoint leaves reads the same blocks with zero extra jobs.
+      // Frontier blocks are therefore NOT released mid-loop (the union
+      // references them); total held state is |visited| rows — the same
+      // order as the old visited checkpoint it replaces. maxHops bounds
+      // the union's plan width.
+      visited = visited.unionAll(next.withColumn("hop", lit(h)))
       frontier = next
-      frontierCp = Some(next)
     }
     visited
   }
@@ -203,17 +211,46 @@ object GraphMetrics {
     * async LPA is run-order-dependent and cannot be oracle-checked).
     *
     * Spark shape per round: one equi-join (edges ⋈ labels on src), one
-    * groupBy (dst, label) weight fold, one per-node argmax window —
-    * all keyed exchanges, label frame checkpointed every 2 rounds to
-    * truncate the iterative lineage. Isolated nodes keep their own
-    * label (they appear in no contribution frame).
+    * groupBy (dst, label) weight fold, one per-node argmax fold — all
+    * keyed exchanges. Since round 14 the shipped form is FUSED: the
+    * argmax frame is provably total (see [[labelPropImpl]]), so there
+    * is no per-round carry-forward join and the whole loop runs as one
+    * scheduled job. Isolated nodes keep their own label (they are not
+    * in the edge-derived node frame at all).
     *
     * @param edges undirected edge list (src, dst, weight) — symmetrized
     *              internally
     * @return (node, community) after `rounds` synchronous updates */
   def labelProp(edges: DataFrame, rounds: Int,
                 broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes)
-      : DataFrame = {
+      : DataFrame =
+    labelPropImpl(edges, rounds, broadcastMaxNodes,
+      fused = true)
+
+  /** [[labelProp]] with the per-round carry-forward join selectable.
+    *
+    * The `fused = true` form drops it: `nodes` is built as the distinct
+    * src of the SYMMETRIZED edge frame, so every node has ≥ 1 incident
+    * edge, every node therefore appears as a dst in `sym`, and the
+    * argmax frame `picked` covers EVERY node each round — the
+    * `coalesce(__next, community)` fallback can never fire. With the
+    * join gone the label chain is single-consumer, so all rounds fuse
+    * into one scheduled job with no mid-loop rolls and zero duplicated
+    * subtree work (isolated nodes keep their own label in both forms:
+    * they are not in `nodes` at all). Outputs are identical — the
+    * argmax arithmetic is integer/long-exact, so this is provable, not
+    * a 6-dp argument; GraphMetricsSpec pins cross-form equality.
+    *
+    * Round-14 measurement (GraphFuseProbe, same-JVM alternating A/B at
+    * sf0.1, 20 000-row outputs IDENTICAL): join-form med 6.24 s /
+    * min 5.14 vs fused med 3.90 / min 3.33 — ~1.6×, the largest win of
+    * the fusion family, because each round deletes a join AND its roll.
+    * At 100 TB the deleted per-round join is a node-frame shuffle (or
+    * broadcast rebuild) and the deleted roll a node-frame
+    * materialization — the win is structural, not local. */
+  private[graft] def labelPropImpl(edges: DataFrame, rounds: Int,
+                                   broadcastMaxNodes: Long,
+                                   fused: Boolean): DataFrame = {
     // checkpointed once. On the shuffle path the edge frame re-exchanges
     // on src per round — an AQE checkpoint captures UnknownPartitioning,
     // so a build-time repartition buys nothing and is not paid; the
@@ -248,12 +285,18 @@ object GraphMetrics {
         .groupBy("node")
         .agg(max(struct(col("w"), (-col("community")).as("nc"))).as("m"))
         .select(col("node"), (-col("m.nc")).as("__next"))
-      lbl = lbl.join(if (small) broadcast(picked) else picked,
-          Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__next"), col("community")).as("community"))
-      if (i % 2 == 0 && i < rounds) {
-        lbl = Iterate.roll(lbl, lblCp); lblCp = Some(lbl)
+      if (fused) {
+        // picked covers every node (see [[labelPropImpl]] scaladoc):
+        // it IS the next label frame — no carry-forward join, no roll
+        lbl = picked.withColumnRenamed("__next", "community")
+      } else {
+        lbl = lbl.join(if (small) broadcast(picked) else picked,
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__next"), col("community")).as("community"))
+        if (i % 2 == 0 && i < rounds) {
+          lbl = Iterate.roll(lbl, lblCp); lblCp = Some(lbl)
+        }
       }
     }
     lbl
@@ -332,7 +375,23 @@ object GraphMetrics {
     * @return (node, hub, auth), both rounded to 6 dp */
   def hits(edges: DataFrame, rounds: Int,
            broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes)
-      : DataFrame = {
+      : DataFrame =
+    hitsImpl(edges, rounds, broadcastMaxNodes, rollEvery = 2)
+
+  /** [[hits]] with the mid-loop roll cadence exposed. The score chain
+    * is single-consumer (auth_i feeds only the hub half-step, hub_i
+    * only the next auth half-step), so rounds between rolls fuse into
+    * one scheduled job with zero duplicated subtree work — the
+    * arithmetic is identical at any cadence. `rollEvery >= rounds`
+    * runs the whole loop as one job (only the final materializations
+    * remain — those frames are each consumed twice). Round-14
+    * measurement (GraphFuseProbe at sf0.1, outputs IDENTICAL): full
+    * fusion is NOT better (med 4.21 s at cadence 2 vs 4.36 at 10) —
+    * the half-step broadcast chain serializes inside the job either
+    * way — so the historical cadence 2 stays. */
+  private[graft] def hitsImpl(edges: DataFrame, rounds: Int,
+                              broadcastMaxNodes: Long,
+                              rollEvery: Int): DataFrame = {
     // ONE checkpointed edge frame serves both half-steps. (An earlier
     // form kept TWO copies, each "pre-partitioned" on its half-step's
     // key — but an AQE checkpoint captures UnknownPartitioning, so the
@@ -389,9 +448,9 @@ object GraphMetrics {
           Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("weight") * col("auth")).as("hub"))
-      // labelProp's lineage discipline: truncate every 2nd round and at
+      // labelProp's lineage discipline: truncate at the cadence and at
       // the end; intermediate frames are consumed exactly once
-      if (i == rounds || (i % 2 == 0)) {
+      if (i == rounds || (i % rollEvery == 0)) {
         hub = Iterate.roll(hub, hubCp); hubCp = Some(hub)
       }
     }

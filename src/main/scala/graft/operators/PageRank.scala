@@ -56,9 +56,45 @@ object PageRank {
     * PageRankSpec's boundary case. */
   val BroadcastMaxNodes: Long = 1L << 20
 
+  /** Shipped mid-loop roll cadence for [[run]] (no dangling term — the
+    * rank chain is single-consumer, so rounds between rolls fuse into
+    * one scheduled job with zero duplicated work). */
+  private[graft] val RollEvery: Int = 4
+
+  /** Shipped roll cadence for the dangling-mass forms ([[runDirected]]
+    * / [[personalized]]): rounds between rolls read the dangling mass
+    * from an in-plan one-row broadcast instead of an observed-metric
+    * literal. Round-14 measurement (GraphFuseProbe, 3-arm same-JVM
+    * alternating A/B at sf0.1, two independent windows, outputs
+    * IDENTICAL in all arms): cadence 2 beats 1 on directed PR in both
+    * windows (med 7.18→6.37 / 7.23→6.99 s, min 7.00→6.15 / 7.00→6.71)
+    * and is a small win / wash on personalized (med 7.61→7.18, min
+    * 6.49→6.41 in the quiet window) — half the roll actions and
+    * checkpoint materializations for one extra node-sized one-row
+    * aggregate per fused round. FULL fusion (cadence ≥ iterations)
+    * LOSES on both (q94 med 8.76, q149 med 8.78): the per-round
+    * broadcast chain serializes inside one job and the unmaterialized
+    * rank subtrees re-execute per consumer — rejected, kept here as
+    * the measured boundary. */
+  private[graft] val RollEveryDangling: Int = 2
+
   def run(edges: DataFrame, iterations: Int = 10,
           damping: Double = 0.85,
-          broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+          broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
+    runImpl(edges, iterations, damping, broadcastMaxNodes, RollEvery)
+
+  /** Mid-loop lineage-truncation cadence: roll the rank frame every
+    * `RollEvery` rounds. The cadence is a pure plan/scheduling knob —
+    * the arithmetic per round is identical at ANY cadence, so outputs
+    * match to the last ulp (PageRankSpec pins equality across
+    * cadences). Round-14 measurement (GraphFuseProbe, same-JVM
+    * alternating A/B at sf0.1, outputs IDENTICAL): cadence 10 (whole
+    * loop in one job) is NOT better than 4 (med 7.35 vs 7.54 s) — the
+    * broadcast chain serializes inside the job either way — so the
+    * historical 4 stays. */
+  private[graft] def runImpl(edges: DataFrame, iterations: Int,
+                             damping: Double, broadcastMaxNodes: Long,
+                             rollEvery: Int): DataFrame = {
     val frac = edges
       .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
       .select(col("src"), col("dst"),
@@ -89,7 +125,7 @@ object PageRank {
         .agg((lit(base) + lit(damping) * sum(col("frac") * col("rank")))
           .as("rank"))
         .select(col("dst").as("node"), col("rank"))
-      if (i % 4 == 0 && i < iterations) {
+      if (i % rollEvery == 0 && i < iterations) {
         ranks = Iterate.roll(ranks, cp); cp = Some(ranks)
       }
     }
@@ -123,7 +159,21 @@ object PageRank {
     * setup, not per round. */
   def runDirected(edges: DataFrame, iterations: Int = 10,
                   damping: Double = 0.85,
-                  broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+                  broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
+    runDirectedImpl(edges, iterations, damping, broadcastMaxNodes,
+      RollEveryDangling)
+
+  /** [[runDirected]] with the roll cadence exposed: rounds that do NOT
+    * roll read the dangling mass from a one-row in-plan aggregate
+    * (broadcast cross join) over the previous round's rank subtree
+    * instead of an observed-metric literal — same double sum, so the
+    * arithmetic is identical modulo partial-aggregation order (the
+    * same run-to-run nondeterminism the observed metric already has).
+    * At cadence 1 this is exactly the historical shape. */
+  private[graft] def runDirectedImpl(edges: DataFrame, iterations: Int,
+                                     damping: Double,
+                                     broadcastMaxNodes: Long,
+                                     rollEvery: Int): DataFrame = {
     val frac = edges
       .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
       .select(col("src"), col("dst"),
@@ -153,8 +203,14 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"), col("dang"))
     // round-1 dangling mass: the only aggregate the roll observation
     // can't supply (nothing has been rolled yet) — one node-sized job
-    var dm = ranks.where(col("dang"))
-      .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+    var dmLit: Option[Double] = Some(ranks.where(col("dang"))
+      .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0))
+    // in-plan form for fused (non-rolled) rounds: a one-row aggregate
+    // over the previous round's rank subtree, attached as a broadcast
+    // cross join (kcore's `stable` idiom). ReuseExchange dedupes the
+    // contrib exchange between the aggregate and the next round's
+    // join, so the duplicated work is one node-sized map pass.
+    var dmDf: Option[DataFrame] = None
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       // same discipline as [[run]]: hash join (never sort-merge); on
@@ -164,25 +220,36 @@ object PageRank {
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
-      ranks = nodes.join(if (small) broadcast(contrib) else contrib,
-          Seq("node"), "left")
+      val joined = nodes.join(if (small) broadcast(contrib) else contrib,
+        Seq("node"), "left")
+      val (withDm, dmCol) = dmLit match {
+        case Some(v) => (joined, lit(v))
+        case None => (joined.crossJoin(broadcast(dmDf.get)), col("__dm"))
+      }
+      ranks = withDm
         .select(col("node"),
           (lit(base) + lit(damping) *
-            (coalesce(col("m"), lit(0.0)) + lit(dm) / n)).as("rank"),
+            (coalesce(col("m"), lit(0.0)) + dmCol / n)).as("rank"),
           col("dang"))
-      // the contrib join embeds the previous round's rank plan:
-      // unmaterialized, each checkpoint subtree re-executes at every
-      // downstream action. The rank frame is node-sized, so rolling
-      // every round is one tiny job that keeps every round's work
-      // exactly O(E) — and the roll's action carries NEXT round's
-      // dangling mass as an observed metric, no second job
+      // Rolling materializes the node-sized rank frame (one tiny job)
+      // and hands the NEXT round its dangling mass as an observed
+      // metric — zero extra jobs. Rounds between rolls skip both the
+      // action and the checkpoint: the next round's plan embeds this
+      // round's subtree and reads the mass from the in-plan aggregate.
       if (i < iterations) {
-        val obs = Observation()
-        ranks = Iterate.roll(ranks.observe(obs,
-          coalesce(sum(when(col("dang"), col("rank"))), lit(0.0))
-            .as("dm")), cp)
-        cp = Some(ranks)
-        dm = obs.get("dm").asInstanceOf[Double]
+        if (i % rollEvery == 0) {
+          val obs = Observation()
+          ranks = Iterate.roll(ranks.observe(obs,
+            coalesce(sum(when(col("dang"), col("rank"))), lit(0.0))
+              .as("dm")), cp)
+          cp = Some(ranks)
+          dmLit = Some(obs.get("dm").asInstanceOf[Double])
+          dmDf = None
+        } else {
+          dmLit = None
+          dmDf = Some(ranks.where(col("dang"))
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm")))
+        }
       }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("pr_scaled"))
@@ -204,7 +271,16 @@ object PageRank {
     * @return (node, ppr_scaled) — rank × |nodes| rounded to 6 dp. */
   def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int = 10,
                    damping: Double = 0.85,
-                   broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+                   broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
+    personalizedImpl(edges, seeds, iterations, damping, broadcastMaxNodes,
+      RollEveryDangling)
+
+  /** [[personalized]] with the roll cadence exposed — the
+    * [[runDirectedImpl]] fusion applied to the restart form. */
+  private[graft] def personalizedImpl(edges: DataFrame, seeds: DataFrame,
+                                      iterations: Int, damping: Double,
+                                      broadcastMaxNodes: Long,
+                                      rollEvery: Int): DataFrame = {
     val frac = edges
       .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
       .select(col("src"), col("dst"),
@@ -238,30 +314,44 @@ object PageRank {
     var ranks = nodes.select(col("node"), restart.as("rank"),
       col("dang"), col("seed"))
     // round-1 dangling mass (the [[runDirected]] setup job)
-    var dm = ranks.where(col("dang"))
-      .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+    var dmLit: Option[Double] = Some(ranks.where(col("dang"))
+      .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0))
+    var dmDf: Option[DataFrame] = None
     var cp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = frac.join(rankSide(ranks.select("node", "rank")),
           frac("src") === col("node"))
         .groupBy(frac("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("m"))
-      ranks = nodes.join(if (small) broadcast(contrib) else contrib,
-          Seq("node"), "left")
+      val joined = nodes.join(if (small) broadcast(contrib) else contrib,
+        Seq("node"), "left")
+      val (withDm, dmCol) = dmLit match {
+        case Some(v) => (joined, lit(v))
+        case None => (joined.crossJoin(broadcast(dmDf.get)), col("__dm"))
+      }
+      ranks = withDm
         .select(col("node"),
           (lit(1.0 - damping) * restart + lit(damping) *
             (coalesce(col("m"), lit(0.0)) +
-              lit(dm) * restart)).as("rank"),
+              dmCol * restart)).as("rank"),
           col("dang"), col("seed"))
-      // same discipline as [[runDirected]]: roll every round, and the
-      // roll's action observes next round's dangling mass for free
+      // same discipline as [[runDirectedImpl]]: a rolled round hands
+      // the next round its mass as an observed-metric literal; a fused
+      // round reads it from the in-plan one-row broadcast
       if (i < iterations) {
-        val obs = Observation()
-        ranks = Iterate.roll(ranks.observe(obs,
-          coalesce(sum(when(col("dang"), col("rank"))), lit(0.0))
-            .as("dm")), cp)
-        cp = Some(ranks)
-        dm = obs.get("dm").asInstanceOf[Double]
+        if (i % rollEvery == 0) {
+          val obs = Observation()
+          ranks = Iterate.roll(ranks.observe(obs,
+            coalesce(sum(when(col("dang"), col("rank"))), lit(0.0))
+              .as("dm")), cp)
+          cp = Some(ranks)
+          dmLit = Some(obs.get("dm").asInstanceOf[Double])
+          dmDf = None
+        } else {
+          dmLit = None
+          dmDf = Some(ranks.where(col("dang"))
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm")))
+        }
       }
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("ppr_scaled"))

@@ -179,6 +179,32 @@ class GraphMetricsSpec extends SparkTestBase {
       rows(GraphMetrics.hits(edges, 5, broadcastMaxNodes = Long.MaxValue)))
   }
 
+  test("labelProp fused form and hits roll cadence return identical rows") {
+    import spark.implicits._
+    // round-14 fusion pins. labelProp: every node has >= 1 incident
+    // edge (nodes is built FROM sym), so the argmax frame covers every
+    // node each round and the carry-forward join is dead logic — the
+    // fused form that drops it must be row-identical (integer-exact
+    // arithmetic, no rounding argument needed). hits: the score chain
+    // is single-consumer, so the roll cadence cannot change any value.
+    val edges = ((0L to 40L).map(i => (i, (i * 7 + 3) % 41, 1L + i % 3)) ++
+      (0L to 40L).map(i => (i, (i + 1) % 41, 1L)))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val b = PageRank.BroadcastMaxNodes
+    assert(rows(GraphMetrics.labelPropImpl(edges, 5, b, fused = false)) ==
+      rows(GraphMetrics.labelPropImpl(edges, 5, b, fused = true)),
+      "fused labelProp diverged")
+    // and on the shuffle path too (the fallback join is equally dead)
+    assert(rows(GraphMetrics.labelPropImpl(edges, 4, 0L, fused = false)) ==
+      rows(GraphMetrics.labelPropImpl(edges, 4, 0L, fused = true)),
+      "fused labelProp diverged on the shuffle path")
+    assert(rows(GraphMetrics.hitsImpl(edges, 5, b, rollEvery = 2)) ==
+      rows(GraphMetrics.hitsImpl(edges, 5, b, rollEvery = 10)),
+      "hits cadence diverged")
+  }
+
   test("assortativity: star graph is maximally disassortative (r = -1)") {
     // hub 1 with three leaves: every edge joins deg-3 to deg-1
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")

@@ -61,17 +61,28 @@ class PageRankSpec extends SparkTestBase {
       s"no decay: $ppr")
   }
 
-  test("directed loop plan: dangling mass is a literal, not a join") {
+  test("directed loop plan: a ROLLED round hands the next round its " +
+    "dangling mass as a literal, not a join") {
     import spark.implicits._
-    // the per-round dangling mass rides the roll's observed metric and
-    // lands in the next plan as a literal — a regression to the
-    // aggregate-subquery shape reintroduces a per-round broadcast
-    // nested-loop join (one extra job + exchange every iteration)
+    // At cadence 1 every round rolls, and the observed-metric literal
+    // must keep every plan join-free — the round-8 contract. (Fused
+    // rounds — the round-14 cadence-2 default — intentionally read the
+    // mass from a one-row broadcast INSIDE the same action; that costs
+    // no extra scheduled job, unlike the pre-r8 shape this pin guards
+    // against, where the aggregate ran as its own job against a
+    // checkpointed frame every round.)
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
-    val plan = PageRank.runDirected(edges, iterations = 3)
+    val plan = PageRank.runDirectedImpl(edges, 3, 0.85,
+        PageRank.BroadcastMaxNodes, 1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "dangling mass re-entered the plan as a join")
+      "dangling mass re-entered the cadence-1 plan as a join")
+    // and the shipped default's FINAL plan (a post-roll round) still
+    // carries the literal form
+    val shipped = PageRank.runDirected(edges, iterations = 3)
+      .queryExecution.executedPlan.toString
+    assert(!shipped.contains("BroadcastNestedLoopJoin"),
+      "the shipped default's final (post-roll) round must read a literal")
   }
 
   test("personalized: dangling mass teleports back to seeds only") {
@@ -105,6 +116,34 @@ class PageRankSpec extends SparkTestBase {
         broadcastMaxNodes = 0L)) ==
       rows(PageRank.personalized(edges, seeds, 8,
         broadcastMaxNodes = Long.MaxValue)))
+  }
+
+  test("roll cadence is a pure plan knob: fused rounds return identical rows") {
+    import spark.implicits._
+    // the round-14 fusion: rounds between rolls read the dangling mass
+    // from an in-plan one-row broadcast instead of an observed-metric
+    // literal — same sum over the same rank rows, so outputs match on
+    // the 6-dp contract at every cadence (1 = historical, 2 = fused
+    // pairs, >= iterations = one scheduled job for the whole loop)
+    val edges = ((0L to 30L).map(i => (i, (i * 5 + 2) % 31, 1L + i % 4)) ++
+      (0L to 30L).map(i => (i, (i + 1) % 31, 1L)) ++
+      Seq((40L, 41L, 1L), (41L, 42L, 2L))) // dangling tail: 42 has no out
+      .filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    val seeds = Seq(0L, 9L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val b = PageRank.BroadcastMaxNodes
+    for (cadence <- Seq(2, 3, 8)) {
+      assert(rows(PageRank.runDirectedImpl(edges, 8, 0.85, b, 1)) ==
+        rows(PageRank.runDirectedImpl(edges, 8, 0.85, b, cadence)),
+        s"runDirected cadence $cadence diverged")
+      assert(rows(PageRank.personalizedImpl(edges, seeds, 8, 0.85, b, 1)) ==
+        rows(PageRank.personalizedImpl(edges, seeds, 8, 0.85, b, cadence)),
+        s"personalized cadence $cadence diverged")
+    }
+    assert(rows(PageRank.runImpl(edges, 8, 0.85, b, 4)) ==
+      rows(PageRank.runImpl(edges, 8, 0.85, b, 8)),
+      "run cadence 8 diverged")
   }
 
   test("BroadcastMaxNodes boundary: the mode flips exactly at |V| == bound " +
