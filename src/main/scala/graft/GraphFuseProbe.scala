@@ -77,7 +77,32 @@ object GraphFuseProbe {
         "roll2" -> (() => GraphMetrics.hitsImpl(edges(), 5,
           PageRank.BroadcastMaxNodes, 2)),
         "roll10" -> (() => GraphMetrics.hitsImpl(edges(), 5,
-          PageRank.BroadcastMaxNodes, 10))))
+          PageRank.BroadcastMaxNodes, 10))),
+      // round-14 setup restructure: window-frac + raw-edge node build
+      // (historical) vs join-frac + checkpoint-read node build
+      "q94_setup" -> Seq(
+        "window" -> (() => PageRank.runDirectedImpl(edges(), 10, 0.85,
+          PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          setupJoin = false)),
+        "join" -> (() => PageRank.runDirectedImpl(edges(), 10, 0.85,
+          PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          setupJoin = true))),
+      "q149_setup" -> Seq(
+        "window" -> (() => PageRank.personalizedImpl(edges(), seeds(), 10,
+          0.85, PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          setupJoin = false)),
+        "join" -> (() => PageRank.personalizedImpl(edges(), seeds(), 10,
+          0.85, PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          setupJoin = true))),
+      "q63_setup" -> Seq(
+        "window" -> (() => PageRank.runImpl(
+          CoPurchaseGraph.symmetrize(edges()), 10, 0.85,
+          PageRank.BroadcastMaxNodes, PageRank.RollEvery,
+          setupJoin = false)),
+        "join" -> (() => PageRank.runImpl(
+          CoPurchaseGraph.symmetrize(edges()), 10, 0.85,
+          PageRank.BroadcastMaxNodes, PageRank.RollEvery,
+          setupJoin = true))))
       .filter(f => only.forall(_.contains(f._1)))
 
     for ((fam, arms) <- families) {

@@ -78,6 +78,49 @@ object PageRank {
     * the measured boundary. */
   private[graft] val RollEveryDangling: Int = 2
 
+  /** Round-14 setup restructure flag (shipped value measured by
+    * GraphFuseProbe's setup arms): `true` builds the transition
+    * fractions by per-src partial aggregation + an equi-join back onto
+    * the edge frame instead of the historical `sum over
+    * Window.partitionBy(src)`. The weights are integral counts, so the
+    * window sum and the groupBy sum are the SAME exact long and frac
+    * is bit-identical — but the join form never sorts the edge frame:
+    * AQE broadcasts the node-sized totals under its threshold, making
+    * the attach MAP-SIDE (zero edge exchange; the window always pays
+    * one edge exchange + a full per-partition sort), and above the
+    * threshold the totals meet the edges in a regular shuffled join
+    * (deployments with >10 MB node frames size
+    * `spark.sql.autoBroadcastJoinThreshold` accordingly). `true` also
+    * makes the directed/personalized node-frame build read the frac
+    * CHECKPOINT instead of the raw edge plan — the union arms were
+    * silently re-executing the entire edge build a second time per
+    * query (same rows either way; the flag exists so the A/B record
+    * stays runnable).
+    *
+    * Round-14 measurement (GraphFuseProbe setup arms, same-JVM
+    * alternating, 5 reps, outputs IDENTICAL): directed PR med
+    * 6.91→4.99 s (min 6.00→4.85), personalized med 6.28→5.00 (min
+    * 6.20→4.54) — the deleted second edge-build execution dominates;
+    * undirected [[run]] (whose node frame already read the checkpoint)
+    * is a local wash (med 4.80 vs 4.98, min 4.71 vs 4.73) and adopts
+    * the join for the structural term alone: under the broadcast
+    * threshold the edge frame is never exchanged OR sorted at setup,
+    * where the window always sorts it (the BM25 rule — the exchange
+    * deletion is the 100 TB term, not the local one). */
+  private[graft] val SetupJoin: Boolean = true
+
+  /** Transition fractions (src, dst, frac) — see [[SetupJoin]]. */
+  private def fracOf(edges: DataFrame, setupJoin: Boolean): DataFrame =
+    (if (setupJoin)
+       edges.join(edges.groupBy("src").agg(sum(col("weight")).as("__w")),
+         Seq("src"))
+     else
+       edges.withColumn("__w",
+         sum(col("weight")).over(Window.partitionBy("src"))))
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("__w")).as("frac"))
+      .localCheckpoint()
+
   def run(edges: DataFrame, iterations: Int = 10,
           damping: Double = 0.85,
           broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
@@ -94,12 +137,9 @@ object PageRank {
     * historical 4 stays. */
   private[graft] def runImpl(edges: DataFrame, iterations: Int,
                              damping: Double, broadcastMaxNodes: Long,
-                             rollEvery: Int): DataFrame = {
-    val frac = edges
-      .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
-      .select(col("src"), col("dst"),
-        (col("weight").cast("double") / col("__w")).as("frac"))
-      .localCheckpoint()
+                             rollEvery: Int,
+                             setupJoin: Boolean = SetupJoin): DataFrame = {
+    val frac = fracOf(edges, setupJoin)
     val nodes = frac.select(col("src").as("node")).distinct()
     val n = nodes.count()
     val base = (1.0 - damping) / n
@@ -173,16 +213,17 @@ object PageRank {
   private[graft] def runDirectedImpl(edges: DataFrame, iterations: Int,
                                      damping: Double,
                                      broadcastMaxNodes: Long,
-                                     rollEvery: Int): DataFrame = {
-    val frac = edges
-      .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
-      .select(col("src"), col("dst"),
-        (col("weight").cast("double") / col("__w")).as("frac"))
-      .localCheckpoint()
+                                     rollEvery: Int,
+                                     setupJoin: Boolean = SetupJoin): DataFrame = {
+    val frac = fracOf(edges, setupJoin)
+    // setupJoin: the node frame derives from the frac CHECKPOINT (frac
+    // has one row per edge, so its src/dst sets are the edge frame's) —
+    // the raw-plan union arms re-executed the whole edge build
+    val eSrc = if (setupJoin) frac else edges
     val srcs = frac.select(col("src").as("node"), lit(true).as("__has")).distinct()
     val nObs = Observation()
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    val nodes = eSrc.select(col("src").as("node"))
+      .unionByName(eSrc.select(col("dst").as("node")))
       .distinct()
       .join(srcs, Seq("node"), "left")
       .select(col("node"), col("__has").isNull.as("dang"))
@@ -280,16 +321,16 @@ object PageRank {
   private[graft] def personalizedImpl(edges: DataFrame, seeds: DataFrame,
                                       iterations: Int, damping: Double,
                                       broadcastMaxNodes: Long,
-                                      rollEvery: Int): DataFrame = {
-    val frac = edges
-      .withColumn("__w", sum(col("weight")).over(Window.partitionBy("src")))
-      .select(col("src"), col("dst"),
-        (col("weight").cast("double") / col("__w")).as("frac"))
-      .localCheckpoint()
+                                      rollEvery: Int,
+                                      setupJoin: Boolean = SetupJoin): DataFrame = {
+    val frac = fracOf(edges, setupJoin)
+    // see [[runDirectedImpl]]: under setupJoin the union arms read the
+    // frac checkpoint instead of re-executing the edge build
+    val eSrc = if (setupJoin) frac else edges
     val srcs = frac.select(col("src").as("node"), lit(true).as("__has")).distinct()
     val nObs = Observation()
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    val nodes = eSrc.select(col("src").as("node"))
+      .unionByName(eSrc.select(col("dst").as("node")))
       .distinct()
       .join(srcs, Seq("node"), "left")
       .join(seeds.select(col("node"), lit(true).as("__seed")).distinct(),
