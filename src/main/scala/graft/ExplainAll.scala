@@ -32,8 +32,13 @@ object ExplainAll {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       try {
+        // NonFatal only (ADVICE r14): a blanket Throwable catch here
+        // swallowed OOM/interrupt and then captured plans against
+        // missing setup state with no diagnostic
         try SparkEntry.setups.get(n).foreach(_(spark, sfDir))
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[explainall] $n setup FAILED: $t")
+        }
         val df = SparkEntry.queries(n)(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -82,17 +82,17 @@ object GraphFuseProbe {
       // (historical) vs join-frac + checkpoint-read node build
       "q94_setup" -> Seq(
         "window" -> (() => PageRank.runDirectedImpl(edges(), 10, 0.85,
-          PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          PageRank.BroadcastMaxNodes, PageRank.RollEveryDirected,
           setupJoin = false)),
         "join" -> (() => PageRank.runDirectedImpl(edges(), 10, 0.85,
-          PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          PageRank.BroadcastMaxNodes, PageRank.RollEveryDirected,
           setupJoin = true))),
       "q149_setup" -> Seq(
         "window" -> (() => PageRank.personalizedImpl(edges(), seeds(), 10,
-          0.85, PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          0.85, PageRank.BroadcastMaxNodes, PageRank.RollEveryDirected,
           setupJoin = false)),
         "join" -> (() => PageRank.personalizedImpl(edges(), seeds(), 10,
-          0.85, PageRank.BroadcastMaxNodes, PageRank.RollEveryDangling,
+          0.85, PageRank.BroadcastMaxNodes, PageRank.RollEveryDirected,
           setupJoin = true))),
       "q63_setup" -> Seq(
         "window" -> (() => PageRank.runImpl(
@@ -102,7 +102,14 @@ object GraphFuseProbe {
         "join" -> (() => PageRank.runImpl(
           CoPurchaseGraph.symmetrize(edges()), 10, 0.85,
           PageRank.BroadcastMaxNodes, PageRank.RollEvery,
-          setupJoin = true))))
+          setupJoin = true))),
+      // round-15 (VERDICT r14 item 6): settle the kcore pairwise-peel
+      // fusion that round 14 rejected on reasoning, not measurement
+      "q127_kcore" -> Seq(
+        "peel1" -> (() => GraphMetrics.kcoreImpl(edges(), 3, 10,
+          peelsPerRoll = 1)),
+        "peel2" -> (() => GraphMetrics.kcoreImpl(edges(), 3, 10,
+          peelsPerRoll = 2))))
       .filter(f => only.forall(_.contains(f._1)))
 
     for ((fam, arms) <- families) {

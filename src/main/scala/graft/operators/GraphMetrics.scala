@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** Lineage-safety roll cadence for the FUSED labelProp branch
+    * (ADVICE r14): fused rounds build one nested plan per round, so a
+    * large caller-chosen round budget would grow Catalyst
+    * analysis/optimization time and driver memory without bound. Every
+    * `FusedRollEvery` rounds the label frame is rolled (plain
+    * materialization, NO carry-forward join — output row-identical,
+    * pinned by GraphMetricsSpec). 8 keeps the shipped 5-round usage
+    * (q163) on the round-14 one-job fused shape while bounding depth
+    * for convergence-style budgets. */
+  private[graft] val FusedRollEvery: Int = 8
+
   /** `edges` = undirected (src, dst) with src < dst, one row per edge
     * (the [[CoPurchaseGraph.fromOrders]] shape; weights ignored). */
   def triangles(edges: DataFrame): DataFrame = {
@@ -81,7 +92,22 @@ object GraphMetrics {
     * @return survivors: (node, deg) — degree within the surviving
     *         subgraph — plus constant `converged`.
     */
-  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcoreImpl(edges, k, rounds, peelsPerRoll = 1)
+
+  /** [[kcore]] with the peel-fusion arm selectable (round-15 probe,
+    * VERDICT r14 item 6): `peelsPerRoll` peels run between
+    * materializations, so the fixpoint observation fires once per
+    * GROUP. Output-equivalent at any value: peeling is monotone and
+    * converged peels are no-ops, so the only divergence is that a
+    * group straddling the fixpoint runs no-op peels inside its fused
+    * plan (same survivor set; the rounds budget is consumed per PEEL
+    * either way). The cost question the probe answers: a fused second
+    * peel's input is unmaterialized and feeds 3 consumers (its degree
+    * aggregate + both semi-joins), so the restriction subtree
+    * re-executes ~3x per unmaterialized peel vs one saved roll. */
+  private[graft] def kcoreImpl(edges: DataFrame, k: Int, rounds: Int,
+                               peelsPerRoll: Int): DataFrame = {
     // iterate on a SHRINKING edge frame: restricting the full sym edge
     // set against the survivor nodes every round costs the same per
     // round forever; filtering the previous round's alive edges makes
@@ -95,25 +121,30 @@ object GraphMetrics {
     var i = 0
     var fixed = false
     while (i < rounds && !fixed) {
-      val keep = alive.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select("node")
+      val p = math.min(peelsPerRoll, rounds - i)
+      var next = alive
+      for (_ <- 1 to p) {
+        val keep = next.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select("node")
+        next = next
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      }
       // the fixpoint probe rides the roll as an OBSERVED metric — the
       // separate count() used to re-scan the freshly checkpointed
       // edge frame every round (one extra edge-sized job per peel)
       val obs = Observation()
-      alive = Iterate.roll(alive
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .observe(obs, count(lit(1)).as("edges")),
+      alive = Iterate.roll(next.observe(obs, count(lit(1)).as("edges")),
         Some(alive))
       val c = obs.get("edges").asInstanceOf[Long]
       // removing any node removes its edges, so an unchanged edge count
       // IS the fixpoint — remaining rounds would be no-ops (this is why
-      // early exit cannot change the fixed-round oracle's answer)
+      // early exit cannot change the fixed-round oracle's answer; a
+      // fused group detects it one group later at worst, via no-ops)
       fixed = c == edgeCount
       edgeCount = c
-      i += 1
+      i += p
     }
     // materialize once: the degree frame feeds both the output and the
     // convergence probe (and the loop's lineage ends here anyway)
@@ -148,7 +179,8 @@ object GraphMetrics {
     *         edges from any seed, capped at `maxHops`; unreached nodes
     *         are absent. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-              broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes)
+              broadcastMaxNodes: Long = PageRank.BroadcastMaxNodes,
+              consolidateEvery: Int = 8)
       : DataFrame = {
     // checkpointed once; on the shuffle path each round's join
     // re-exchanges it on src (AQE checkpoints capture UnknownPartitioning
@@ -164,6 +196,9 @@ object GraphMetrics {
       .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
     var frontier = visited.select("node")
+    // checkpoint leaves currently backing the visited union — tracked
+    // so a consolidation can release exactly the superseded ones
+    var constituents: List[DataFrame] = List(visited)
     // frontier size rides each roll as an observed metric — the old
     // isEmpty probe was one extra (tiny) job per hop round
     var frontierSize = obs0.get("n").asInstanceOf[Long]
@@ -196,9 +231,24 @@ object GraphMetrics {
       // Frontier blocks are therefore NOT released mid-loop (the union
       // references them); total held state is |visited| rows — the same
       // order as the old visited checkpoint it replaces. maxHops bounds
-      // the union's plan width.
+      // the union's plan width, and for LARGE hop budgets the
+      // consolidation below re-bounds it at `consolidateEvery` leaves.
       visited = visited.unionAll(next.withColumn("hop", lit(h)))
+      constituents = next :: constituents
       frontier = next
+      // ADVICE r14: every `consolidateEvery` hops, roll the union into
+      // ONE checkpoint (plain materialization — row-identical output,
+      // pinned by GraphMetricsSpec) and release the superseded per-hop
+      // frontier blocks, except the LIVE frontier which the next
+      // expansion still joins. Bounds both the union's plan width and
+      // the lingering block-manager entries for convergence-style hop
+      // budgets; at the shipped maxHops=3 it never fires and the
+      // round-14 one-job-per-hop shape is untouched.
+      if (h % consolidateEvery == 0 && h < maxHops && frontierSize > 0) {
+        visited = Iterate.roll(visited, None)
+        constituents.filter(_ ne frontier).foreach(Iterate.release)
+        constituents = List(visited, frontier)
+      }
     }
     visited
   }
@@ -287,8 +337,19 @@ object GraphMetrics {
         .select(col("node"), (-col("m.nc")).as("__next"))
       if (fused) {
         // picked covers every node (see [[labelPropImpl]] scaladoc):
-        // it IS the next label frame — no carry-forward join, no roll
+        // it IS the next label frame — no carry-forward join, no roll.
         lbl = picked.withColumnRenamed("__next", "community")
+        // Safety roll (ADVICE r14): without ANY roll the fused plan's
+        // depth grows linearly with the caller's round budget —
+        // Catalyst analysis time and driver memory are unbounded at
+        // e.g. a 50-round LPA convergence budget even though the
+        // arithmetic is fine. A roll WITHOUT the carry-forward join
+        // preserves row-identical output while truncating lineage; at
+        // the shipped 5-round usage (< FusedRollEvery) it never fires,
+        // so q163's one-job shape is untouched.
+        if (i % FusedRollEvery == 0 && i < rounds) {
+          lbl = Iterate.roll(lbl, lblCp); lblCp = Some(lbl)
+        }
       } else {
         lbl = lbl.join(if (small) broadcast(picked) else picked,
             Seq("node"), "left")

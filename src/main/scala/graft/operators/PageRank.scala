@@ -58,25 +58,49 @@ object PageRank {
 
   /** Shipped mid-loop roll cadence for [[run]] (no dangling term — the
     * rank chain is single-consumer, so rounds between rolls fuse into
-    * one scheduled job with zero duplicated work). */
-  private[graft] val RollEvery: Int = 4
+    * one scheduled job with zero duplicated work).
+    *
+    * 4 → 2 in round 15: the driver's contract channel times each query
+    * COLD (one sample per fresh-chunk JVM), and the cadence-4 fused
+    * plans' extra codegen/interpretation depth lands entirely on that
+    * cold run — ScaleProbe under the exact chunk-prelude cold protocol
+    * at 32 cores measured cadence 4 at 24.6–31.5 s cold vs cadence 2
+    * at 10.1–21.0 and cadence 1 at 11.9–19.0 (medians ≈ 12.4 both;
+    * storms marked by their own ambient columns), with warm samples
+    * 6.7–8.0 vs 5.9–7.3 — the round-14 warm-alternation probe that kept
+    * 4 only ever compared 4 vs 10 and never saw the cold channel.
+    * Cadence 2 is preferred over 1 on the tie: half the roll
+    * materializations + driver round-trips at cluster scale. Outputs
+    * are cadence-invariant to the last ulp (PageRankSpec pin). */
+  private[graft] val RollEvery: Int = 2
 
-  /** Shipped roll cadence for the dangling-mass forms ([[runDirected]]
-    * / [[personalized]]): rounds between rolls read the dangling mass
-    * from an in-plan one-row broadcast instead of an observed-metric
-    * literal. Round-14 measurement (GraphFuseProbe, 3-arm same-JVM
-    * alternating A/B at sf0.1, two independent windows, outputs
-    * IDENTICAL in all arms): cadence 2 beats 1 on directed PR in both
-    * windows (med 7.18→6.37 / 7.23→6.99 s, min 7.00→6.15 / 7.00→6.71)
-    * and is a small win / wash on personalized (med 7.61→7.18, min
-    * 6.49→6.41 in the quiet window) — half the roll actions and
+  /** Shipped roll cadence for [[runDirected]]: rounds between rolls
+    * read the dangling mass from an in-plan one-row broadcast instead
+    * of an observed-metric literal. Round-14 measurement
+    * (GraphFuseProbe, 3-arm same-JVM alternating A/B at sf0.1, two
+    * independent windows, outputs IDENTICAL in all arms): cadence 2
+    * beats 1 on directed PR in both windows (med 7.18→6.37 / 7.23→6.99
+    * s, min 7.00→6.15 / 7.00→6.71) — half the roll actions and
     * checkpoint materializations for one extra node-sized one-row
-    * aggregate per fused round. FULL fusion (cadence ≥ iterations)
-    * LOSES on both (q94 med 8.76, q149 med 8.78): the per-round
-    * broadcast chain serializes inside one job and the unmaterialized
-    * rank subtrees re-execute per consumer — rejected, kept here as
-    * the measured boundary. */
-  private[graft] val RollEveryDangling: Int = 2
+    * aggregate per fused round. Round-15 re-confirmed it in the COLD
+    * chunk-prelude channel too (ScaleProbe 32c: c2 8.78/7.01/5.83 vs
+    * c1 9.42/8.28/6.58). FULL fusion (cadence ≥ iterations) LOSES
+    * (q94 med 8.76): the per-round broadcast chain serializes inside
+    * one job and the unmaterialized rank subtrees re-execute per
+    * consumer — rejected, kept here as the measured boundary. */
+  private[graft] val RollEveryDirected: Int = 2
+
+  /** Shipped roll cadence for [[personalized]] — REVERTED to 1 in
+    * round 15 (VERDICT r14 item 1). Round 14 adopted cadence 2 from a
+    * warm-alternation "small win / wash" (med 7.61→7.18); but the
+    * driver contract channel times COLD, and there the fused (cadence
+    * 2) q149 plans lose decisively: ScaleProbe under the exact
+    * chunk-prelude cold protocol at 32 cores measured c2+setupJoin
+    * 17.2 s cold (warm 8.9/10.7) vs c1+setupJoin 10.7 cold (warm
+    * 9.2/5.9); the driver's own quiet 32-core row regressed 10.05 →
+    * 15.15 s under cadence 2. Cadence 1 is exactly the r13 shape
+    * (every round's dangling mass an observed-metric literal). */
+  private[graft] val RollEveryPersonalized: Int = 1
 
   /** Round-14 setup restructure flag (shipped value measured by
     * GraphFuseProbe's setup arms): `true` builds the transition
@@ -109,7 +133,17 @@ object PageRank {
     * deletion is the 100 TB term, not the local one). */
   private[graft] val SetupJoin: Boolean = true
 
-  /** Transition fractions (src, dst, frac) — see [[SetupJoin]]. */
+  /** Transition fractions (src, dst, frac) — see [[SetupJoin]].
+    *
+    * DETERMINISM REQUIREMENT (ADVICE r14): the join form self-joins the
+    * raw `edges` plan, so the edge subtree is evaluated twice inside one
+    * query (probe side + totals side). Every in-tree edge build is
+    * deterministic (pure relational derivations of the parquet scans),
+    * so both evaluations see the same rows and fracs sum to 1 per src.
+    * A NONDETERMINISTIC upstream plan (sampling, rand-derived weights)
+    * would break that invariant — callers must localCheckpoint such an
+    * input once before passing it here (the window form was single-pass
+    * and immune, which is why this is documented at the boundary). */
   private def fracOf(edges: DataFrame, setupJoin: Boolean): DataFrame =
     (if (setupJoin)
        edges.join(edges.groupBy("src").agg(sum(col("weight")).as("__w")),
@@ -201,7 +235,7 @@ object PageRank {
                   damping: Double = 0.85,
                   broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
     runDirectedImpl(edges, iterations, damping, broadcastMaxNodes,
-      RollEveryDangling)
+      RollEveryDirected)
 
   /** [[runDirected]] with the roll cadence exposed: rounds that do NOT
     * roll read the dangling mass from a one-row in-plan aggregate
@@ -314,7 +348,7 @@ object PageRank {
                    damping: Double = 0.85,
                    broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame =
     personalizedImpl(edges, seeds, iterations, damping, broadcastMaxNodes,
-      RollEveryDangling)
+      RollEveryPersonalized)
 
   /** [[personalized]] with the roll cadence exposed — the
     * [[runDirectedImpl]] fusion applied to the restart form. */

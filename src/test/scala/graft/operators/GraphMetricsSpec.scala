@@ -205,6 +205,42 @@ class GraphMetricsSpec extends SparkTestBase {
       "hits cadence diverged")
   }
 
+  test("fused labelProp safety roll and bfs consolidation preserve rows") {
+    import spark.implicits._
+    // round-15 lineage-bounding pins (ADVICE r14). The fused labelProp
+    // safety roll (fires past FusedRollEvery=8 rounds) and the bfsHops
+    // union consolidation are plain materializations — both must be
+    // row-identical to the unrolled forms at round/hop budgets large
+    // enough that they actually fire.
+    val edges = ((0L to 40L).map(i => (i, (i * 7 + 3) % 41, 1L + i % 3)) ++
+      (0L to 40L).map(i => (i, (i + 1) % 41, 1L)))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val b = PageRank.BroadcastMaxNodes
+    assert(GraphMetrics.FusedRollEvery == 8,
+      "pin assumes the shipped cadence; update the 10-round case below")
+    assert(rows(GraphMetrics.labelPropImpl(edges, 10, b, fused = false)) ==
+      rows(GraphMetrics.labelPropImpl(edges, 10, b, fused = true)),
+      "fused labelProp diverged once the safety roll fires")
+    // long path so the frontier survives 5+ hops; consolidation at
+    // every 2 hops vs effectively never must agree exactly
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    assert(rows(GraphMetrics.bfsHops(path, seeds, 6, b, consolidateEvery = 2)) ==
+      rows(GraphMetrics.bfsHops(path, seeds, 6, b, consolidateEvery = 100)),
+      "bfs consolidation diverged")
+    // kcore pairwise peel (probe arm): monotone no-op argument — the
+    // survivor set, degrees, and converged flag must match exactly,
+    // including on a graph that converges mid-pair (the undirected
+    // pendant chain peels over several rounds)
+    val kedges = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (3L, 4L)) ++ (4L until 9L).map(i => (i, i + 1))).toDF("src", "dst")
+    assert(rows(GraphMetrics.kcoreImpl(kedges, 3, 10, peelsPerRoll = 1)) ==
+      rows(GraphMetrics.kcoreImpl(kedges, 3, 10, peelsPerRoll = 2)),
+      "kcore pairwise peel diverged")
+  }
+
   test("assortativity: star graph is maximally disassortative (r = -1)") {
     // hub 1 with three leaves: every edge joins deg-3 to deg-1
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
