@@ -138,6 +138,8 @@ object ScaleProbe {
     // cold protocol the driver channel times. Registry names pass
     // through untouched.
     val vRe = "v(63|94|149)_c(\\d+)_sj([01])".r
+    // hits cadence arms: v186_c<N>
+    val hRe = "v186_c(\\d+)".r
     def resolve(name: String): (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame = name match {
       case vRe(q, c, sj) => (s, d) => {
@@ -157,6 +159,11 @@ object ScaleProbe {
             10, 0.85, PageRank.BroadcastMaxNodes, cad, setup)
         }
       }
+      case hRe(c) => (s, d) =>
+        graft.operators.GraphMetrics.hitsImpl(
+          graft.operators.CoPurchaseGraph.fromOrders(
+            graft.sources.Tables.lineitem(s, d)), 5,
+          graft.operators.PageRank.BroadcastMaxNodes, c.toInt)
       case n => SparkEntry.queries(n)
     }
     for (name <- names) {
