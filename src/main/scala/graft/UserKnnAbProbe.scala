@@ -36,10 +36,29 @@ object UserKnnAbProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(heap: Boolean): (Long, Double) = {
+    // mode "late" (round 15): A arm = shipped norms-on-postings, B arm =
+    // lateNorms (norm columns dropped from the pair exchange, broadcast
+    // re-attach post-fold) — exact row-set equality asserted pre-timing
+    val late = args.lift(2).contains("late")
+    def build(b: Boolean) =
+      if (late)
+        CoPurchaseGraph.userNeighborsImpl(Tables.orders(spark, sfDir),
+          Tables.lineitem(spark, sfDir), 5, 200, heapTopK = false,
+          lateNorms = b)
+      else
+        CoPurchaseGraph.userNeighborsImpl(Tables.orders(spark, sfDir),
+          Tables.lineitem(spark, sfDir), 5, 200, heapTopK = b)
+    if (late) {
+      val a = build(false).collect().map(_.toSeq).toSet
+      val b = build(true).collect().map(_.toSeq).toSet
+      println(s"[userknn-ab] late-norms equality: " +
+        (if (a == b) s"IDENTICAL (${a.size} rows)"
+         else s"MISMATCH a-only=${(a -- b).size} b-only=${(b -- a).size}"))
+      require(a == b, "lateNorms diverged")
+    }
+    def run(arm: Boolean): (Long, Double) = {
       val t0 = System.nanoTime()
-      val n = CoPurchaseGraph.userNeighborsImpl(Tables.orders(spark, sfDir),
-        Tables.lineitem(spark, sfDir), 5, 200, heapTopK = heap).count()
+      val n = build(arm).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -48,13 +67,13 @@ object UserKnnAbProbe {
     }
 
     // untimed warmup of the shared subtree (scan + postings join shapes)
-    run(heap = false)
+    run(arm = false)
     var rowsW = -1L; var rowsH = -1L
     val (tw, th) = (Array.ofDim[Double](reps), Array.ofDim[Double](reps))
     for (r <- 0 until reps) {
-      val (nw, dw) = run(heap = false); rowsW = nw; tw(r) = dw
-      val (nh, dh) = run(heap = true); rowsH = nh; th(r) = dh
-      println(f"[userknn-ab] rep$r  window ${dw}%7.2f s   heap ${dh}%7.2f s")
+      val (nw, dw) = run(arm = false); rowsW = nw; tw(r) = dw
+      val (nh, dh) = run(arm = true); rowsH = nh; th(r) = dh
+      println(f"[userknn-ab] rep$r  A ${dw}%7.2f s   B ${dh}%7.2f s")
     }
     require(rowsW == rowsH, s"variant row counts differ: $rowsW vs $rowsH")
     println(f"[userknn-ab] $sfDir rows=$rowsW  " +

@@ -260,7 +260,8 @@ object CoPurchaseGraph {
                                        lineitem: DataFrame, k: Int,
                                        maxUsers: Int,
                                        heapTopK: Boolean,
-                                       checkpointUi: Boolean = false): DataFrame = {
+                                       checkpointUi: Boolean = false,
+                                       lateNorms: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uiBase = lineitem.select(col("l_orderkey").as("okey"),
         col("l_partkey").as("item"))
@@ -271,13 +272,36 @@ object CoPurchaseGraph {
     val norms = ui.groupBy("user").agg(count(lit(1)).as("n"))
     val light = ui.groupBy("item").agg(count(lit(1)).as("nu"))
       .where(col("nu") <= maxUsers).select("item")
-    val p = ui.join(light, Seq("item")).join(norms, Seq("user"))
-    val pairs = p.as("a").join(p.as("b").hint("shuffle_hash"),
+    // lateNorms (round-15 probe arm, guide §2.3 "shuffle fewer bytes"):
+    // the pair aggregation's exchange is the query's largest (every
+    // generated pair crosses it) and the norm columns ride it as 16 of
+    // ~40 bytes per row. The late form aggregates `shared` alone and
+    // re-attaches the norms AFTER the fold with two BROADCAST joins of
+    // the user-sized norm frame (map-side; the duplicated norm subtree
+    // is deduped by ReuseExchange). Values identical: min(n) over a
+    // group where n is functionally determined by the user key IS the
+    // joined value. Requires the norm frame to fit a broadcast —
+    // user-count-bounded, the [[PageRank.BroadcastMaxNodes]] class of
+    // deploy knob.
+    val pBase = ui.join(light, Seq("item"))
+    val p = if (lateNorms) pBase else pBase.join(norms, Seq("user"))
+    val pairedBase = p.as("a").join(p.as("b").hint("shuffle_hash"),
         col("a.item") === col("b.item"))
       .where(col("a.user") < col("b.user"))
-      .groupBy(col("a.user").as("ua"), col("b.user").as("ub"))
-      .agg(count(lit(1)).as("shared"),
-        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    val pairs =
+      if (lateNorms)
+        pairedBase
+          .groupBy(col("a.user").as("ua"), col("b.user").as("ub"))
+          .agg(count(lit(1)).as("shared"))
+          .join(broadcast(norms.select(col("user").as("ua"),
+            col("n").as("na"))), Seq("ua"))
+          .join(broadcast(norms.select(col("user").as("ub"),
+            col("n").as("nb"))), Seq("ub"))
+      else
+        pairedBase
+          .groupBy(col("a.user").as("ua"), col("b.user").as("ub"))
+          .agg(count(lit(1)).as("shared"),
+            min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
     val scored = pairs.withColumn("cosine",
       round(col("shared").cast("double") /
         sqrt((col("na") * col("nb")).cast("double")), 6))

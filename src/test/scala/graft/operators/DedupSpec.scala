@@ -136,21 +136,30 @@ class DedupSpec extends SparkTestBase {
       (9002L, s"$boiler alpha0 beta0 gamma0 delta0"))
     val d = spark.createDataFrame(base ++ pair).toDF("doc_id", "text")
     Dedup.releasePostings() // drain registrations from earlier tests
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // Baseline as an ID SET, asserted on the NEW-id delta: earlier
+    // suites' lingering blocks live in the same session-global map and
+    // the async ContextCleaner may unpersist them mid-test after any
+    // GC — a size-based baseline flaked exactly that way (size dropped
+    // below `before` between baseline and check). Foreign removals can
+    // only shrink the baseline set, never add to the delta, so the
+    // delta assertion is immune to cleaner timing.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def newIds() =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     // Q165RepeatProbe-style no-reap repeats (VERDICT r13 item 3): a
     // serving loop that releases between iterations holds at most ONE
     // call's blocks at any moment — state is bounded by contract, not
     // by GC timing. Each call's result is consumed before release.
     for (i <- 1 to 3) {
       val got = Dedup.ngramJaccard(d, 3, 0.2)
-      assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      assert(newIds().size == 1,
         s"capped-path call $i must register exactly one postings checkpoint")
       val keys = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(keys == Set((9001L, 9002L)))
       assert(Dedup.releasePostings() == 1,
         s"release after call $i must drop exactly the one live checkpoint")
-      assert(spark.sparkContext.getPersistentRDDs.size == before,
-        s"persisted-RDD count must return to baseline after release $i")
+      assert(newIds().isEmpty,
+        s"no new persisted RDDs may remain after release $i")
     }
     // released plans cannot be re-run (doc'd contract) — but a FRESH
     // call after release is fully functional
